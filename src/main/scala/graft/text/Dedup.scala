@@ -1,0 +1,236 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.Tables._
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.9):
+  * exact (hash groupBy), near-dup via n-gram Jaccard with a shared-shingle
+  * candidate join, MinHash + banded LSH, and SimHash.
+  *
+  * Scale posture: exact dedup is one hash-partitioned aggregation on the
+  * 32-char digest (not the full text — tiny shuffle payload). The Jaccard
+  * candidate join is quadratic in per-shingle frequency and exists as the
+  * small-scale oracle; MinHash LSH is the 100 TB path (shuffle ∝ corpus ×
+  * bands, never all-pairs). All hashing is md5-based so the DuckDB oracle
+  * reproduces signatures bit-for-bit (Spark's murmur `hash()` is not
+  * portable).
+  */
+object Dedup extends QueryModule {
+
+  private def textMd5: Column = md5(col("text").cast("binary"))
+
+  /** The corpus-with-duplicates fixture: union the corpus with a copy of
+    * every 5th document under a shifted id — the testdata has no exact
+    * dups, so dedup semantics are exercised on a synthesized superset.
+    */
+  private def withDups(docs: DataFrame): DataFrame =
+    docs.union(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+
+  private val withDupsSql = """
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 5 = 0"""
+
+  /** Exact dedup: keep the lowest doc_id per content hash (row_number over
+    * a hash-partitioned window), report per-source kept/removed counts.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    withDups(docs)
+      .withColumn("h", textMd5)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("total_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_docs"))
+      .orderBy("source")
+  }
+
+  private val exactDedupOracle = s"""
+    WITH all_docs AS ($withDupsSql),
+    r AS (
+      SELECT source,
+        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM all_docs)
+    SELECT source, COUNT(*) AS total_docs,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_docs
+    FROM r GROUP BY source ORDER BY source"""
+
+  /** Duplicate-cluster inventory: hash groups with >1 member. */
+  def dupClusters(docs: DataFrame): DataFrame =
+    withDups(docs)
+      .groupBy(textMd5.as("h"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_id"))
+      .filter(col("cluster_size") > 1)
+      .orderBy("keeper_id")
+
+  private val dupClustersOracle = s"""
+    WITH all_docs AS ($withDupsSql)
+    SELECT md5(text) AS h, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_id
+    FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper_id"""
+
+  /** Distinct word-3-gram shingles per document (the near-dup unit). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2])))").as("shs"))
+
+  private val shingledSql = """
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+            || ' ' || string_split(text,' ')[i+2])) AS shs
+      FROM documents WHERE len(string_split(text,' ')) >= 3"""
+
+  /** n-gram Jaccard near-dup pairs (exact, candidate-pruned): only pairs
+    * sharing >= 1 shingle are scored — a shingle-keyed self-join, not an
+    * all-pairs product. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact
+    * integer ratio (deterministic double division).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sh = shingled(docs)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sizes = shingled(docs)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("common")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val jaccardOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+      CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
+    ORDER BY doc_a, doc_b"""
+
+  /** MinHash signatures (12 hashes: lexicographic min of md5(seed:shingle))
+    * banded into 4 bands of 3 for LSH; candidate pairs share >= 1 band,
+    * estimated Jaccard = matching-signature fraction. This is the
+    * scale path: shuffle volume is corpus x 4 band keys, never all-pairs.
+    */
+  def minhashLsh(docs: DataFrame, minEst: Double = 0.5): DataFrame = {
+    val sigs = shingled(docs).withColumn("sig", expr(
+      "transform(sequence(0, 11), j -> " +
+        "array_min(transform(shs, s -> md5(cast(concat(cast(j as string), ':', s) as binary)))))"))
+      .select("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b as band_idx, " +
+            "md5(cast(concat(element_at(sig, 3*b+1), element_at(sig, 3*b+2), " +
+            "element_at(sig, 3*b+3)) as binary)) as band_val))")).as("bd"))
+      .select(col("doc_id"), col("sig"),
+        col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("n_match", expr(
+        "size(filter(sequence(1, 12), j -> element_at(sig_a, j) = element_at(sig_b, j)))")
+        .cast("long"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / lit(12.0))
+      .filter(col("est_jaccard") >= lit(minEst))
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sigs AS (
+      SELECT doc_id,
+        list_transform(range(0, 12), j ->
+          list_min(list_transform(shs, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh0),
+    bands0 AS (
+      SELECT doc_id, sig, unnest(list_transform(range(0, 4), b -> struct_pack(
+        band_idx := b,
+        band_val := md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3])))) AS bd
+      FROM sigs),
+    bands AS (
+      SELECT doc_id, sig, bd.band_idx AS band_idx, bd.band_val AS band_val
+      FROM bands0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j])) AS BIGINT) AS n_match,
+      CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 12.0 AS est_jaccard
+    FROM cand
+    WHERE CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 12.0 >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** 16-bit SimHash over distinct tokens: bit j is set when more than half
+    * the tokens have the high bit of md5 hex nibble j set. Portable across
+    * engines (md5 + substr + strpos only).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      expr("array_distinct(split(text, ' '))").as("t"))
+    val bits: Column = (0 until 16).map { j =>
+      val pos = expr(
+        s"size(filter(t, tok -> instr('89abcdef', substring(md5(cast(tok as binary)), ${j + 1}, 1)) > 0))")
+      when(pos * 2 > size(col("t")), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.select(col("doc_id"), bits.as("simhash")).orderBy("doc_id")
+  }
+
+  private val simhashOracle = {
+    val terms = (0 until 16).map { j =>
+      s"""CASE WHEN 2 * len(list_filter(t, tok ->
+         strpos('89abcdef', substr(md5(tok), ${j + 1}, 1)) > 0)) > len(t)
+         THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""
+    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+    SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM d ORDER BY doc_id"""
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q25_exact_dedup",
+      (s, d) => exactDedup(documents(s, d)), Some(exactDedupOracle)),
+    Q("q26_dup_clusters",
+      (s, d) => dupClusters(documents(s, d)), Some(dupClustersOracle)),
+    Q("q27_jaccard_pairs",
+      (s, d) => jaccardPairs(documents(s, d)), Some(jaccardOracle)),
+    Q("q28_minhash_lsh",
+      (s, d) => minhashLsh(documents(s, d)), Some(minhashOracle)),
+    Q("q29_simhash",
+      (s, d) => simhash(documents(s, d)), Some(simhashOracle)),
+  )
+}

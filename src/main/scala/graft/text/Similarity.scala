@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num._
+
+/** Similarity search over an embedding column (SURVEY.md §2.9):
+  * brute-force cosine top-k as the exact baseline, and a sign-bit
+  * LSH-bucketed variant as the scale path (prunes the candidate set to
+  * one bucket of ~1/2^bits of the corpus before scoring; at 100 TB the
+  * bucket id is a partition key so a query touches one partition).
+  *
+  * Dot products use `zip_with`/`aggregate` higher-order functions —
+  * sequential fold per row, deterministic, no UDF (stays codegen-friendly
+  * and shuffles nothing but the final top-k).
+  */
+object Similarity extends QueryModule {
+
+  private def dotExpr(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+
+  private def normExpr(a: String): Column = expr(
+    s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector: the exact
+    * baseline. Broadcast 1-row query side; a single narrow pass + TakeOrdered.
+    */
+  def knnBruteForce(emb: DataFrame, k: Int = 10): DataFrame =
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+      .withColumn("cosine", round(
+        dotExpr("embedding", "qv") / (normExpr("embedding") * normExpr("qv")), 6))
+      .select("vec_id", "label", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
+  private val knnOracle = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, e.label,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+        sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS en,
+        sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS qn
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT vec_id, label, ROUND(dot / (en * qn), 6) AS cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** Sign-bit bucket id over the first `bits` dimensions: the
+    * deterministic LSH partitioner (a fixed-hyperplane random projection).
+    */
+  private def bucketOf(embCol: String, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(col(embCol), i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(c: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN $c[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Bucketed (IVF/LSH-style) approximate nearest neighbors: score only
+    * the query's bucket. 4 sign bits => ~1/16 of the corpus scanned.
+    */
+  def knnBucketed(emb: DataFrame, k: Int = 5, bits: Int = 4): DataFrame = {
+    val withBucket = emb.withColumn("bucket", bucketOf("embedding", bits))
+    val q = withBucket.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    withBucket.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("cosine", round(
+        dotExpr("embedding", "qv") / (normExpr("embedding") * normExpr("qv")), 6))
+      .select("vec_id", "label", "bucket", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private val knnBucketedOracle = s"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+        ${bucketSql("embedding", 4)} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, e.label, e.bucket,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+        sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS en,
+        sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS qn
+      FROM b e, q WHERE e.vec_id <> 0 AND e.bucket = q.qbucket)
+    SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket,
+      ROUND(dot / (en * qn), 6) AS cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 5"""
+
+  /** Per-label embedding statistics: counts, exact-decimal average norm and
+    * average first component (a centroid-style reduction).
+    */
+  def embeddingStats(emb: DataFrame): DataFrame =
+    emb.withColumn("norm", normExpr("embedding"))
+      .withColumn("dim1", element_at(col("embedding"), 1).cast("double"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (sum(dec(col("norm"), 8)).cast("double") / count(lit(1))).as("avg_norm"),
+        (sum(dec(col("dim1"), 8)).cast("double") / count(lit(1))).as("avg_dim1"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy("label")
+
+  private val embStatsOracle = """
+    WITH s AS (
+      SELECT label,
+        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm,
+        CAST(embedding[1] AS DOUBLE) AS dim1
+      FROM embeddings)
+    SELECT label, COUNT(*) AS n_vectors,
+      CAST(SUM(CAST(norm AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_norm,
+      CAST(SUM(CAST(dim1 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_dim1,
+      MIN(norm) AS min_norm, MAX(norm) AS max_norm
+    FROM s GROUP BY label ORDER BY label"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q30_knn_brute_force",
+      (s, d) => knnBruteForce(embeddings(s, d)), Some(knnOracle)),
+    Q("q31_knn_bucketed",
+      (s, d) => knnBucketed(embeddings(s, d)), Some(knnBucketedOracle)),
+    Q("q32_embedding_stats",
+      (s, d) => embeddingStats(embeddings(s, d)), Some(embStatsOracle)),
+  )
+}

@@ -1,0 +1,177 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.9): token statistics, n-gram-heuristic language ID,
+  * quality scoring, BPE-ish token counting, document fingerprinting.
+  * All purely declarative (builtin + higher-order functions, no UDFs) so
+  * the whole stage stays inside WholeStageCodegen and scales linearly —
+  * one narrow map over the corpus, aggregation with map-side combine.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-language token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("lang")
+
+  private val tokenStatsOracle = """
+    WITH d AS (SELECT lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM d GROUP BY lang ORDER BY lang"""
+
+  /** Stopword-hit language heuristic: count hits against small per-language
+    * lexicons, predict the argmax (ties broken by fixed precedence),
+    * emit the lang-vs-predicted confusion matrix.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(words: Seq[String]): Column = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), t -> t IN ($set)))")
+    }
+    val en = hits(Seq("the", "a", "of", "to", "and"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val fr = hits(Seq("le", "la", "et", "les", "des"))
+    val es = hits(Seq("el", "los", "las", "por", "que"))
+    docs
+      .withColumn("en_h", en).withColumn("de_h", de)
+      .withColumn("fr_h", fr).withColumn("es_h", es)
+      .withColumn("predicted_lang",
+        when(col("en_h") >= col("de_h") && col("en_h") >= col("fr_h") &&
+             col("en_h") >= col("es_h") && col("en_h") > 0, lit("en"))
+        .when(col("de_h") >= col("fr_h") && col("de_h") >= col("es_h") &&
+              col("de_h") > 0, lit("de"))
+        .when(col("fr_h") >= col("es_h") && col("fr_h") > 0, lit("fr"))
+        .when(col("es_h") > 0, lit("es"))
+        .otherwise(lit("und")))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  private val langIdOracle = """
+    WITH h AS (
+      SELECT lang,
+        len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','to','and'))) AS en_h,
+        len(list_filter(string_split(text, ' '), t -> t IN ('der','die','und','das','ist'))) AS de_h,
+        len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS fr_h,
+        len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','por','que'))) AS es_h
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h AND en_h > 0 THEN 'en'
+             WHEN de_h >= fr_h AND de_h >= es_h AND de_h > 0 THEN 'de'
+             WHEN fr_h >= es_h AND fr_h > 0 THEN 'fr'
+             WHEN es_h > 0 THEN 'es'
+             ELSE 'und' END AS predicted_lang
+      FROM h)
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
+
+  /** Heuristic quality score in [0,1]: length term + stopword-density term
+    * + punctuation-penalty term. Per-document doubles are deterministic
+    * (identical IEEE op sequence in both engines); the per-source average
+    * goes through an exact decimal sum.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok  = size(tokens(col("text")))
+    val stop  = expr("size(filter(split(text, ' '), t -> t IN ('the','a','of','to','and','is','in')))")
+    val punct = regexp_count(col("text"), lit("[^a-z0-9 ]"))
+    val q =
+      lit(0.5) * least(lit(1.0), nTok / lit(100.0)) +
+      lit(0.3) * least(lit(1.0), (stop * lit(10.0)) / nTok) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), (punct * lit(1.0)) / col("n_chars")))
+    docs.withColumn("q", q)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(dec(col("q"), 8)).cast("double") / count(lit(1))).as("avg_quality"),
+        min(col("q")).as("min_quality"),
+        max(col("q")).as("max_quality"))
+      .orderBy("source")
+  }
+
+  private val qualityOracle = """
+    WITH s AS (
+      SELECT source,
+        0.5 * LEAST(1.0, len(string_split(text, ' ')) / 100.0) +
+        0.3 * LEAST(1.0, (len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','to','and','is','in'))) * 10.0) / len(string_split(text, ' '))) +
+        0.2 * (1.0 - LEAST(1.0, (len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0) / n_chars)) AS q
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(q AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_quality,
+      MIN(q) AS min_quality, MAX(q) AS max_quality
+    FROM s GROUP BY source ORDER BY source"""
+
+  /** BPE-ish regex token counting per language: alpha runs, digit runs,
+    * other non-space symbols — the three classic pre-tokenizer classes.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(
+        sum(regexp_count(col("text"), lit("[a-z]+")).cast("long")).as("alpha_tokens"),
+        sum(regexp_count(col("text"), lit("[0-9]+")).cast("long")).as("digit_tokens"),
+        sum(regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long")).as("symbol_tokens"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"))
+      .orderBy("lang")
+
+  private val tokenCountsOracle = """
+    SELECT lang,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS alpha_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS digit_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[^a-z0-9 ]'))) AS BIGINT) AS symbol_tokens,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text
+    * (the deterministic stand-in for a rolling hash — same collision
+    * semantics at corpus scale, portable across engines).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fingerprint"),
+        substring(md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")), 1, 4)
+          .as("shard_key"))
+      .orderBy("doc_id")
+
+  private val fingerprintsOracle = """
+    SELECT doc_id,
+      md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+      substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS shard_key
+    FROM documents ORDER BY doc_id"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q20_token_stats",
+      (s, d) => tokenStats(documents(s, d)), Some(tokenStatsOracle)),
+    Q("q21_lang_id",
+      (s, d) => langId(documents(s, d)), Some(langIdOracle)),
+    Q("q22_quality_score",
+      (s, d) => qualityScore(documents(s, d)), Some(qualityOracle)),
+    Q("q23_token_counts",
+      (s, d) => tokenCounts(documents(s, d)), Some(tokenCountsOracle)),
+    Q("q24_fingerprints",
+      (s, d) => fingerprints(documents(s, d)), Some(fingerprintsOracle)),
+  )
+}

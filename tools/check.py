@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle and diff per query.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_tables(con, sf_dir):
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def compare(name, spark_df, duck_df):
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                import numpy as np
+                an, bn = av.astype(float), bv.astype(float)
+                neq = ~((an == bn) | (an.isna() & bn.isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    return f"VAL col={c} row={i} spark={an[i]!r} duck={bn[i]!r} (exact float diff)"
+            else:
+                avs, bvs = av.astype(str), bv.astype(str)
+                neq = avs != bvs
+                if neq.any():
+                    i = neq.idxmax()
+                    return f"VAL col={c} row={i} spark={av[i]!r} duck={bv[i]!r}"
+        except Exception as e:
+            return f"CMPERR col={c}: {e}"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    load_tables(con, sf_dir)
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    fails = []
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"MISSING {name} (no spark output)"); n_fail += 1; fails.append(name); continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        except Exception as e:
+            print(f"READERR {name}: {e}"); n_fail += 1; fails.append(name); continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0]}"); n_fail += 1; fails.append(name); continue
+        err = compare(name, spark_df, duck_df)
+        if err:
+            print(f"FAIL {name}: {err}"); n_fail += 1; fails.append(name)
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
+    # rows-only queries: just report row counts
+    for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(d)
+        if os.path.isdir(d) and name not in oracle and not (only and name not in only):
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            if files:
+                n = sum(len(pd.read_parquet(f)) for f in files)
+                print(f"ROWS-ONLY {name}: {n} rows")
+    print(f"\n{n_pass} passed, {n_fail} failed" + (f": {' '.join(fails)}" if fails else ""))
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
