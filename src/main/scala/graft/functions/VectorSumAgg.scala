@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+
+/** Element-wise sum of array&lt;double&gt; columns as a single-pass
+  * `TypedImperativeAggregate` (SURVEY.md §4: the per-group vector/histogram
+  * merge the builtin `sum` cannot express without exploding rows).
+  *
+  * Scale rationale: aggregating a 768-bin histogram or a 64-dim embedding
+  * per group via `posexplode` multiplies the shuffle by the vector width;
+  * this aggregate keeps one `Array[Double]` buffer per group and merges
+  * partials, so shuffle volume is |groups| x width regardless of row
+  * count — the map-side-combine shape Spark's own `sum` gets for scalars.
+  *
+  * Null elements count as 0; rows with null arrays are skipped. The first
+  * non-null array fixes the width; later rows must match (engine invariant
+  * for fixed-width embeddings/histograms).
+  */
+case class VectorSumAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sum"
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Double](n) else buf
+    require(acc.length == n,
+      s"vec_sum: mixed vector widths (${acc.length} vs $n)")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) acc(i) += arr.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"vec_sum: mixed vector widths (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getDouble; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VectorSumAgg =
+    copy(child = c.head)
+}
+
+object VectorSumAgg {
+  import org.apache.spark.sql.functions.col
+
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column-API entry point: `vec_sum(col)` over array&lt;double&gt;
+    * (caller casts: `col.cast("array<double>")`).
+    */
+  def vec_sum(c: Column): Column =
+    GraftBridge.toColumn(
+      VectorSumAgg(GraftBridge.toExpr(c)).toAggregateExpression())
+
+  def vec_sum(name: String): Column = vec_sum(col(name))
+}

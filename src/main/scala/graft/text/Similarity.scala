@@ -127,6 +127,34 @@ object Similarity extends QueryModule {
       MIN(norm) AS min_norm, MAX(norm) AS max_norm
     FROM s GROUP BY label ORDER BY label"""
 
+  /** Per-label centroids via the custom `vec_sum` TypedImperativeAggregate
+    * (graft.functions.VectorSumAgg): one fixed-width buffer per group with
+    * partial merge — shuffle is |labels| x 64 doubles instead of the
+    * row x width explosion a posexplode-based mean would shuffle.
+    * Output in long form (label, dim, centroid) for the oracle.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorSumAgg.vec_sum
+    val agg = emb.groupBy("label")
+      .agg(vec_sum(col("embedding").cast("array<double>")).as("vsum"),
+        count(lit(1)).as("n_vectors"))
+    agg.select(col("label"), col("n_vectors"),
+        posexplode(col("vsum")).as(Seq("dim0", "s")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
+        col("n_vectors"), round(col("s") / col("n_vectors"), 6).as("centroid"))
+      .orderBy("label", "dim")
+  }
+
+  private val centroidsOracle = """
+    WITH u AS (
+      SELECT label,
+        unnest(range(1, len(embedding) + 1)) AS dim,
+        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vectors,
+      ROUND(SUM(v) / COUNT(*), 6) AS centroid
+    FROM u GROUP BY label, dim ORDER BY label, dim"""
+
   override def queries: Seq[Q] = Seq(
     Q("q30_knn_brute_force",
       (s, d) => knnBruteForce(embeddings(s, d)), Some(knnOracle)),
@@ -134,5 +162,7 @@ object Similarity extends QueryModule {
       (s, d) => knnBucketed(embeddings(s, d)), Some(knnBucketedOracle)),
     Q("q32_embedding_stats",
       (s, d) => embeddingStats(embeddings(s, d)), Some(embStatsOracle)),
+    Q("q37_label_centroids",
+      (s, d) => labelCentroids(embeddings(s, d)), Some(centroidsOracle)),
   )
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column <-> Expression conversions for the
+  * graft engine's custom Catalyst expressions (Spark 4 moved these behind
+  * the classic/connect split; this is the sanctioned classic path).
+  */
+object GraftBridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}
