@@ -1,0 +1,18 @@
+package graft
+/** Ad-hoc per-query profiler: runMain graft.Profile <sfDir> <n> q... */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val n = args(1).toInt
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(2).foreach { q =>
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"$q run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -96,22 +96,30 @@ object Dedup extends QueryModule {
     * sharing >= 1 shingle are scored — a shingle-keyed self-join, not an
     * all-pairs product. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact
     * integer ratio (deterministic double division).
+    *
+    * Plan shape: shingle ONCE, carry the per-doc size through the explode
+    * (no second scan, no two size-joins), and join on a 64-bit shingle
+    * hash instead of the string — halves the shuffle payload; collision
+    * probability at corpus scale is ~k^2/2^64 (immaterial).
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    // size via a post-explode window count, NOT size(shs): referencing shs
+    // twice would make CollapseProject inline (= re-evaluate) the whole
+    // shingling expression per reference; the window's exchange also lets
+    // the self-join reuse one evaluation for both sides (ReusedExchange).
+    val w = Window.partitionBy("doc_id")
     val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shs")).as("sh"))
-    val sizes = shingled(docs)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") &&
+      .select(col("doc_id"), xxhash64(col("sh")).as("shid"))
+      .withColumn("n_sh", count(lit(1)).over(w))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("common")))
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -133,21 +141,36 @@ object Dedup extends QueryModule {
     WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
     ORDER BY doc_a, doc_b"""
 
-  /** MinHash signatures (12 hashes: lexicographic min of md5(seed:shingle))
-    * banded into 4 bands of 3 for LSH; candidate pairs share >= 1 band,
-    * estimated Jaccard = matching-signature fraction. This is the
-    * scale path: shuffle volume is corpus x 4 band keys, never all-pairs.
+  /** MinHash signatures banded into 4 bands of 3 for LSH; candidate pairs
+    * share >= 1 band, estimated Jaccard = matching-signature fraction.
+    * This is the scale path: shuffle volume is corpus x 4 band keys,
+    * never all-pairs.
+    *
+    * Hash family: one md5 per shingle split into two 60-bit halves
+    * (h1, h2), then the Carter-Wegman family h_j = (h1 + j*h2) mod P —
+    * 12 signatures for ONE digest per shingle instead of 12, exactly
+    * reproducible in the DuckDB oracle via '0x'-string casts.
     */
   def minhashLsh(docs: DataFrame, minEst: Double = 0.5): DataFrame = {
-    val sigs = shingled(docs).withColumn("sig", expr(
-      "transform(sequence(0, 11), j -> " +
-        "array_min(transform(shs, s -> md5(cast(concat(cast(j as string), ':', s) as binary)))))"))
+    // Single-pass fold: the sig expression references `hs` exactly ONCE.
+    // CollapseProject inlines withColumn chains into consuming lambdas and
+    // HOF evaluation does no CSE, so a transform-per-j formulation would
+    // re-run the md5/conv chain 12x per row (measured 10x slowdown).
+    val sigs = shingled(docs)
+      .withColumn("hs", expr(
+        "transform(transform(shs, s -> md5(cast(s as binary))), m -> named_struct(" +
+          "'h1', cast(conv(substring(m, 1, 15), 16, 10) as bigint) % 1000000007L, " +
+          "'h2', cast(conv(substring(m, 16, 15), 16, 10) as bigint) % 1000000007L))"))
+      .withColumn("sig", expr(
+        "aggregate(hs, array_repeat(9223372036854775807L, 12), (acc, p) -> " +
+          "zip_with(acc, sequence(0, 11), (a, j) -> " +
+          "least(a, pmod(p.h1 + cast(j as bigint) * p.h2, 1000000007L))))"))
       .select("doc_id", "sig")
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b as band_idx, " +
-            "md5(cast(concat(element_at(sig, 3*b+1), element_at(sig, 3*b+2), " +
-            "element_at(sig, 3*b+3)) as binary)) as band_val))")).as("bd"))
+            "concat_ws('_', element_at(sig, 3*b+1), element_at(sig, 3*b+2), " +
+            "element_at(sig, 3*b+3)) as band_val))")).as("bd"))
       .select(col("doc_id"), col("sig"),
         col("bd.band_idx").as("band_idx"), col("bd.band_val").as("band_val"))
     val cand = bands.as("a").join(bands.as("b"),
@@ -169,15 +192,22 @@ object Dedup extends QueryModule {
 
   private val minhashOracle = s"""
     WITH sh0 AS ($shingledSql),
+    hs0 AS (
+      SELECT doc_id,
+        list_transform(list_transform(shs, s -> md5(s)), m -> struct_pack(
+          h1 := ('0x' || substr(m, 1, 15))::BIGINT % 1000000007,
+          h2 := ('0x' || substr(m, 16, 15))::BIGINT % 1000000007)) AS hs
+      FROM sh0),
     sigs AS (
       SELECT doc_id,
         list_transform(range(0, 12), j ->
-          list_min(list_transform(shs, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-      FROM sh0),
+          list_min(list_transform(hs, p -> (p.h1 + j * p.h2) % 1000000007))) AS sig
+      FROM hs0),
     bands0 AS (
       SELECT doc_id, sig, unnest(list_transform(range(0, 4), b -> struct_pack(
         band_idx := b,
-        band_val := md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3])))) AS bd
+        band_val := CAST(sig[3*b+1] AS VARCHAR) || '_' || CAST(sig[3*b+2] AS VARCHAR)
+          || '_' || CAST(sig[3*b+3] AS VARCHAR)))) AS bd
       FROM sigs),
     bands AS (
       SELECT doc_id, sig, bd.band_idx AS band_idx, bd.band_val AS band_val
