@@ -24,15 +24,18 @@ object Similarity extends QueryModule {
   private def normExpr(a: String): Column = expr(
     s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
 
+  import graft.functions.CosineSimilarity.cosine_sim
+
   /** Brute-force cosine top-k against the vec_id=0 query vector: the exact
     * baseline. Broadcast 1-row query side; a single narrow pass + TakeOrdered.
+    * The scalar is the codegen'd CosineSimilarity expression (bit-identical
+    * to the HOF fold, ~interpreter-free hot loop).
     */
   def knnBruteForce(emb: DataFrame, k: Int = 10): DataFrame =
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(
         emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
-      .withColumn("cosine", round(
-        dotExpr("embedding", "qv") / (normExpr("embedding") * normExpr("qv")), 6))
+      .withColumn("cosine", round(cosine_sim(col("embedding"), col("qv")), 6))
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -73,12 +76,46 @@ object Similarity extends QueryModule {
       .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
     withBucket.filter(col("vec_id") =!= 0)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .withColumn("cosine", round(
-        dotExpr("embedding", "qv") / (normExpr("embedding") * normExpr("qv")), 6))
+      .withColumn("cosine", round(cosine_sim(col("embedding"), col("qv")), 6))
       .select("vec_id", "label", "bucket", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs (the vector flavor of dedup,
+    * SURVEY.md §2.9): candidates restricted to the same 8-sign-bit LSH
+    * bucket (1/256 of all pairs scanned; cross-bucket near-dups are the
+    * documented recall tradeoff, identical in the oracle), then exact
+    * cosine >= threshold. At scale the bucket id is the shuffle key —
+    * pairs never leave their bucket partition.
+    */
+  def embeddingDedupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val b = emb.withColumn("bucket", bucketOf("embedding", 8))
+      .select("vec_id", "bucket", "embedding")
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        round(cosine_sim(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cosine") >= lit(threshold))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val embeddingDedupOracle = s"""
+    WITH b AS (
+      SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ROUND(
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS cosine
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
 
   private val knnBucketedOracle = s"""
     WITH b AS (
@@ -164,5 +201,7 @@ object Similarity extends QueryModule {
       (s, d) => embeddingStats(embeddings(s, d)), Some(embStatsOracle)),
     Q("q37_label_centroids",
       (s, d) => labelCentroids(embeddings(s, d)), Some(centroidsOracle)),
+    Q("q38_embedding_dedup",
+      (s, d) => embeddingDedupPairs(embeddings(s, d)), Some(embeddingDedupOracle)),
   )
 }
