@@ -521,6 +521,74 @@ object Relational extends QueryModule {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Window-function suite: rank/dense_rank (value order, ties allowed —
+    * both are tie-stable), ntile and lag over fully-tiebroken orders.
+    */
+  def windowSuite(events: DataFrame): DataFrame = {
+    val byValue     = Window.partitionBy("user_id").orderBy(col("value").desc)
+    val byValueTie  = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    val byTime      = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(
+        col("user_id"), col("event_id"), col("value"),
+        rank().over(byValue).cast("long").as("value_rank"),
+        dense_rank().over(byValue).cast("long").as("value_dense_rank"),
+        ntile(4).over(byValueTie).cast("long").as("value_quartile"),
+        round(col("value") - lag(col("value"), 1).over(byTime), 2).as("value_delta"),
+        lead(col("event_id"), 1).over(byTime).as("next_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowSuiteOracle = """
+    SELECT user_id, event_id, value,
+      CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS value_rank,
+      CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS value_dense_rank,
+      CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_quartile,
+      ROUND(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS value_delta,
+      lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+    FROM events ORDER BY user_id, event_id"""
+
+  /** Outer-join audit: parts with/without high-quantity sales via a left
+    * outer join against a filtered fact side (null-detection per brand).
+    */
+  def outerJoinAudit(part: DataFrame, li: DataFrame): DataFrame = {
+    val bigQty = li.filter(col("l_quantity") >= 49).select("l_partkey")
+    part.join(bigQty, col("p_partkey") === col("l_partkey"), "left_outer")
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_partkey")).as("n_parts"),
+        countDistinct(when(col("l_partkey").isNotNull, col("p_partkey"))).as("with_bigqty_sales"),
+        (countDistinct(col("p_partkey")) -
+          countDistinct(when(col("l_partkey").isNotNull, col("p_partkey")))).as("without_bigqty_sales"))
+      .orderBy("p_brand")
+  }
+
+  private val outerJoinOracle = """
+    SELECT p_brand,
+      COUNT(DISTINCT p_partkey) AS n_parts,
+      COUNT(DISTINCT CASE WHEN l_partkey IS NOT NULL THEN p_partkey END) AS with_bigqty_sales,
+      COUNT(DISTINCT p_partkey) - COUNT(DISTINCT CASE WHEN l_partkey IS NOT NULL THEN p_partkey END) AS without_bigqty_sales
+    FROM part LEFT OUTER JOIN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49) b
+      ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** The SQL entry point (spark.sql over registered views) with a
+    * correlated EXISTS — TPC-H Q4 shape; the identical SQL string is the
+    * oracle (shared dialect).
+    */
+  private val priorityExistsSql = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  def priorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("orders")
+    lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(priorityExistsSql)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary",
       (s, d) => pricingSummary(lineitem(s, d)), Some(pricingOracle)),
@@ -569,5 +637,11 @@ object Relational extends QueryModule {
       (s, d) => stratifiedSplitAudit(lineitem(s, d), s), None),
     Q("q36_approx_distinct",
       (s, d) => approxDistinct(lineitem(s, d)), None),
+    Q("q48_window_suite",
+      (s, d) => windowSuite(events(s, d)), Some(windowSuiteOracle)),
+    Q("q49_outer_join_audit",
+      (s, d) => outerJoinAudit(part(s, d), lineitem(s, d)), Some(outerJoinOracle)),
+    Q("q50_priority_exists",
+      (s, d) => priorityExists(s, d), Some(priorityExistsSql)),
   )
 }
