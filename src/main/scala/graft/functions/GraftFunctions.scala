@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL registration for the engine's custom Catalyst expressions, both as
+  * a `SparkSessionExtensions` injector (builder-time,
+  * `.withExtensions(new GraftExtensions)`) and as a runtime registrar for
+  * already-built sessions. After registration the names work inside any
+  * `expr("...")` / `spark.sql("...")` string.
+  */
+object GraftFunctions {
+
+  /** Runtime registration into an existing session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_sum",
+      (es: Seq[Expression]) => VectorSumAgg(es.head).toAggregateExpression(), "scala_udf")
+  }
+}
+
+/** Builder-time injection:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, "vec_sum"),
+      (es: Seq[Expression]) => VectorSumAgg(es.head).toAggregateExpression()))
+  }
+}

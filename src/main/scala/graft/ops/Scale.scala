@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-readiness operators (SURVEY.md §7.4.7, the 100 TB posture):
+  * skew-resistant aggregation via salting and co-located joins via
+  * bucketed tables. These are the techniques the engine reaches for when
+  * AQE's runtime skew handling isn't enough (hot keys known a priori,
+  * repeated joins on the same key).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation: counts/sums for heavy-hitter keys are
+    * pre-combined under `salt` sub-keys before the final combine, so no
+    * single reducer owns a hot key's whole row set. Result is identical
+    * to a direct groupBy (sums/counts are associative); only the shuffle
+    * distribution changes.
+    */
+  def saltedCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n"))
+
+  /** Bucketed-table co-located join: write both sides bucketed by the
+    * join key, then join the catalog tables — the physical plan has NO
+    * Exchange on either side (verified in ScaleSpec). At 100 TB this is
+    * the difference between re-shuffling two fact tables per query and
+    * never shuffling them at all.
+    */
+  def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+      key: String, buckets: Int, dbPrefix: String): DataFrame = {
+    val lt = s"${dbPrefix}_l"
+    val rt = s"${dbPrefix}_r"
+    left.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(lt)
+    right.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(rt)
+    spark.table(lt).join(spark.table(rt), key)
+  }
+}

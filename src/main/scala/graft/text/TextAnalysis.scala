@@ -144,22 +144,32 @@ object TextAnalysis extends QueryModule {
       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
     FROM documents GROUP BY lang ORDER BY lang"""
 
-  /** Document fingerprint: md5 over whitespace-normalized lowercased text
-    * (the deterministic stand-in for a rolling hash — same collision
-    * semantics at corpus scale, portable across engines).
+  /** Document fingerprints: an md5 content digest over
+    * whitespace-normalized lowercased text, plus a true polynomial
+    * rolling hash (base-31 char fold mod 1e9+7) computed as a single
+    * `aggregate` fold — the incremental-hash primitive a streaming
+    * fingerprinter would maintain. Spark seeds the fold with the first
+    * character to match DuckDB's seedless `list_reduce` semantics.
     */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fingerprint"),
         substring(md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")), 1, 4)
-          .as("shard_key"))
+          .as("shard_key"),
+        expr(
+          "aggregate(slice(transform(split(text, ''), c -> cast(ascii(c) as bigint)), 2, " +
+            "size(split(text, '')) - 1), " +
+            "element_at(transform(split(text, ''), c -> cast(ascii(c) as bigint)), 1), " +
+            "(h, a) -> pmod(h * 31 + a, 1000000007L))").as("rolling_hash"))
       .orderBy("doc_id")
 
   private val fingerprintsOracle = """
     SELECT doc_id,
       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
-      substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS shard_key
+      substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 4) AS shard_key,
+      list_reduce(list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        (h, a) -> (h * 31 + a) % 1000000007) AS rolling_hash
     FROM documents ORDER BY doc_id"""
 
   override def queries: Seq[Q] = Seq(
