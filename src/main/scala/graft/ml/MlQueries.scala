@@ -4,7 +4,27 @@ import graft.{Q, QueryModule}
 
 /** Rows-only ML queries (solver outputs are not oracle-checkable). */
 object MlQueries extends QueryModule {
+
+  /** Entry point C end-to-end as a query: train on a synthetic image
+    * batch, score the same corpus through the streaming sink, return the
+    * scored table (schema (path, score), FIXTURES.md A.3).
+    */
+  private def streamingScore(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("q51_src")
+    val out = Files.createTempDirectory("q51_out")
+    val cp  = Files.createTempDirectory("q51_cp")
+    graft.imaging.ImageQueries.writeCorpus(src)
+    val labeled = graft.ingest.Ingest.batch(s, src.toString).select("content", "label")
+    val model = StreamScoring.trainOnImages(s, labeled)
+    StreamScoring.scoreStream(s, model, src.toString, out.toString, cp.toString)
+      .awaitTermination()
+    s.read.parquet(out.toString).orderBy("path")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q43_ml_train_score", (s, d) => Scoring.trainAndScore(s, d), None),
+    Q("q51_streaming_score", (s, _) => streamingScore(s), None),
+    Q("q52_tfidf_features", (s, d) => TextPipeline.tfidf(s, d), None),
   )
 }

@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.imaging.ImageUdfs
+
+/** Entry point C (SURVEY.md §3.3): streaming inference. The binaryFile
+  * stream is enriched with the tensorize/statistics features and scored
+  * by a broadcast MLlib model inside the task thread (no Arrow hop, no
+  * Python worker — the Spark-native replacement for the reference's
+  * pandas-UDF scoring, 04a_Model Deployment.py:231-268), then appended to
+  * the unpartitioned scored sink (S5: path, score — FIXTURES.md A.3).
+  */
+object StreamScoring {
+
+  /** Feature vector for an image row: the U2 statistics means/stddevs —
+    * the engine-extracted featurizer (SURVEY.md M2: frozen featurizer +
+    * trainable linear head).
+    */
+  def imageFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    ImageUdfs.register(spark)
+    df.withColumn("statistics", expr("get_image_statistics(content)"))
+      .withColumn("features", array_to_vector(
+        concat(col("statistics.mean"),
+          col("statistics.stddev"),
+          array(col("statistics.entropy")))))
+  }
+
+  /** Train the scoring head on a batch of labeled images. */
+  def trainOnImages(spark: SparkSession, labeled: DataFrame): LogisticRegressionModel = {
+    val feats = imageFeatures(spark, labeled)
+      .select(col("features"), col("label").cast("double").as("y"))
+    new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("y").setMaxIter(50)
+      .fit(feats)
+  }
+
+  /** U3/S5: streaming scoring into the (path, score) parquet sink. */
+  def scoreStream(spark: SparkSession, model: LogisticRegressionModel,
+      srcDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val src = spark.readStream
+      .format("binaryFile")
+      .schema(graft.imaging.ImageSchema.binaryFileSchema)
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(srcDir)
+    val scored = model.transform(imageFeatures(spark, src))
+      .select(col("path"),
+        element_at(vector_to_array(col("probability")), 2).as("score"))
+    scored.writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+  }
+}
