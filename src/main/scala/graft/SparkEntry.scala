@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     ops.Relational,
+    ops.Funcs,
     text.TextAnalysis,
     text.Dedup,
     text.Similarity,

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num._
+
+/** Scalar-function surface beyond the reference's F-series: JSON
+  * extraction (the events.props payload), string functions, math
+  * functions — the breadth a user of the engine reaches for daily. All
+  * deterministic and oracle-checked; transcendentals are rounded at
+  * scale 8 because Java StrictMath and DuckDB's libm can differ in the
+  * final bit.
+  */
+object Funcs extends QueryModule {
+
+  /** JSON payload extraction + rollup over the event props column. */
+  def jsonExtract(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events.withColumn("k", k)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+  }
+
+  private val jsonOracle = """
+    WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      COUNT(DISTINCT k) AS distinct_k
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+  /** String-function suite over part names. */
+  def stringSuite(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        regexp_replace(col("p_name"), " ", "-").as("dashed"),
+        reverse(col("p_name")).as("rev"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        (instr(col("p_name"), "a") > 0).cast("int").cast("long").as("has_a"),
+        trim(concat(lit("  "), col("p_type"), lit("  "))).as("trimmed"),
+        coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("OTHER")).as("brand_or_other"))
+      .orderBy("p_partkey")
+
+  private val stringOracle = """
+    SELECT p_partkey,
+      upper(p_name) AS up,
+      CAST(length(p_name) AS BIGINT) AS len,
+      lpad(p_brand, 12, '*') AS padded,
+      regexp_replace(p_name, ' ', '-', 'g') AS dashed,
+      reverse(p_name) AS rev,
+      substr(p_name, 1, 5) AS prefix5,
+      CAST(CASE WHEN strpos(p_name, 'a') > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_a,
+      trim('  ' || p_type || '  ') AS trimmed,
+      COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+    FROM part ORDER BY p_partkey"""
+
+  /** Math-function suite over a deterministic lineitem sample. */
+  def mathSuite(li: DataFrame): DataFrame =
+    li.filter(pmod(col("l_orderkey"), lit(997)) === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") * lit(-1.0)).as("abs_price"),
+        ceil(col("l_quantity")).cast("long").as("ceil_qty"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        round(sqrt(col("l_extendedprice")), 8).as("sqrt_price"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        signum(col("l_extendedprice") - lit(30000.0)).as("price_sign"),
+        round(log(col("l_extendedprice")), 8).as("ln_price"),
+        round(exp(col("l_discount")), 8).as("exp_disc"),
+        round(log10(col("l_extendedprice")), 8).as("log10_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val mathOracle = """
+    SELECT l_orderkey, l_linenumber,
+      abs(l_extendedprice * -1.0) AS abs_price,
+      CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+      CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      ROUND(sqrt(l_extendedprice), 8) AS sqrt_price,
+      l_quantity * l_quantity AS qty_sq,
+      GREATEST(l_discount, l_tax) AS max_rate,
+      LEAST(l_discount, l_tax) AS min_rate,
+      CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign,
+      ROUND(ln(l_extendedprice), 8) AS ln_price,
+      ROUND(exp(l_discount), 8) AS exp_disc,
+      ROUND(log10(l_extendedprice), 8) AS log10_price
+    FROM lineitem WHERE l_orderkey % 997 = 0
+    ORDER BY l_orderkey, l_linenumber"""
+
+  /** Date/time-function suite over orders. */
+  def dateSuite(orders: DataFrame): DataFrame =
+    orders.filter(pmod(col("o_orderkey"), lit(499)) === 0)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow_1sun"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus3mo"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us")) // NTZ -> TZ in UTC session
+      .orderBy("o_orderkey")
+
+  private val dateOracle = """
+    SELECT o_orderkey,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
+      CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+      epoch_us(o_orderdate) AS epoch_us
+    FROM orders WHERE o_orderkey % 499 = 0
+    ORDER BY o_orderkey"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
+    Q("q54_string_suite", (s, d) => stringSuite(part(s, d)), Some(stringOracle)),
+    Q("q55_math_suite", (s, d) => mathSuite(lineitem(s, d)), Some(mathOracle)),
+    Q("q56_date_suite", (s, d) => dateSuite(orders(s, d)), Some(dateOracle)),
+  )
+}
