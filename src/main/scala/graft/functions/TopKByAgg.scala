@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import java.nio.ByteBuffer
+import scala.collection.mutable.ArrayBuffer
+
+/** Bounded per-group top-k as an aggregate: keeps at most k (ord1, ord2,
+  * row) entries per group in each partial buffer, merged map-side before
+  * the shuffle. For "top/latest k rows per key" this shuffles k x |keys|
+  * rows instead of the entire fact table — the scale-correct alternative
+  * to `row_number() OVER (...) <= k`, which must shuffle and sort every
+  * row (SURVEY.md §2.7 SR2 at 100 TB).
+  *
+  * Ordering is descending lexicographic on (ord1, ord2) — callers pass a
+  * tiebreak so results are total-ordered and oracle-deterministic.
+  * Output: array&lt;struct&gt; of the kept rows, ordered.
+  */
+case class TopKByAgg(
+    child: Expression, ord1: Expression, ord2: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long, InternalRow)]] {
+
+  require(k > 0, "top_k_by: k must be positive")
+
+  // resolved lazily: child is unresolved at construction time
+  private def rowType: StructType = child.dataType.asInstanceOf[StructType]
+
+  override def children: Seq[Expression] = Seq(child, ord1, ord2)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(rowType, containsNull = false)
+  override def prettyName: String = "top_k_by"
+
+  @transient private lazy val proj = UnsafeProjection.create(rowType)
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Long, InternalRow)] =
+    ArrayBuffer.empty
+
+  private def shrink(buf: ArrayBuffer[(Long, Long, InternalRow)]): Unit =
+    if (buf.length > k) {
+      val sorted = buf.sortBy(t => (-t._1, -t._2)).take(k)
+      buf.clear()
+      buf ++= sorted
+    }
+
+  override def update(buf: ArrayBuffer[(Long, Long, InternalRow)],
+      input: InternalRow): ArrayBuffer[(Long, Long, InternalRow)] = {
+    val c = child.eval(input)
+    val o1 = ord1.eval(input)
+    val o2 = ord2.eval(input)
+    if (c != null && o1 != null && o2 != null) {
+      buf += ((o1.asInstanceOf[Long], o2.asInstanceOf[Long],
+        proj(c.asInstanceOf[InternalRow]).copy()))
+      if (buf.length >= 4 * k) shrink(buf) // amortized bound
+    }
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[(Long, Long, InternalRow)],
+      b: ArrayBuffer[(Long, Long, InternalRow)]): ArrayBuffer[(Long, Long, InternalRow)] = {
+    a ++= b
+    shrink(a)
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[(Long, Long, InternalRow)]): Any = {
+    val top = buf.sortBy(t => (-t._1, -t._2)).take(k)
+    new GenericArrayData(top.map(_._3).toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Long, InternalRow)]): Array[Byte] = {
+    shrink(buf)
+    val rows = buf.map { case (o1, o2, r) =>
+      (o1, o2, r.asInstanceOf[UnsafeRow].getBytes)
+    }
+    val size = 4 + rows.map(16 + 4 + _._3.length).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(rows.length)
+    rows.foreach { case (o1, o2, bytes) =>
+      bb.putLong(o1).putLong(o2).putInt(bytes.length).put(bytes)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long, InternalRow)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = ArrayBuffer.empty[(Long, Long, InternalRow)]
+    var i = 0
+    while (i < n) {
+      val o1 = bb.getLong; val o2 = bb.getLong
+      val len = bb.getInt
+      val rowBytes = new Array[Byte](len)
+      bb.get(rowBytes)
+      val row = new UnsafeRow(rowType.length)
+      row.pointTo(rowBytes, len)
+      buf += ((o1, o2, row))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKByAgg =
+    copy(child = c(0), ord1 = c(1), ord2 = c(2))
+}
+
+object TopKByAgg {
+  /** `top_k_by(rowStruct, ord1, ord2, k)`: array of the k rows with the
+    * largest (ord1, ord2), descending. ord1/ord2 must be LONG.
+    */
+  def top_k_by(row: Column, ord1: Column, ord2: Column, k: Int): Column =
+    GraftBridge.toColumn(TopKByAgg(
+      GraftBridge.toExpr(row), GraftBridge.toExpr(ord1),
+      GraftBridge.toExpr(ord2), k).toAggregateExpression())
+}

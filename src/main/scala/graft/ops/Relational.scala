@@ -589,6 +589,33 @@ object Relational extends QueryModule {
     spark.sql(priorityExistsSql)
   }
 
+  /** Top-k rows per key via the bounded `top_k_by` aggregate
+    * (graft.functions.TopKByAgg): partial buffers keep at most k rows per
+    * key per partition, so the shuffle carries k x |keys| rows — the
+    * scale-correct form of SR2-style retrieval (a window row_number must
+    * shuffle + sort every input row).
+    */
+  def topEventsPerUser(events: DataFrame, k: Int = 2): DataFrame = {
+    import graft.functions.TopKByAgg.top_k_by
+    events.groupBy("user_id")
+      .agg(top_k_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        unix_micros(col("ts")), col("event_id"), k).as("top"))
+      .select(col("user_id"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("user_id"), (col("rank0") + 1).cast("long").as("rnk"),
+        col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"))
+      .orderBy("user_id", "rnk")
+  }
+
+  private val topEventsOracle = """
+    SELECT user_id, CAST(rn AS BIGINT) AS rnk, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn <= 2 ORDER BY user_id, rnk"""
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary",
       (s, d) => pricingSummary(lineitem(s, d)), Some(pricingOracle)),
@@ -643,5 +670,7 @@ object Relational extends QueryModule {
       (s, d) => outerJoinAudit(part(s, d), lineitem(s, d)), Some(outerJoinOracle)),
     Q("q50_priority_exists",
       (s, d) => priorityExists(s, d), Some(priorityExistsSql)),
+    Q("q57_topk_per_user",
+      (s, d) => topEventsPerUser(events(s, d)), Some(topEventsOracle)),
   )
 }

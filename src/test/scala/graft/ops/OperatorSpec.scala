@@ -51,6 +51,20 @@ class OperatorSpec extends SparkSpec {
     assert(got.toList == List((1, List(4.0, 6.5)), (2, List(0.5, 0.5))))
   }
 
+  test("top_k_by agrees with the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val agg = Relational.topEventsPerUser(ev, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val win = ev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("user_id", "rnk", "event_id")
+      .orderBy("user_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(agg.toSeq == win.toSeq)
+  }
+
   test("base64 round-trip is identity on documents") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val bad = Relational.base64Codec(docs).filter(col("roundtrip_ok") =!= 1L).count()
