@@ -111,19 +111,26 @@ object Dedup extends QueryModule {
     // twice would make CollapseProject inline (= re-evaluate) the whole
     // shingling expression per reference; the window's exchange also lets
     // the self-join reuse one evaluation for both sides (ReusedExchange).
-    val w = Window.partitionBy("doc_id")
-    val sh = shingled(docs)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shid"))
-      .withColumn("n_sh", count(lit(1)).over(w))
+    // native single-pass shingle hashing (graft.functions.WordShingles):
+    // no per-shingle string allocation; ids serve only as join keys so an
+    // injective-in-practice 64-bit hash preserves pair counts.
+    // localCheckpoint materializes the exploded set once for the
+    // self-join sides and the size aggregation.
+    import graft.functions.WordShingles.word_shingles
+    val sh = docs
+      .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     pairs
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        col("common").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
