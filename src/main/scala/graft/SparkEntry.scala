@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ops.Relational,
     ops.Funcs,
+    ops.Scale,
     text.TextAnalysis,
     text.Dedup,
     text.Similarity,

@@ -3,13 +3,16 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.{Q, QueryModule}
+import graft.Tables._
+
 /** Scale-readiness operators (SURVEY.md §7.4.7, the 100 TB posture):
   * skew-resistant aggregation via salting and co-located joins via
   * bucketed tables. These are the techniques the engine reaches for when
   * AQE's runtime skew handling isn't enough (hot keys known a priori,
   * repeated joins on the same key).
   */
-object Scale {
+object Scale extends QueryModule {
 
   /** Two-phase salted aggregation: counts/sums for heavy-hitter keys are
     * pre-combined under `salt` sub-keys before the final combine, so no
@@ -38,4 +41,16 @@ object Scale {
     right.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(rt)
     spark.table(lt).join(spark.table(rt), key)
   }
+
+  private val saltedOracle = """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  override def queries: Seq[Q] = Seq(
+    // salted two-phase aggregation provably equals the direct groupBy —
+    // the oracle is the plain GROUP BY
+    Q("q58_salted_counts",
+      (s, d) => saltedCount(events(s, d), "event_type").orderBy("event_type"),
+      Some(saltedOracle)),
+  )
 }

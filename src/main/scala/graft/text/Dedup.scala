@@ -163,20 +163,13 @@ object Dedup extends QueryModule {
     * reproducible in the DuckDB oracle via '0x'-string casts.
     */
   def minhashLsh(docs: DataFrame, minEst: Double = 0.5): DataFrame = {
-    // Single-pass fold: the sig expression references `hs` exactly ONCE.
-    // CollapseProject inlines withColumn chains into consuming lambdas and
-    // HOF evaluation does no CSE, so a transform-per-j formulation would
-    // re-run the md5/conv chain 12x per row (measured 10x slowdown).
-    val sigs = shingled(docs)
-      .withColumn("hs", expr(
-        "transform(transform(shs, s -> md5(cast(s as binary))), m -> named_struct(" +
-          "'h1', cast(conv(substring(m, 1, 15), 16, 10) as bigint) % 1000000007L, " +
-          "'h2', cast(conv(substring(m, 16, 15), 16, 10) as bigint) % 1000000007L))"))
-      .withColumn("sig", expr(
-        "aggregate(hs, array_repeat(9223372036854775807L, 12), (acc, p) -> " +
-          "zip_with(acc, sequence(0, 11), (a, j) -> " +
-          "least(a, pmod(p.h1 + cast(j as bigint) * p.h2, 1000000007L))))"))
-      .select("doc_id", "sig")
+    // Native signature computation (graft.functions.MinHashSig): one pass
+    // per document, md5 hex halves read straight from digest bytes —
+    // bit-identical to the SQL/DuckDB formulation of the same family.
+    import graft.functions.MinHashSig.minhash_sig
+    val sigs = docs
+      .select(col("doc_id"), minhash_sig(col("text"), 12).as("sig"))
+      .filter(size(col("sig")) > 0) // docs with < 4 tokens have no shingles
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b as band_idx, " +
