@@ -125,8 +125,51 @@ object Funcs extends QueryModule {
     FROM orders WHERE o_orderkey % 499 = 0
     ORDER BY o_orderkey"""
 
+  /** Pivot: revenue per year x market segment as wide columns (the five
+    * segment values are a fixed vocabulary, so the output schema is
+    * deterministic; the oracle is conditional aggregation).
+    */
+  def pivotRevenue(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("c_mktsegment"), dec(col("o_totalprice")).as("p"))
+      .groupBy("yr")
+      .pivot("c_mktsegment", segs)
+      .sum("p")
+      .select(col("yr") +: segs.map(s => col(s).cast("double").as(s)): _*)
+      .orderBy("yr")
+  }
+
+  private val pivotOracle = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "AUTOMOBILE",
+      CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "BUILDING",
+      CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "FURNITURE",
+      CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "HOUSEHOLD",
+      CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "MACHINERY"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY yr"""
+
+  /** Ordered distinct string aggregation per group. */
+  def stringAgg(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy("l_returnflag")
+
+  private val stringAggOracle = """
+    SELECT l_returnflag,
+      string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   override def queries: Seq[Q] = Seq(
     Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
+    Q("q59_pivot_revenue",
+      (s, d) => pivotRevenue(orders(s, d), customer(s, d)), Some(pivotOracle)),
+    Q("q60_string_agg", (s, d) => stringAgg(lineitem(s, d)), Some(stringAggOracle)),
     Q("q54_string_suite", (s, d) => stringSuite(part(s, d)), Some(stringOracle)),
     Q("q55_math_suite", (s, d) => mathSuite(lineitem(s, d)), Some(mathOracle)),
     Q("q56_date_suite", (s, d) => dateSuite(orders(s, d)), Some(dateOracle)),
