@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // default INT96 timestamps on purpose: pandas reads them tz-NAIVE
+      // (like DuckDB's output); TIMESTAMP_MICROS would read tz-aware and
+      // break naive-vs-aware value comparison in the driver's oracle diff
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

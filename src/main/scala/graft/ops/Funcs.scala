@@ -109,7 +109,7 @@ object Funcs extends QueryModule {
         quarter(col("o_orderdate")).cast("long").as("qtr"),
         datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
           .cast("long").as("days_to_2002"),
-        add_months(col("o_orderdate"), 3).cast("date").as("plus3mo"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us")) // NTZ -> TZ in UTC session
       .orderBy("o_orderkey")
 
@@ -120,7 +120,7 @@ object Funcs extends QueryModule {
       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_1sun,
       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
-      CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+      strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3mo,
       epoch_us(o_orderdate) AS epoch_us
     FROM orders WHERE o_orderkey % 499 = 0
     ORDER BY o_orderkey"""

@@ -418,8 +418,8 @@ object Relational extends QueryModule {
              THEN 1 ELSE 0 END AS new_sess
       FROM events),
     s AS (
-      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, COUNT(*) AS n_events,
       MIN(ts) AS session_start, MAX(ts) AS session_end,
