@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import graft.functions.MinHashSig.minhash_sig
+import graft.functions.WordShingles.word_shingles
+import graft.functions.CosineSimilarity.cosine_sim
+import org.apache.spark.sql.functions._
+
+/** The native expressions must stay semantically pinned to the SQL
+  * formulations they replaced (the DuckDB oracles still use the SQL
+  * form — any drift breaks the correctness gate silently).
+  */
+class NativeExprSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("word_shingles count == string-shingle distinct count per doc") {
+    val native = docs.select(col("doc_id"),
+      size(word_shingles(col("text"), 4)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val strings = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), size(expr(
+        "array_distinct(transform(sequence(0, size(t) - 4), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == strings)
+  }
+
+  test("minhash_sig equals the md5/conv SQL fold bit-for-bit") {
+    val native = docs.select(col("doc_id"), minhash_sig(col("text"), 12).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val sql = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t) - 4), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))").as("shs"))
+      .withColumn("hs", expr(
+        "transform(transform(shs, s -> md5(cast(s as binary))), m -> named_struct(" +
+          "'h1', cast(conv(substring(m, 1, 15), 16, 10) as bigint) % 1000000007L, " +
+          "'h2', cast(conv(substring(m, 16, 15), 16, 10) as bigint) % 1000000007L))"))
+      .withColumn("sig", expr(
+        "aggregate(hs, array_repeat(9223372036854775807L, 12), (acc, p) -> " +
+          "zip_with(acc, sequence(0, 11), (a, j) -> " +
+          "least(a, pmod(p.h1 + cast(j as bigint) * p.h2, 1000000007L))))"))
+      .select("doc_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == sql)
+  }
+
+  test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
+      .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+    val both = emb.select(
+      cosine_sim(col("embedding"), col("qv")).as("native"),
+      expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)" +
+        " / (sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))").as("fold"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
