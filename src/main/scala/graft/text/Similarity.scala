@@ -18,9 +18,6 @@ import graft.Num._
   */
 object Similarity extends QueryModule {
 
-  private def dotExpr(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-
   private def normExpr(a: String): Column = expr(
     s"sqrt(aggregate($a, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
 
@@ -203,5 +200,31 @@ object Similarity extends QueryModule {
       (s, d) => labelCentroids(embeddings(s, d)), Some(centroidsOracle)),
     Q("q38_embedding_dedup",
       (s, d) => embeddingDedupPairs(embeddings(s, d)), Some(embeddingDedupOracle)),
+    Q("q39_knn_ivf", (s, d) => knnIvf(s, d), None),
   )
+
+  /** IVF-style ANN with a trained coarse quantizer: KMeans centroids
+    * partition the corpus; a query probes only its nearest centroid's
+    * cell (rows-only: centroid positions are solver-dependent). At scale
+    * the cell id is the partition key — the classic inverted-file layout.
+    */
+  def knnIvf(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      k: Int = 10, cells: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = embeddings(spark, sfDir)
+      .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+    val km = new KMeans().setK(cells).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(emb)
+    val cellOf = model.transform(emb).select("vec_id", "label", "embedding", "cell")
+    val q = cellOf.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("cell").as("qcell"))
+    cellOf.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .withColumn("cosine", round(cosine_sim(col("embedding"), col("qv")), 6))
+      .select("vec_id", "label", "cell", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
 }
