@@ -77,18 +77,13 @@ object Dedup extends QueryModule {
     SELECT md5(text) AS h, COUNT(*) AS cluster_size, MIN(doc_id) AS keeper_id
     FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keeper_id"""
 
-  /** Distinct word-4-gram shingles per document (the near-dup unit).
-    * 4-grams (vs 3) cut shared-shingle candidate pairs ~24x on this
-    * corpus while finding the identical near-dup pair set at the 0.6
+  /** Distinct word-4-gram shingles (the near-dup unit; oracle-side SQL —
+    * the engine side computes the same sets natively via
+    * graft.functions.{WordShingles, MinHashSig}, pinned bit-exact by
+    * NativeExprSpec). 4-grams (vs 3) cut shared-shingle candidate pairs
+    * ~24x on this corpus with an identical near-dup pair set at the 0.6
     * threshold — production LLM dedup uses even longer shingles.
     */
-  private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 4)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(0, size(t) - 4), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))").as("shs"))
-
   private val shingledSql = """
       SELECT doc_id,
         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2),
@@ -101,21 +96,12 @@ object Dedup extends QueryModule {
     * all-pairs product. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact
     * integer ratio (deterministic double division).
     *
-    * Plan shape: shingle ONCE, carry the per-doc size through the explode
-    * (no second scan, no two size-joins), and join on a 64-bit shingle
-    * hash instead of the string — halves the shuffle payload; collision
-    * probability at corpus scale is ~k^2/2^64 (immaterial).
+    * Plan shape: one native shingle-hash pass (WordShingles — ids serve
+    * only as join keys, so an injective-in-practice 64-bit hash preserves
+    * pair counts), localCheckpointed so the self-join sides and the size
+    * aggregation all read one materialization; sizes broadcast back in.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    // size via a post-explode window count, NOT size(shs): referencing shs
-    // twice would make CollapseProject inline (= re-evaluate) the whole
-    // shingling expression per reference; the window's exchange also lets
-    // the self-join reuse one evaluation for both sides (ReusedExchange).
-    // native single-pass shingle hashing (graft.functions.WordShingles):
-    // no per-shingle string allocation; ids serve only as join keys so an
-    // injective-in-practice 64-bit hash preserves pair counts.
-    // localCheckpoint materializes the exploded set once for the
-    // self-join sides and the size aggregation.
     import graft.functions.WordShingles.word_shingles
     val sh = docs
       .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
