@@ -672,5 +672,46 @@ object Relational extends QueryModule {
       (s, d) => priorityExists(s, d), Some(priorityExistsSql)),
     Q("q57_topk_per_user",
       (s, d) => topEventsPerUser(events(s, d)), Some(topEventsOracle)),
+    Q("q62_signup_funnel",
+      (s, d) => signupFunnel(events(s, d)), Some(funnelOracle)),
   )
+
+  /** Conversion funnel: per user, first signup and whether a purchase
+    * follows within 7 days — a broadcastable 1-row-per-user build side
+    * joined back to the purchase stream, then a single rollup.
+    */
+  def signupFunnel(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val conv = signups.join(purchases, Seq("user_id"), "left_outer")
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(
+        sum(when(col("p_us") >= col("signup_us") &&
+          col("p_us") <= col("signup_us") + lit(604800000000L), 1L).otherwise(0L))
+          .as("purchases_7d"))
+    conv.agg(
+        count(lit(1)).as("n_signup_users"),
+        sum(when(col("purchases_7d") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("purchases_7d")).as("total_purchases_7d"))
+  }
+
+  private val funnelOracle = """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+    conv AS (
+      SELECT s.user_id, s.signup_us,
+        CAST(SUM(CASE WHEN p.p_us >= s.signup_us
+          AND p.p_us <= s.signup_us + 604800000000 THEN 1 ELSE 0 END) AS BIGINT) AS purchases_7d
+      FROM s LEFT OUTER JOIN p ON s.user_id = p.user_id
+      GROUP BY s.user_id, s.signup_us)
+    SELECT COUNT(*) AS n_signup_users,
+      CAST(SUM(CASE WHEN purchases_7d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      CAST(SUM(purchases_7d) AS BIGINT) AS total_purchases_7d
+    FROM conv"""
 }

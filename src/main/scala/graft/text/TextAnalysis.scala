@@ -172,7 +172,43 @@ object TextAnalysis extends QueryModule {
         (h, a) -> (h * 31 + a) % 1000000007) AS rolling_hash
     FROM documents ORDER BY doc_id"""
 
+  /** Corpus audit over GROUPING SETS ((lang,source),(lang),(source),()),
+    * built by reaggregation from the finest level (the Expand-free
+    * pattern, see Relational.revenueRollup): doc counts and exact
+    * distinct-fingerprint cardinalities per set.
+    */
+  def langSourceSets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{md5 => smd5}
+    val base = docs.select(col("lang"), col("source"),
+      smd5(col("text").cast("binary")).as("h"))
+    val fine = base.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+    def lvl(keys: Seq[String]): DataFrame = {
+      val grouped = if (keys.isEmpty) base.groupBy() else base.groupBy(keys.map(col): _*)
+      val agg = grouped.agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      val withLang = if (keys.contains("lang")) agg else agg.withColumn("lang", lit(null).cast("string"))
+      if (keys.contains("source")) withLang else withLang.withColumn("source", lit(null).cast("string"))
+    }
+    fine.select("lang", "source", "n_docs", "n_distinct")
+      .union(lvl(Seq("lang")).select("lang", "source", "n_docs", "n_distinct"))
+      .union(lvl(Seq("source")).select("lang", "source", "n_docs", "n_distinct"))
+      .union(lvl(Nil).select("lang", "source", "n_docs", "n_distinct"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_distinct"))
+      .orderBy("lang", "source")
+  }
+
+  private val langSourceSetsOracle = """
+    SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    ORDER BY lang, source"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q61_lang_source_sets",
+      (s, d) => langSourceSets(documents(s, d)), Some(langSourceSetsOracle)),
     Q("q20_token_stats",
       (s, d) => tokenStats(documents(s, d)), Some(tokenStatsOracle)),
     Q("q21_lang_id",
