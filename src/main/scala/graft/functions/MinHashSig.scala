@@ -33,7 +33,10 @@ case class MinHashSig(child: Expression, numSigs: Int, prime: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val tokens = text.split(' ')
+    // limit -1 mirrors Spark `split(text, ' ')` and DuckDB string_split:
+    // trailing empty tokens are kept (Scala's split(Char) would drop them,
+    // silently diverging from the SQL twin on trailing whitespace).
+    val tokens = text.split(" ", -1)
     if (tokens.length < 4) return new GenericArrayData(Array.emptyLongArray)
     val md = mdLocal.get()
     val seen = new java.util.HashSet[String](tokens.length * 2)

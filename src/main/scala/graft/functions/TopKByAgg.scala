@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -37,14 +38,39 @@ case class TopKByAgg(
   override def dataType: DataType = ArrayType(rowType, containsNull = false)
   override def prettyName: String = "top_k_by"
 
+  /** Analysis-time contract: struct row + BIGINT ordinals (the update path
+    * casts with asInstanceOf[Long]; an int ordering column must fail here,
+    * not with a runtime ClassCastException).
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a struct row argument, got ${child.dataType.catalogString}")
+    else if (ord1.dataType != LongType || ord2.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName ordinals must be BIGINT, got " +
+          s"${ord1.dataType.catalogString} and ${ord2.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
   @transient private lazy val proj = UnsafeProjection.create(rowType)
+
+  // explicit reversed ordering: negation (sortBy(-ord)) would overflow for
+  // Long.MinValue ordinals
+  private val descOrd: Ordering[(Long, Long, InternalRow)] =
+    new Ordering[(Long, Long, InternalRow)] {
+      override def compare(x: (Long, Long, InternalRow),
+          y: (Long, Long, InternalRow)): Int = {
+        val c1 = java.lang.Long.compare(y._1, x._1)
+        if (c1 != 0) c1 else java.lang.Long.compare(y._2, x._2)
+      }
+    }
 
   override def createAggregationBuffer(): ArrayBuffer[(Long, Long, InternalRow)] =
     ArrayBuffer.empty
 
   private def shrink(buf: ArrayBuffer[(Long, Long, InternalRow)]): Unit =
     if (buf.length > k) {
-      val sorted = buf.sortBy(t => (-t._1, -t._2)).take(k)
+      val sorted = buf.sorted(descOrd).take(k)
       buf.clear()
       buf ++= sorted
     }
@@ -70,7 +96,7 @@ case class TopKByAgg(
   }
 
   override def eval(buf: ArrayBuffer[(Long, Long, InternalRow)]): Any = {
-    val top = buf.sortBy(t => (-t._1, -t._2)).take(k)
+    val top = buf.sorted(descOrd).take(k)
     new GenericArrayData(top.map(_._3).toArray[Any])
   }
 

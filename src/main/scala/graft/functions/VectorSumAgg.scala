@@ -89,6 +89,103 @@ case class VectorSumAgg(
     copy(child = c.head)
 }
 
+/** Exact element-wise sum over array&lt;decimal(p&le;18,s)&gt;: accumulates
+  * UNSCALED longs per dimension, so the per-group sum is order-independent
+  * and bit-exact (the repo's decimal-sum rule for cross-row double
+  * aggregation) while keeping VectorSumAgg's shuffle shape (|groups| x
+  * width fixed buffers, map-side merged). Output: array&lt;decimal(38,s)&gt;
+  * — callers cast to double after the exact sum, mirroring the oracle's
+  * `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`.
+  *
+  * Unscaled-long overflow bound: |per-dim sum| &lt; 2^63 / 10^s (9.2e10 at
+  * s=8) — ample for per-group embedding sums of unit-scale values; widen
+  * the buffer to BigInt if a workload ever exceeds it.
+  */
+case class VectorSumDecAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private lazy val elemType: DecimalType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[DecimalType]
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, elemType.scale), containsNull = false)
+  override def prettyName: String = "vec_sum_dec"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(d: DecimalType, _) if d.precision <= 18 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<decimal(p<=18,s)>, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Long](n) else buf
+    require(acc.length == n,
+      s"vec_sum_dec: mixed vector widths (${acc.length} vs $n)")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        acc(i) = Math.addExact(acc(i),
+          arr.getDecimal(i, elemType.precision, elemType.scale).toUnscaledLong)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    require(a.length == b.length,
+      s"vec_sum_dec: mixed vector widths (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null
+    else new GenericArrayData(
+      buf.map(l => org.apache.spark.sql.types.Decimal(l, 38, elemType.scale): Any))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumDecAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumDecAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): VectorSumDecAgg =
+    copy(child = c.head)
+}
+
 object VectorSumAgg {
   import org.apache.spark.sql.functions.col
 
@@ -102,4 +199,9 @@ object VectorSumAgg {
       VectorSumAgg(GraftBridge.toExpr(c)).toAggregateExpression())
 
   def vec_sum(name: String): Column = vec_sum(col(name))
+
+  /** Exact decimal elementwise sum (see VectorSumDecAgg). */
+  def vec_sum_dec(c: Column): Column =
+    GraftBridge.toColumn(
+      VectorSumDecAgg(GraftBridge.toExpr(c)).toAggregateExpression())
 }

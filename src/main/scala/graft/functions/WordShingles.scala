@@ -31,22 +31,22 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    // 1. token hashes (FNV-1a 64 over the bytes of each space-separated run)
+    // 1. token hashes (FNV-1a 64 over the bytes of each run between
+    //    separators). Tokenization mirrors Spark `split(text, ' ')`
+    //    (limit -1) and DuckDB string_split EXACTLY: every separator
+    //    emits a boundary, so consecutive/leading/trailing spaces produce
+    //    empty tokens (hashed as the FNV basis) just like the SQL twin's
+    //    empty strings — irregular whitespace shingles identically.
     val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
     var h = -3750763034362895579L // FNV offset basis
-    var inToken = false
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
-      if (b == ' ') {
-        if (inToken) { tokenHashes += h; h = -3750763034362895579L; inToken = false }
-      } else {
-        h = (h ^ (b & 0xFFL)) * 1099511628211L // FNV prime
-        inToken = true
-      }
+      if (b == ' ') { tokenHashes += h; h = -3750763034362895579L }
+      else h = (h ^ (b & 0xFFL)) * 1099511628211L // FNV prime
       i += 1
     }
-    if (inToken) tokenHashes += h
+    tokenHashes += h // final token; split keeps trailing empties at limit -1
     // 2. combine n consecutive token hashes, order-sensitively
     val m = tokenHashes.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)

@@ -161,21 +161,28 @@ object Similarity extends QueryModule {
       MIN(norm) AS min_norm, MAX(norm) AS max_norm
     FROM s GROUP BY label ORDER BY label"""
 
-  /** Per-label centroids via the custom `vec_sum` TypedImperativeAggregate
-    * (graft.functions.VectorSumAgg): one fixed-width buffer per group with
-    * partial merge — shuffle is |labels| x 64 doubles instead of the
-    * row x width explosion a posexplode-based mean would shuffle.
-    * Output in long form (label, dim, centroid) for the oracle.
+  /** Per-label centroids via the custom `vec_sum_dec`
+    * TypedImperativeAggregate (graft.functions.VectorSumDecAgg): one
+    * fixed-width buffer per group with partial merge — shuffle is
+    * |labels| x 64 values instead of the row x width explosion a
+    * posexplode-based mean would shuffle. Per-dim sums accumulate as
+    * exact decimal fixed-point (order-independent — the repo's
+    * decimal-sum rule; raw double accumulation would depend on
+    * partition-merge order and only match the oracle while round(...,6)
+    * masks ULP noise). Output in long form (label, dim, centroid).
     */
   def labelCentroids(emb: DataFrame): DataFrame = {
-    import graft.functions.VectorSumAgg.vec_sum
+    import graft.functions.VectorSumAgg.vec_sum_dec
     val agg = emb.groupBy("label")
-      .agg(vec_sum(col("embedding").cast("array<double>")).as("vsum"),
+      .agg(vec_sum_dec(expr(
+          "transform(cast(embedding as array<double>), x -> cast(x as decimal(18,8)))"))
+          .as("vsum"),
         count(lit(1)).as("n_vectors"))
     agg.select(col("label"), col("n_vectors"),
         posexplode(col("vsum")).as(Seq("dim0", "s")))
       .select(col("label"), (col("dim0") + 1).cast("long").as("dim"),
-        col("n_vectors"), round(col("s") / col("n_vectors"), 6).as("centroid"))
+        col("n_vectors"),
+        round(col("s").cast("double") / col("n_vectors"), 6).as("centroid"))
       .orderBy("label", "dim")
   }
 
@@ -183,10 +190,11 @@ object Similarity extends QueryModule {
     WITH u AS (
       SELECT label,
         unnest(range(1, len(embedding) + 1)) AS dim,
-        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        unnest(list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))) AS v
       FROM embeddings)
     SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vectors,
-      ROUND(SUM(v) / COUNT(*), 6) AS centroid
+      ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
     FROM u GROUP BY label, dim ORDER BY label, dim"""
 
   override def queries: Seq[Q] = Seq(

@@ -51,6 +51,60 @@ class NativeExprSpec extends SparkSpec {
     assert(native == sql)
   }
 
+  test("word_shingles/minhash_sig mirror split() on irregular whitespace") {
+    // Spark split(text, ' ') at limit -1 (and DuckDB string_split) keeps
+    // empty tokens for consecutive/leading/trailing separators — the
+    // natives must shingle identically on such corpora, not just on the
+    // single-spaced driver data (ADVICE r1).
+    import spark.implicits._
+    val weird = Seq(
+      (1L, "a  b c d"),       // internal double space
+      (2L, " a b c d"),       // leading space
+      (3L, "a b c d "),       // trailing space
+      (4L, "a b  c  d  "),    // mixed
+      (5L, "a b c"),          // < 4 tokens even with empties? (3 tokens)
+      (6L, "   "),            // only separators (4 empty tokens)
+    ).toDF("doc_id", "text")
+    val nShingles = weird.select(col("doc_id"),
+        size(word_shingles(col("text"), 4)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // joining with the separator the text was split on is bijective on
+    // token tuples, so distinct-string count == distinct-tuple count
+    val expected = weird
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), size(expr(
+        "array_distinct(transform(sequence(0, size(t) - 4), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 5 has 3 tokens -> 0 shingles; doc 6 has 4 empty tokens -> 1 shingle
+    assert(nShingles(5L) == 0)
+    assert(nShingles(6L) == 1)
+    assert(nShingles(1L) == expected(1L) && nShingles(2L) == expected(2L)
+      && nShingles(3L) == expected(3L) && nShingles(4L) == expected(4L))
+    // minhash: the SQL fold with split-kept empties must match the native
+    val native = weird.select(col("doc_id"), minhash_sig(col("text"), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val sql = weird
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(t) - 4), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))").as("shs"))
+      .withColumn("hs", expr(
+        "transform(transform(shs, s -> md5(cast(s as binary))), m -> named_struct(" +
+          "'h1', cast(conv(substring(m, 1, 15), 16, 10) as bigint) % 1000000007L, " +
+          "'h2', cast(conv(substring(m, 16, 15), 16, 10) as bigint) % 1000000007L))"))
+      .withColumn("sig", expr(
+        "aggregate(hs, array_repeat(9223372036854775807L, 12), (acc, p) -> " +
+          "zip_with(acc, sequence(0, 11), (a, j) -> " +
+          "least(a, pmod(p.h1 + cast(j as bigint) * p.h2, 1000000007L))))"))
+      .select("doc_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    sql.foreach { case (id, sig) => assert(native(id) == sig, s"doc $id") }
+    assert(native(5L).isEmpty)
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
