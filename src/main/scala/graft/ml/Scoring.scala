@@ -52,7 +52,7 @@ object Scoring {
       .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("y"))
       .setEstimatorParamMaps(grid)
       .setTrainRatio(0.8)
-      .setParallelism(4)
+      .setParallelism(6) // one slot per grid point: all candidates fit concurrently
       .setSeed(42L)
     tvs.fit(trainDf).bestModel.asInstanceOf[LogisticRegressionModel]
   }
@@ -69,16 +69,22 @@ object Scoring {
     * model coefficients are solver-dependent, not oracle-checkable).
     */
   def trainAndScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist the featurized corpus: the 6 grid fits + eval + scoring all
+    // re-read it (each LR fit would otherwise re-scan parquet + re-featurize)
     val feats = featurize(graft.Tables.embeddings(spark, sfDir))
-    val (tr, te) = split(feats)
-    val model = train(tr)
-    val auc = new BinaryClassificationEvaluator().setLabelCol("y")
-      .setRawPredictionCol("rawPrediction")
-      .evaluate(model.transform(te))
-    score(model, te)
-      .withColumn("test_auc", round(lit(auc), 4))
-      .select("vec_id", "y", "score", "test_auc")
-      .orderBy("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (tr, te) = split(feats)
+      val model = train(tr)
+      val auc = new BinaryClassificationEvaluator().setLabelCol("y")
+        .setRawPredictionCol("rawPrediction")
+        .evaluate(model.transform(te))
+      score(model, te)
+        .withColumn("test_auc", round(lit(auc), 4))
+        .select("vec_id", "y", "score", "test_auc")
+        .orderBy("vec_id")
+        .localCheckpoint() // materialize before unpersisting the input
+    } finally feats.unpersist(blocking = false)
   }
 
   /** M7: append run metadata; "promote to production" = latest row wins

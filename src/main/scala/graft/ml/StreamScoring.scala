@@ -29,10 +29,15 @@ object StreamScoring {
           array(col("statistics.entropy")))))
   }
 
-  /** Train the scoring head on a batch of labeled images. */
+  /** Train the scoring head on a batch of labeled images. The corpus is a
+    * handful of rows spread over one-file-per-partition binary scans —
+    * coalesce to 1 so each LR iteration runs 1 task instead of a
+    * per-file task wave (50 iterations x 24 tasks of scheduling overhead).
+    */
   def trainOnImages(spark: SparkSession, labeled: DataFrame): LogisticRegressionModel = {
     val feats = imageFeatures(spark, labeled)
       .select(col("features"), col("label").cast("double").as("y"))
+      .coalesce(1)
     new org.apache.spark.ml.classification.LogisticRegression()
       .setFeaturesCol("features").setLabelCol("y").setMaxIter(50)
       .fit(feats)

@@ -222,7 +222,9 @@ object Similarity extends QueryModule {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = embeddings(spark, sfDir)
       .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val km = new KMeans().setK(cells).setSeed(42L)
+    // 10 Lloyd iterations suffice for a coarse quantizer (cells only need
+    // to partition the space, not converge to optimal centroids)
+    val km = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(emb)
     val cellOf = model.transform(emb).select("vec_id", "label", "embedding", "cell")
