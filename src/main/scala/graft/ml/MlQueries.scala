@@ -25,6 +25,8 @@ object MlQueries extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q43_ml_train_score", (s, d) => Scoring.trainAndScore(s, d), None),
     Q("q51_streaming_score", (s, _) => streamingScore(s), None),
-    Q("q52_tfidf_features", (s, d) => TextPipeline.tfidf(s, d), None),
+    Q("q52_tfidf_features",
+      (s, d) => TextPipeline.tfidfExact(graft.Tables.documents(s, d)),
+      Some(TextPipeline.tfidfExactOracle)),
   )
 }

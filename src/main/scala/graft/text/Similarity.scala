@@ -197,6 +197,66 @@ object Similarity extends QueryModule {
       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
     FROM u GROUP BY label, dim ORDER BY label, dim"""
 
+  /** IVF with a deterministic flat quantizer: the first `cells` vectors
+    * (vec_id 1..cells) serve as fixed coarse centroids; every vector is
+    * assigned to its max-cosine centroid (tiebreak: lowest centroid id)
+    * and a query probes only its own cell. Unlike the KMeans variant
+    * (q39, solver-dependent ⇒ rows-only) this assignment is pure
+    * relational algebra, so the whole inverted-file layout is
+    * oracle-checked. Scale shape: centroid table broadcasts (it is tiny
+    * by construction), assignment is an N x cells scored join pruned to
+    * argmax per row; at 100 TB the cell id becomes the partition key.
+    */
+  def knnIvfFlat(emb: DataFrame, k: Int = 10, cells: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.filter(col("vec_id").between(1, cells))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine_sim(col("embedding"), col("cv")))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("cell").as("qcell"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("cell") === col("qcell"))
+      .withColumn("cosine", round(cosine_sim(col("embedding"), col("qv")), 6))
+      .select("vec_id", "label", "cell", "cosine")
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+            i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+            i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))"""
+
+  private val knnIvfFlatOracle = s"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+    sc AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+        ${cosSql("e.embedding", "c.cv")} AS csim
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, label, embedding, cent_id AS cell,
+        row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+      FROM sc),
+    a AS (SELECT vec_id, label, embedding, cell FROM ranked WHERE rk = 1),
+    q AS (SELECT embedding AS qv, cell AS qcell FROM a WHERE vec_id = 0),
+    s AS (
+      SELECT a.vec_id, a.label, a.cell,
+        ROUND(${cosSql("a.embedding", "q.qv")}, 6) AS cosine
+      FROM a, q WHERE a.vec_id <> 0 AND a.cell = q.qcell)
+    SELECT vec_id, label, CAST(cell AS BIGINT) AS cell, cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 10"""
+
   override def queries: Seq[Q] = Seq(
     Q("q30_knn_brute_force",
       (s, d) => knnBruteForce(embeddings(s, d)), Some(knnOracle)),
@@ -209,6 +269,8 @@ object Similarity extends QueryModule {
     Q("q38_embedding_dedup",
       (s, d) => embeddingDedupPairs(embeddings(s, d)), Some(embeddingDedupOracle)),
     Q("q39_knn_ivf", (s, d) => knnIvf(s, d), None),
+    Q("q63_knn_ivf_flat",
+      (s, d) => knnIvfFlat(embeddings(s, d)), Some(knnIvfFlatOracle)),
   )
 
   /** IVF-style ANN with a trained coarse quantizer: KMeans centroids
