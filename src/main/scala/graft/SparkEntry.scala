@@ -15,6 +15,7 @@ object SparkEntry {
     ops.Relational,
     ops.Funcs,
     ops.Scale,
+    ops.Extended,
     text.TextAnalysis,
     text.Dedup,
     text.Similarity,

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num._
+
+/** Extended relational operators beyond the round-1 surface: non-equi
+  * (range/band) joins, CUBE grouping, and range-frame windows — the
+  * remaining classical operator families a warehouse workload exercises.
+  *
+  * Scale notes: the band table is tiny by construction so the non-equi
+  * join is a BroadcastNestedLoopJoin (each fact row probes an in-memory
+  * interval list — the correct plan; a shuffle theta-join would be
+  * pathological). CUBE reaggregates in one pass with partial map-side
+  * combine. The range-frame window shuffles once on user_id and scans
+  * each partition sorted — the same shape at any corpus size.
+  */
+object Extended extends QueryModule {
+
+  /** Non-equi band join: price intervals as a broadcast dimension. */
+  def bandRangeJoin(spark: SparkSession, li: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (1L, 0.0, 20000.0),
+      (2L, 20000.0, 45000.0),
+      (3L, 45000.0, 70000.0),
+      (4L, 70000.0, 1e12),
+    ).toDF("band_id", "lo", "hi")
+    li.join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("band_value"))
+      .orderBy("band_id")
+  }
+
+  private val bandRangeOracle = """
+    WITH bands(band_id, lo, hi) AS (VALUES
+      (1, 0.0, 20000.0), (2, 20000.0, 45000.0),
+      (3, 45000.0, 70000.0), (4, 70000.0, 1000000000000.0))
+    SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id ORDER BY band_id"""
+
+  /** CUBE over (order priority, market segment): all four grouping sets in
+    * one pass (q33 covers ROLLUP, q61 explicit GROUPING SETS — this
+    * completes the family with the native `cube` operator).
+    */
+  def cubeRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .cube(col("o_orderpriority").as("prio_n"), col("c_mktsegment").as("seg_n"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("prio_n"), lit("ALL")).as("prio"),
+        coalesce(col("seg_n"), lit("ALL")).as("seg"),
+        col("n_orders"), col("revenue"))
+      .orderBy("prio", "seg")
+
+  private val cubeOracle = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+           COALESCE(c_mktsegment, 'ALL') AS seg,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE(o_orderpriority, c_mktsegment)
+    ORDER BY prio, seg"""
+
+  /** Range-frame window: every purchase annotated with the count and
+    * exact-decimal value of the same user's events in the 5 minutes
+    * strictly before it ([ts-5min, ts-1µs] in integer micros — the
+    * interval-join-as-window-frame composition; frames are value-based,
+    * so co-timestamped events resolve identically in both engines).
+    */
+  def purchaseContext(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-300000000L, -1L)
+    base
+      .withColumn("n_prior_5m", count(lit(1)).over(w))
+      .withColumn("prior_value_5m",
+        coalesce(sum(dec(col("value"), 2)).over(w),
+          lit(0).cast(DecimalType(18, 2))).cast("double"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "n_prior_5m", "prior_value_5m")
+      .orderBy("event_id")
+  }
+
+  private val purchaseContextOracle = """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      FROM events),
+    win AS (
+      SELECT event_id, user_id, ts_us, event_type,
+        COUNT(*) OVER w AS n_prior_5m,
+        CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 0) AS DOUBLE)
+          AS prior_value_5m
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, ts_us, n_prior_5m, prior_value_5m
+    FROM win WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q64_band_range_join",
+      (s, d) => bandRangeJoin(s, lineitem(s, d)), Some(bandRangeOracle)),
+    Q("q65_cube_revenue",
+      (s, d) => cubeRevenue(orders(s, d), customer(s, d)), Some(cubeOracle)),
+    Q("q66_purchase_context",
+      (s, d) => purchaseContext(events(s, d)), Some(purchaseContextOracle)),
+  )
+}

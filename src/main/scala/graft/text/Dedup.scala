@@ -241,9 +241,54 @@ object Dedup extends QueryModule {
     SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM d ORDER BY doc_id"""
   }
 
+  /** Containment near-dup pairs: common / min(|A|,|B|) — the asymmetric
+    * overlap measure that catches a document embedded inside a larger one
+    * (jaccard dilutes by the union, so sub-document duplication scores
+    * low; containment does not). Same shingle-keyed candidate join shape
+    * as jaccardPairs; containment >= jaccard always, so this is a
+    * superset detector at equal thresholds.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val sh = docs
+      .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("sa.n_sh"), col("sb.n_sh")))
+      .filter(col("containment") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val containmentOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+      CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.7
+    ORDER BY doc_a, doc_b"""
+
   override def queries: Seq[Q] = Seq(
     Q("q25_exact_dedup",
       (s, d) => exactDedup(documents(s, d)), Some(exactDedupOracle)),
+    Q("q68_containment_pairs",
+      (s, d) => containmentPairs(documents(s, d)), Some(containmentOracle)),
     Q("q26_dup_clusters",
       (s, d) => dupClusters(documents(s, d)), Some(dupClustersOracle)),
     Q("q27_jaccard_pairs",

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule}
 import graft.Tables._
@@ -206,9 +207,44 @@ object TextAnalysis extends QueryModule {
     GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
     ORDER BY lang, source"""
 
+  /** Per-language character-trigram profile: the top-k most frequent
+    * char 3-grams of the lowercased text per lang — the n-gram signal a
+    * statistical language identifier trains on (complements the
+    * stopword-hit heuristic of q21). Rank key (count DESC, trigram ASC)
+    * is integer/string, engine-stable. Scale shape: one explode (narrow),
+    * one (lang, tri) hash aggregate, one bounded top-k window over
+    * |langs| x |observed trigrams| aggregated rows — never raw text rows.
+    */
+  def charTrigrams(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tri = docs.filter(length(col("text")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
+        .as("tri"))
+    val counts = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "tri", "n")
+      .orderBy("lang", "rk")
+  }
+
+  private val charTrigramsOracle = """
+    WITH tri AS (
+      SELECT lang, unnest(list_transform(range(1, len(text) - 1),
+        i -> substr(lower(text), i, 3))) AS tri
+      FROM documents WHERE len(text) >= 3),
+    counts AS (SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, tri, n,
+        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS BIGINT) AS rk
+      FROM counts)
+    SELECT lang, rk, tri, n FROM ranked WHERE rk <= 5 ORDER BY lang, rk"""
+
   override def queries: Seq[Q] = Seq(
     Q("q61_lang_source_sets",
       (s, d) => langSourceSets(documents(s, d)), Some(langSourceSetsOracle)),
+    Q("q67_char_trigrams",
+      (s, d) => charTrigrams(documents(s, d)), Some(charTrigramsOracle)),
     Q("q20_token_stats",
       (s, d) => tokenStats(documents(s, d)), Some(tokenStatsOracle)),
     Q("q21_lang_id",
