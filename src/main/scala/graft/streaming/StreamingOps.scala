@@ -142,10 +142,59 @@ object StreamingOps extends QueryModule {
       COUNT(*) AS n_events
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us"""
 
+  /** Stream-stream inner join with event-time range bounds: purchases
+    * joined to the same user's errors from the preceding 5 minutes. Both
+    * sides carry watermarks and the join condition bounds each side's
+    * event time relative to the other, so Spark can size and expire the
+    * join state — the canonical watermarked interval-join pattern. Run
+    * AvailableNow over the finite events table, the inner join emits
+    * exactly the batch-equivalent pair set (deterministic ⇒ shares a
+    * DuckDB oracle).
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_ss_join_${System.nanoTime()}"
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val errors = eventStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("e_event_id"),
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    val joined = purchases.join(errors,
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("p_ts") - expr("interval 5 minutes") &&
+        col("e_ts") <= col("p_ts"))
+    val q = joined
+      .select(col("p_event_id"), col("e_event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("e_ts")).as("e_ts_us"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("p_event_id", "e_event_id")
+  }
+
+  private val streamStreamJoinOracle = """
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id, p.user_id,
+      epoch_us(p.ts) AS p_ts_us, epoch_us(e.ts) AS e_ts_us
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    ORDER BY p_event_id, e_event_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("q44_streaming_window",
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
     Q("q45_stateful_sessionize",
       (s, d) => sessionizeStateful(s, d), Some(sessionStatefulOracle)),
+    Q("q69_stream_stream_join",
+      (s, d) => streamStreamJoin(s, d), Some(streamStreamJoinOracle)),
   )
 }

@@ -98,25 +98,27 @@ object Dedup extends QueryModule {
     *
     * Plan shape: one native shingle-hash pass (WordShingles — ids serve
     * only as join keys, so an injective-in-practice 64-bit hash preserves
-    * pair counts), localCheckpointed so the self-join sides and the size
-    * aggregation all read one materialization; sizes broadcast back in.
+    * pair counts), localCheckpointed so both self-join sides read one
+    * materialization. The per-doc shingle count rides along on every
+    * exploded row (8 bytes) and is recovered with min() in the pair
+    * aggregate — at 100 TB a corpus-sized `sizes` table is NOT
+    * broadcastable, and this removes the join against it entirely.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     import graft.functions.WordShingles.word_shingles
     val sh = docs
-      .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
+      .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
       .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
+    sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("common")))
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -250,19 +252,21 @@ object Dedup extends QueryModule {
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
     import graft.functions.WordShingles.word_shingles
+    // sizes ride along on the exploded rows — same no-broadcast shape as
+    // jaccardPairs (a corpus-sized sizes table cannot broadcast at scale)
     val sh = docs
-      .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
+      .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
       .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
+    sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
       .withColumn("containment",
-        col("common").cast("double") / least(col("sa.n_sh"), col("sb.n_sh")))
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("containment"))
       .orderBy("doc_a", "doc_b")

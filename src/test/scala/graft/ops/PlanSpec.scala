@@ -39,4 +39,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_top_k_by") || p.contains("ObjectHashAggregate"),
       s"expected partial aggregation:\n${p.take(1200)}")
   }
+
+  test("q64: non-equi band join is a broadcast nested-loop, not a shuffle") {
+    val p = plan("q64_band_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "interval dimension must broadcast (a shuffle theta-join would be pathological)")
+    assert(!p.contains("CartesianProduct"), "must not fall back to a cartesian product")
+  }
+
+  test("q27: single self-join — sizes ride on the shingle rows") {
+    // the old shape had 3 joins (self-join + 2 corpus-sized size lookups,
+    // broadcast — unshippable at 100 TB); sizes now ride along on the
+    // exploded shingle rows, so exactly one join remains
+    val p = plan("q27_jaccard_pairs")
+    assert("Join".r.findAllIn(p).length == 1,
+      s"expected exactly one join:\n${p.take(1500)}")
+  }
+
+  test("q66: range-frame window runs over a single user_id exchange") {
+    val p = plan("q66_purchase_context")
+    assert(p.contains("Window"), "expected a window operator")
+    // one shuffle for the window partitioning; the purchase filter happens
+    // after the frame so it must NOT be pushed into the scan
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"too many exchanges:\n${p.take(1500)}")
+  }
 }
