@@ -37,8 +37,14 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // The ONE output line must fit in a 2000-char log tail next to sbt's
+    // 72-char success trailer (round-1's full-precision/full-name line was
+    // ~2.6 kB and the driver recorded parsed:null). Short query ids (the
+    // contract's own example shape, {"q1":sec,...}) + 2-decimal timings
+    // keep it ~900 chars with ample headroom for future queries.
     def r3(v: Double): String = if (v < 0) "-1.0" else f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def qid(name: String): String = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }

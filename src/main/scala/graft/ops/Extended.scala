@@ -107,6 +107,61 @@ object Extended extends QueryModule {
     SELECT event_id, user_id, ts_us, n_prior_5m, prior_value_5m
     FROM win WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Unpivot (wide -> long): per-orderstatus totals melted into
+    * (status, metric, value) rows via `stack` — the inverse of q59's
+    * pivot, completing the reshape pair. Values are exact decimal sums
+    * cast to double before melting, so the long form is bit-stable.
+    */
+  def unpivotTotals(orders: DataFrame): DataFrame = {
+    val wide = orders.groupBy("o_orderstatus")
+      .agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).cast("double").as("n_orders"),
+        davg(col("o_totalprice")).as("avg_price"))
+    wide.select(col("o_orderstatus"), expr(
+        "stack(3, 'total_price', total_price, 'n_orders', n_orders, " +
+          "'avg_price', avg_price) as (metric, value)"))
+      .orderBy("o_orderstatus", "metric")
+  }
+
+  private val unpivotOracle = """
+    WITH wide AS (
+      SELECT o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, metric, value FROM (
+      SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'avg_price', avg_price FROM wide)
+    ORDER BY o_orderstatus, metric"""
+
+  /** Rank-family window suite: ntile/percent_rank/cume_dist per market
+    * segment over a unique ordering (acctbal, custkey — uniqueness makes
+    * every rank function deterministic and tie-free in both engines).
+    */
+  def rankSuite(customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
+  private val rankSuiteOracle = """
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_acctbal, c_custkey"""
+
   override def queries: Seq[Q] = Seq(
     Q("q64_band_range_join",
       (s, d) => bandRangeJoin(s, lineitem(s, d)), Some(bandRangeOracle)),
@@ -114,5 +169,9 @@ object Extended extends QueryModule {
       (s, d) => cubeRevenue(orders(s, d), customer(s, d)), Some(cubeOracle)),
     Q("q66_purchase_context",
       (s, d) => purchaseContext(events(s, d)), Some(purchaseContextOracle)),
+    Q("q70_unpivot_totals",
+      (s, d) => unpivotTotals(orders(s, d)), Some(unpivotOracle)),
+    Q("q71_rank_suite",
+      (s, d) => rankSuite(customer(s, d)), Some(rankSuiteOracle)),
   )
 }
