@@ -33,11 +33,24 @@ object StreamingOps extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run `f` with a transient shuffle-partition setting: streaming state
+    * stores are per-shuffle-partition (each micro-batch commits delta
+    * files for every partition of every store), so the partition count is
+    * a per-query sizing knob — match it to state volume, not to the
+    * session's batch default. At 100 TB it goes up, not down.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Event-time tumbling window + watermark, run to completion with
     * AvailableNow into a memory sink (complete mode emits every window,
     * so the result equals the batch q16 plan and shares its oracle).
     */
-  def streamingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamingWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     import graft.Num._
     val name = s"graft_stream_win_${System.nanoTime()}"
     val agg = eventStream(spark, sfDir)
@@ -151,7 +164,7 @@ object StreamingOps extends QueryModule {
     * exactly the batch-equivalent pair set (deterministic ⇒ shares a
     * DuckDB oracle).
     */
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val name = s"graft_ss_join_${System.nanoTime()}"
     val purchases = eventStream(spark, sfDir)
       .filter(col("event_type") === "purchase")
