@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lowercased character n-grams of a string column in one native pass —
+  * bit-identical to the HOF formulation
+  * `transform(sequence(1, length(s)-n+1), i -> lower(substring(s, i, n)))`
+  * (same UTF8String.substringSQL + toLowerCase the builtins use), without
+  * the per-element interpreted-lambda walk: the HOF evaluates a boxed
+  * lambda and a sequence array per row, which dominates trigram profiling
+  * at millions of elements.
+  */
+case class CharNGrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "char_ngrams: n must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val m = s.numChars() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = s.substringSQL(i + 1, n).toLowerCase
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNGrams =
+    copy(child = c)
+}
+
+object CharNGrams {
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftBridge.toColumn(CharNGrams(GraftBridge.toExpr(c), n))
+}

@@ -216,10 +216,15 @@ object TextAnalysis extends QueryModule {
     * |langs| x |observed trigrams| aggregated rows — never raw text rows.
     */
   def charTrigrams(docs: DataFrame, k: Int = 5): DataFrame = {
+    // Native one-pass n-gram expression (graft.functions.CharNGrams):
+    // bit-identical to `transform(sequence(...), i -> lower(substring(text,
+    // i, 3)))` but without the per-element interpreted lambda (and note the
+    // HOF twin must lower() the slice, not the document — CollapseProject
+    // inlines into lambdas without CSE, the WordShingles fold-once rule).
+    // Pinned against the HOF form in NativeExprSpec.
+    import graft.functions.CharNGrams.char_ngrams
     val tri = docs.filter(length(col("text")) >= 3)
-      .select(col("lang"), explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(lower(text), i, 3))"))
-        .as("tri"))
+      .select(col("lang"), explode(char_ngrams(col("text"), 3)).as("tri"))
     val counts = tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tri"))
     counts.withColumn("rk", row_number().over(w).cast("long"))
@@ -231,7 +236,7 @@ object TextAnalysis extends QueryModule {
   private val charTrigramsOracle = """
     WITH tri AS (
       SELECT lang, unnest(list_transform(range(1, len(text) - 1),
-        i -> substr(lower(text), i, 3))) AS tri
+        i -> lower(substr(text, i, 3)))) AS tri
       FROM documents WHERE len(text) >= 3),
     counts AS (SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY 1, 2),
     ranked AS (

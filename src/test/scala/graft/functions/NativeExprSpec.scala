@@ -105,6 +105,22 @@ class NativeExprSpec extends SparkSpec {
     assert(native(5L).isEmpty)
   }
 
+  test("char_ngrams equals the sequence/transform HOF bit-for-bit") {
+    import graft.functions.CharNGrams.char_ngrams
+    import spark.implicits._
+    val extra = Seq((9000001L, "AbC dEf"), (9000002L, "ab"), (9000003L, "")).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    val both = d.select(col("doc_id"),
+        char_ngrams(col("text"), 3).as("native"),
+        expr("CASE WHEN length(text) >= 3 THEN " +
+          "transform(sequence(1, length(text) - 2), i -> lower(substring(text, i, 3))) " +
+          "ELSE array() END").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
