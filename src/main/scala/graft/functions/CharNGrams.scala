@@ -33,12 +33,26 @@ case class CharNGrams(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val m = s.numChars() - n + 1
+    val bytes = s.getBytes
+    // one O(len) pass to index char boundaries (UTF-8 aware), then each
+    // n-gram is a byte-range slice — substringSQL would walk from the
+    // string start per call, O(len^2) on megabyte documents
+    val offsets = new Array[Int](s.numChars() + 1)
+    var nc = 0
+    var b = 0
+    while (b < bytes.length) {
+      offsets(nc) = b
+      nc += 1
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+    }
+    offsets(nc) = bytes.length
+    val m = nc - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m)
     var i = 0
     while (i < m) {
-      out(i) = s.substringSQL(i + 1, n).toLowerCase
+      val from = offsets(i); val until = offsets(i + n)
+      out(i) = UTF8String.fromBytes(bytes, from, until - from).toLowerCase
       i += 1
     }
     new GenericArrayData(out)
