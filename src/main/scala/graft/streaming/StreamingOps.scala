@@ -202,9 +202,42 @@ object StreamingOps extends QueryModule {
     WHERE p.event_type = 'purchase' AND e.event_type = 'error'
     ORDER BY p_event_id, e_event_id"""
 
+  /** Streaming deduplication: union two reads of the same source (every
+    * event arrives twice) and dropDuplicates on the event key — the
+    * stateful exactly-once-per-key operator a streaming ingest pipeline
+    * uses to absorb redelivery. Append the surviving rows to a memory
+    * sink and audit per-type counts in batch; duplicates fully removed ⇒
+    * equals the plain batch aggregate (shares its oracle shape).
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val twice = eventStream(spark, sfDir).union(eventStream(spark, sfDir))
+    val q = twice
+      .select("event_id", "event_type", "value")
+      .dropDuplicates("event_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import graft.Num._
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamingDedupOracle = """
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
     Q("q44_streaming_window",
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
+    Q("q72_streaming_dedup",
+      (s, d) => streamingDedup(s, d), Some(streamingDedupOracle)),
     Q("q45_stateful_sessionize",
       (s, d) => sessionizeStateful(s, d), Some(sessionStatefulOracle)),
     Q("q69_stream_stream_join",
