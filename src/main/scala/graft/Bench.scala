@@ -42,12 +42,15 @@ object Bench {
     // ~2.6 kB and the driver recorded parsed:null). Short query ids (the
     // contract's own example shape, {"q1":sec,...}) + 2-decimal timings
     // keep it ~900 chars with ample headroom for future queries.
-    def r3(v: Double): String = if (v < 0) "-1.0" else f"$v%.2f"
+    // Locale.ROOT: the default-locale f"" interpolator would emit comma
+    // decimal separators on non-English JVMs — invalid JSON
+    def r3(v: Double): String =
+      if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.2f", v)
     def qid(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.collect { case (n, v) if v < 0 => "\"" + n + "\"" }
+    val failed = results.collect { case (n, v) if v < 0 => "\"" + qid(n) + "\"" }
     val failedJson = if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()

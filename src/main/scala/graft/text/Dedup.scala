@@ -104,7 +104,12 @@ object Dedup extends QueryModule {
     * aggregate — at 100 TB a corpus-sized `sizes` table is NOT
     * broadcastable, and this removes the join against it entirely.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  /** Shared candidate-pair scaffold for the shingle-overlap measures:
+    * (doc_a, doc_b, common, n_a, n_b) for every pair sharing >= 1 shingle.
+    * One definition so q27/q28-family measures can never drift apart from
+    * each other (or from the shared oracle CTE) in shingle n or filters.
+    */
+  private def shinglePairCounts(docs: DataFrame): DataFrame = {
     import graft.functions.WordShingles.word_shingles
     val sh = docs
       .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
@@ -117,12 +122,15 @@ object Dedup extends QueryModule {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"),
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
+  }
+
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    shinglePairCounts(docs)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   private val jaccardOracle = s"""
     WITH sh0 AS ($shingledSql),
@@ -250,27 +258,13 @@ object Dedup extends QueryModule {
     * as jaccardPairs; containment >= jaccard always, so this is a
     * superset detector at equal thresholds.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    import graft.functions.WordShingles.word_shingles
-    // sizes ride along on the exploded rows — same no-broadcast shape as
-    // jaccardPairs (a corpus-sized sizes table cannot broadcast at scale)
-    val sh = docs
-      .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
-      .withColumn("n_sh", size(col("shs")).cast("long"))
-      .filter(col("n_sh") > 0)
-      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
-      .localCheckpoint()
-    sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"),
-        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    shinglePairCounts(docs)
       .withColumn("containment",
         col("common").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
   private val containmentOracle = s"""
     WITH sh0 AS ($shingledSql),

@@ -212,12 +212,16 @@ object Similarity extends QueryModule {
     val cents = emb.filter(col("vec_id").between(1, cells))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    // localCheckpoint: `assigned` feeds both the broadcast query side and
+    // the probe side — without it the full N x cells scoring pass and its
+    // window shuffle would execute twice
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("csim", cosine_sim(col("embedding"), col("cv")))
       .withColumn("rk", row_number().over(wA))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("embedding"),
         col("cent_id").as("cell"))
+      .localCheckpoint()
     val q = assigned.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("cell").as("qcell"))
     assigned.filter(col("vec_id") =!= 0)
