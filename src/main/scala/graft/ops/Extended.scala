@@ -162,7 +162,63 @@ object Extended extends QueryModule {
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     ORDER BY c_mktsegment, c_acctbal, c_custkey"""
 
+  /** Array-function suite over token arrays: size/distinct/sort/slice/
+    * reverse/contains/filter — results rendered as '|'-joined strings so
+    * the oracle compare stays scalar. Every ordered output is explicitly
+    * sorted first (engine list_distinct order is not a portable contract).
+    */
+  def arraySuite(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        concat_ws("|", slice(sort_array(array_distinct(col("t"))), 1, 5)).as("first5"),
+        concat_ws("|", slice(reverse(col("t")), 1, 3)).as("last3_rev"),
+        array_contains(col("t"), "the").as("has_the"),
+        concat_ws("|", expr(
+          "sort_array(filter(array_distinct(t), x -> x IN ('the','a','of')))"))
+          .as("stop_hits"))
+      .orderBy("doc_id")
+
+  private val arraySuiteOracle = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(t) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      COALESCE(array_to_string(list_sort(list_distinct(t))[1:5], '|'), '') AS first5,
+      COALESCE(array_to_string(list_reverse(t)[1:3], '|'), '') AS last3_rev,
+      list_contains(t, 'the') AS has_the,
+      -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      COALESCE(array_to_string(list_sort(list_filter(list_distinct(t),
+        x -> x IN ('the', 'a', 'of'))), '|'), '') AS stop_hits
+    FROM s ORDER BY doc_id"""
+
+  /** explode_outer: docs with no qualifying token survive as a null row
+    * (the left-lateral semantics `explode` would silently drop — the
+    * difference only shows on empty arrays, which ~1/5 of the corpus
+    * hits at the >= 8-char threshold).
+    */
+  def longTokenAudit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode_outer(expr(
+        "sort_array(array_distinct(filter(split(text, ' '), x -> length(x) >= 8)))"))
+        .as("long_tok"))
+      .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
+
+  private val longTokenOracle = """
+    WITH l AS (
+      SELECT doc_id, list_sort(list_distinct(list_filter(
+        string_split(text, ' '), x -> len(x) >= 8))) AS lt
+      FROM documents)
+    SELECT doc_id,
+      unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS long_tok
+    FROM l ORDER BY doc_id, long_tok NULLS FIRST"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q73_array_suite",
+      (s, d) => arraySuite(documents(s, d)), Some(arraySuiteOracle)),
+    Q("q74_long_token_audit",
+      (s, d) => longTokenAudit(documents(s, d)), Some(longTokenOracle)),
     Q("q64_band_range_join",
       (s, d) => bandRangeJoin(s, lineitem(s, d)), Some(bandRangeOracle)),
     Q("q65_cube_revenue",
