@@ -214,7 +214,54 @@ object Extended extends QueryModule {
       unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS long_tok
     FROM l ORDER BY doc_id, long_tok NULLS FIRST"""
 
+  /** Full outer join: reconcile the order ledger against the event
+    * ledger by key, classifying each key as both/orders-only/events-only
+    * with exact decimal value totals per class. Both sides pre-aggregate
+    * before the join (shrinks the join input to |keys|; a full outer
+    * join cannot broadcast, so Catalyst plans a sort-merge join on the
+    * reduced sides — the correct shape at any scale).
+    */
+  def fullOuterRecon(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders.groupBy(col("o_custkey").as("okey"))
+      .agg(dsum(col("o_totalprice")).as("order_value"))
+    val e = events.groupBy(col("user_id").as("ekey"))
+      .agg(dsum(col("value")).as("event_value"))
+    o.join(e, col("okey") === col("ekey"), "full_outer")
+      .withColumn("side",
+        when(col("okey").isNotNull && col("ekey").isNotNull, "both")
+          .when(col("okey").isNotNull, "orders_only")
+          .otherwise("events_only"))
+      .groupBy("side")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(dec(coalesce(col("order_value"), lit(0)), 2)).cast("double").as("order_value"),
+        sum(dec(coalesce(col("event_value"), lit(0)), 2)).cast("double").as("event_value"))
+      .orderBy("side")
+  }
+
+  private val fullOuterOracle = """
+    WITH o AS (
+      SELECT o_custkey AS okey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_value
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT user_id AS ekey,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT CASE WHEN okey IS NOT NULL AND ekey IS NOT NULL THEN 'both'
+                  WHEN okey IS NOT NULL THEN 'orders_only'
+                  ELSE 'events_only' END AS side,
+             order_value, event_value
+      FROM o FULL OUTER JOIN e ON okey = ekey)
+    SELECT side, COUNT(*) AS n_keys,
+      CAST(SUM(CAST(COALESCE(order_value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS order_value,
+      CAST(SUM(CAST(COALESCE(event_value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+    FROM j GROUP BY side ORDER BY side"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q75_full_outer_recon",
+      (s, d) => fullOuterRecon(orders(s, d), events(s, d)), Some(fullOuterOracle)),
     Q("q73_array_suite",
       (s, d) => arraySuite(documents(s, d)), Some(arraySuiteOracle)),
     Q("q74_long_token_audit",

@@ -51,6 +51,26 @@ class OperatorSpec extends SparkSpec {
     assert(got.toList == List((1, List(4.0, 6.5)), (2, List(0.5, 0.5))))
   }
 
+  test("vec_sum_dec equals the posexplode decimal-sum formulation exactly") {
+    import graft.functions.VectorSumAgg.vec_sum_dec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val native = emb.groupBy("label")
+      .agg(vec_sum_dec(expr(
+        "transform(cast(embedding as array<double>), x -> cast(x as decimal(18,8)))"))
+        .as("s"))
+      .select(col("label"), posexplode(col("s")).as(Seq("dim", "v")))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getInt(1)) -> r.getDecimal(2)).toMap
+    val exploded = emb
+      .select(col("label"), posexplode(expr(
+        "transform(cast(embedding as array<double>), x -> cast(x as decimal(18,8)))"))
+        .as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum(col("x")).as("v"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getInt(1)) -> r.getDecimal(2)).toMap
+    assert(native.keySet == exploded.keySet)
+    native.foreach { case (k, v) =>
+      assert(v.compareTo(exploded(k)) == 0, s"label/dim $k") }
+  }
+
   test("top_k_by agrees with the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf("sf0.001"))
