@@ -91,10 +91,11 @@ object Dedup extends QueryModule {
             || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
       FROM documents WHERE len(string_split(text,' ')) >= 4"""
 
-  /** n-gram Jaccard near-dup pairs (exact, candidate-pruned): only pairs
-    * sharing >= 1 shingle are scored — a shingle-keyed self-join, not an
-    * all-pairs product. Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as an exact
-    * integer ratio (deterministic double division).
+  /** Shared candidate-pair scaffold for the shingle-overlap measures:
+    * (doc_a, doc_b, common, n_a, n_b) for every pair sharing >= 1 shingle
+    * — a shingle-keyed self-join, never an all-pairs product. One
+    * definition so the jaccard/containment measures cannot drift apart
+    * (or from the shared oracle CTE) in shingle n or filters.
     *
     * Plan shape: one native shingle-hash pass (WordShingles — ids serve
     * only as join keys, so an injective-in-practice 64-bit hash preserves
@@ -103,11 +104,6 @@ object Dedup extends QueryModule {
     * exploded row (8 bytes) and is recovered with min() in the pair
     * aggregate — at 100 TB a corpus-sized `sizes` table is NOT
     * broadcastable, and this removes the join against it entirely.
-    */
-  /** Shared candidate-pair scaffold for the shingle-overlap measures:
-    * (doc_a, doc_b, common, n_a, n_b) for every pair sharing >= 1 shingle.
-    * One definition so q27/q28-family measures can never drift apart from
-    * each other (or from the shared oracle CTE) in shingle n or filters.
     */
   private def shinglePairCounts(docs: DataFrame): DataFrame = {
     import graft.functions.WordShingles.word_shingles
@@ -124,6 +120,10 @@ object Dedup extends QueryModule {
         min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
   }
 
+  /** n-gram Jaccard near-dup pairs (exact, candidate-pruned):
+    * |A∩B| / (|A|+|B|-|A∩B|) as an exact integer ratio (deterministic
+    * double division) over the shared pair scaffold.
+    */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame =
     shinglePairCounts(docs)
       .withColumn("jaccard",
