@@ -26,6 +26,29 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val stream = StreamingOps.streamStreamJoin(spark, sf("sf0.001")).collect()
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val batch = ev.as("p").filter(col("p.event_type") === "purchase")
+      .join(ev.as("e").filter(col("e.event_type") === "error"),
+        col("p.user_id") === col("e.user_id") &&
+          col("e.ts") >= col("p.ts") - expr("interval 5 minutes") &&
+          col("e.ts") <= col("p.ts"))
+      .select(col("p.event_id"), col("e.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stream.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == batch)
+  }
+
+  test("streaming dedup fully removes the duplicated leg") {
+    val dedup = StreamingOps.streamingDedup(spark, sf("sf0.001")).collect()
+    val batch = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dedup.foreach { r =>
+      assert(r.getAs[Long]("n_events") == batch(r.getAs[String]("event_type")))
+    }
+  }
+
   test("session state machine: gap splits, no gap merges, state persists") {
     import StreamingOps._
     // synthetic per-key run through the state function semantics
