@@ -259,7 +259,41 @@ object Extended extends QueryModule {
       CAST(SUM(CAST(COALESCE(event_value, 0) AS DECIMAL(18,2))) AS DOUBLE) AS event_value
     FROM j GROUP BY side ORDER BY side"""
 
+  /** Conditional-expression suite: CASE chains, NULLIF/COALESCE masking,
+    * GREATEST/LEAST clamping, IF and NVL2 — the null-handling scalar
+    * family. All branch predicates compare exact 2-decimal doubles or
+    * strings, so every branch choice is engine-deterministic.
+    */
+  def conditionalSuite(customer: DataFrame): DataFrame =
+    customer.select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 1000, "low")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+          .as("seg_masked"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(5000.0)).as("bal_cap"),
+        expr("if(c_acctbal >= 0, 1L, 0L)").as("is_positive"),
+        expr("nvl2(nullif(c_name, ''), length(c_name), -1)")
+          .cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  private val conditionalOracle = """
+    SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+           WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS bal_class,
+      COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+      GREATEST(c_acctbal, 0.0) AS bal_floor,
+      LEAST(c_acctbal, 5000.0) AS bal_cap,
+      CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT) AS is_positive,
+      CAST(CASE WHEN NULLIF(c_name, '') IS NOT NULL
+                THEN len(c_name) ELSE -1 END AS BIGINT) AS name_len
+    FROM customer ORDER BY c_custkey"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q76_conditional_suite",
+      (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),
     Q("q75_full_outer_recon",
       (s, d) => fullOuterRecon(orders(s, d), events(s, d)), Some(fullOuterOracle)),
     Q("q73_array_suite",
