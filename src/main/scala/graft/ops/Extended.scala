@@ -291,7 +291,33 @@ object Extended extends QueryModule {
                 THEN len(c_name) ELSE -1 END AS BIGINT) AS name_len
     FROM customer ORDER BY c_custkey"""
 
+  /** grouping()/grouping_id() metadata over CUBE: the aggregation-level
+    * discriminators (q65 disambiguates levels via COALESCE labels; this
+    * exposes the standard bit-vector functions directly — first grouping
+    * column = most significant bit in both engines).
+    */
+  def groupingIdSuite(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().as("gid"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n_orders"), col("gid"), col("g_status"))
+      .orderBy("gid", "st", "prio")
+
+  private val groupingIdOracle = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+           COALESCE(o_orderpriority, 'ALL') AS prio,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY gid, st, prio"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),
     Q("q75_full_outer_recon",

@@ -282,9 +282,54 @@ object Dedup extends QueryModule {
     WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.7
     ORDER BY doc_a, doc_b"""
 
+  /** The capstone curation pipeline as ONE query: quality gate -> exact
+    * dedup (keep lowest id per content hash) -> deterministic 90/10
+    * split -> per-(split, lang) doc counts and token budgets. This is
+    * the end-to-end shape a training-data build runs nightly; every
+    * stage is the scale-correct operator form used by its standalone
+    * query (q22/q25/q02), composed. Runs on the duplicated-superset
+    * fixture so the dedup stage does real work.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val toks = withDups(docs)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val quality = toks.filter(col("n_tokens") >= 20)
+    val w = Window.partitionBy(textMd5).orderBy("doc_id")
+    val deduped = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("split",
+        when(pmod(col("doc_id") * 37, lit(10)) < 9, "train").otherwise("eval"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_budget"))
+      .orderBy("split", "lang")
+  }
+
+  private val curationOracle = s"""
+    WITH all_docs AS ($withDupsSql),
+    toks AS (
+      SELECT doc_id, text, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM all_docs),
+    quality AS (SELECT * FROM toks WHERE n_tokens >= 20),
+    deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_tokens,
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality)
+      WHERE rn = 1),
+    tagged AS (
+      SELECT *, CASE WHEN (doc_id * 37) % 10 < 9 THEN 'train' ELSE 'eval' END AS split
+      FROM deduped)
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS token_budget
+    FROM tagged GROUP BY split, lang ORDER BY split, lang"""
+
   override def queries: Seq[Q] = Seq(
     Q("q25_exact_dedup",
       (s, d) => exactDedup(documents(s, d)), Some(exactDedupOracle)),
+    Q("q78_curation_pipeline",
+      (s, d) => curationPipeline(documents(s, d)), Some(curationOracle)),
     Q("q68_containment_pairs",
       (s, d) => containmentPairs(documents(s, d)), Some(containmentOracle)),
     Q("q26_dup_clusters",
