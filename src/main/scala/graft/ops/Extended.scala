@@ -316,7 +316,56 @@ object Extended extends QueryModule {
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY gid, st, prio"""
 
+  /** Statistical aggregates, exactly: builtin stddev/var/corr merge
+    * partial moments in partition order (last-ulp nondeterminism the
+    * oracle gate cannot tolerate), so the moments are derived from exact
+    * decimal POWER SUMS instead — count, Σx, Σx², Σy, Σy², Σxy are each
+    * order-independent decimal sums; every downstream double operation
+    * (the textbook variance/correlation formulas) is then the identical
+    * IEEE expression in both engines. Same two-phase hash-agg shuffle
+    * shape as any sum.
+    */
+  def exactMoments(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"), 2)).cast("double").as("s1"),
+        sum(dec(col("value") * col("value"), 4)).cast("double").as("s2"),
+        sum(col("user_id")).cast("double").as("su"),
+        sum(col("user_id") * col("user_id")).cast("double").as("su2"),
+        sum(dec(col("value") * col("user_id"), 2)).cast("double").as("s11"))
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean_value"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("var_value"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("stddev_value"),
+        ((col("n") * col("s11") - col("s1") * col("su")) /
+          (sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
+            sqrt(col("n") * col("su2") - col("su") * col("su"))))
+          .as("corr_value_user"))
+      .orderBy("event_type")
+
+  private val exactMomentsOracle = """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        CAST(SUM(user_id) AS DOUBLE) AS su,
+        CAST(SUM(user_id * user_id) AS DOUBLE) AS su2,
+        CAST(SUM(CAST(value * user_id AS DECIMAL(18,2))) AS DOUBLE) AS s11
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+      s1 / n AS mean_value,
+      (s2 - s1 * s1 / n) / (n - 1) AS var_value,
+      sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value,
+      (n * s11 - s1 * su) /
+        (sqrt(n * s2 - s1 * s1) * sqrt(n * su2 - su * su)) AS corr_value_user
+    FROM s ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q79_exact_moments",
+      (s, d) => exactMoments(events(s, d)), Some(exactMomentsOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),

@@ -85,6 +85,21 @@ class OperatorSpec extends SparkSpec {
     assert(agg.toSeq == win.toSeq)
   }
 
+  test("containment dominates jaccard on every candidate pair") {
+    import graft.text.Dedup
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val jac = Dedup.jaccardPairs(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val con = Dedup.containmentPairs(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(jac.keySet == con.keySet, "same candidate pairs")
+    assert(jac.nonEmpty)
+    jac.foreach { case (k, j) =>
+      val c = con(k)
+      assert(c >= j && c <= 1.0 && j > 0.0, s"pair $k j=$j c=$c")
+    }
+  }
+
   test("base64 round-trip is identity on documents") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val bad = Relational.base64Codec(docs).filter(col("roundtrip_ok") =!= 1L).count()

@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one join:\n${p.take(1500)}")
   }
 
+  test("q75: full outer join sees pre-aggregated sides (no raw-table join)") {
+    val p = plan("q75_full_outer_recon")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"full outer should sort-merge (unbroadcastable):\n${p.take(1200)}")
+    // both inputs to the join must already be HashAggregates (per-key
+    // totals), shrinking the join to |keys| rows
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val after = p.substring(joinIdx)
+    assert("HashAggregate".r.findAllIn(after).length >= 4,
+      "join sides must be aggregated before the full outer join")
+  }
+
   test("q66: range-frame window runs over a single user_id exchange") {
     val p = plan("q66_purchase_context")
     assert(p.contains("Window"), "expected a window operator")
