@@ -363,7 +363,42 @@ object Extended extends QueryModule {
         (sqrt(n * s2 - s1 * s1) * sqrt(n * su2 - su * su)) AS corr_value_user
     FROM s ORDER BY event_type"""
 
+  /** Time-series gap fill: hourly event counts joined against the
+    * complete hour spine between the corpus bounds, zero-filling silent
+    * hours — the date-spine completion every monitoring/feature pipeline
+    * needs (a groupBy alone silently drops empty buckets). The spine is
+    * generated from a 1-row bounds aggregate (`sequence` + explode), so
+    * it broadcasts; output in integer micros.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    spine.join(hourly, Seq("h"), "left_outer")
+      .select(unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour_us")
+  }
+
+  private val gapFillOracle = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+    SELECT epoch_us(spine.h) AS hour_us, COALESCE(n_events, 0) AS n_events
+    FROM spine LEFT OUTER JOIN hourly ON spine.h = hourly.h
+    ORDER BY hour_us"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q80_gap_fill", (s, d) => gapFill(events(s, d)), Some(gapFillOracle)),
     Q("q79_exact_moments",
       (s, d) => exactMoments(events(s, d)), Some(exactMomentsOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
