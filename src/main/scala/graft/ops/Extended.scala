@@ -397,7 +397,36 @@ object Extended extends QueryModule {
     FROM spine LEFT OUTER JOIN hourly ON spine.h = hourly.h
     ORDER BY hour_us"""
 
+  /** MapType suite: per-doc token-frequency maps built and consumed in
+    * the plan (map_from_arrays, size, element_at, map_values). Outputs
+    * are scalars the oracle derives directly from tokens — map-typed
+    * COLUMNS never cross the compare boundary (map rendering/ordering is
+    * not a portable contract; map semantics are what's under test).
+    */
+  def mapSuite(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), expr(
+        "map_from_arrays(array_distinct(t), " +
+          "transform(array_distinct(t), x -> size(filter(t, y -> y = x))))").as("m"))
+      .select(
+        col("doc_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        expr("element_at(m, 'the')").cast("long").as("the_count"),
+        expr("array_max(map_values(m))").cast("long").as("max_freq"))
+      .orderBy("doc_id")
+
+  private val mapSuiteOracle = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+    freq AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+      COUNT(*) AS n_keys,
+      CAST(MAX(CASE WHEN tk = 'the' THEN c END) AS BIGINT) AS the_count,
+      CAST(MAX(c) AS BIGINT) AS max_freq
+    FROM freq GROUP BY doc_id ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q81_map_suite", (s, d) => mapSuite(documents(s, d)), Some(mapSuiteOracle)),
     Q("q80_gap_fill", (s, d) => gapFill(events(s, d)), Some(gapFillOracle)),
     Q("q79_exact_moments",
       (s, d) => exactMoments(events(s, d)), Some(exactMomentsOracle)),
