@@ -425,7 +425,27 @@ object Extended extends QueryModule {
       CAST(MAX(c) AS BIGINT) AS max_freq
     FROM freq GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Correlated LATERAL subquery with LIMIT: per-nation top-3 customers
+    * via a lateral dependent subquery — Catalyst decorrelates it
+    * (DecorrelateInnerQuery) into the window/limit form; the SQL string
+    * is dialect-shared with DuckDB, which executes LATERAL natively.
+    */
+  private val lateralTopnSql = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey"""
+
+  def lateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    nation(spark, sfDir).createOrReplaceTempView("nation")
+    customer(spark, sfDir).createOrReplaceTempView("customer")
+    spark.sql(lateralTopnSql)
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q82_lateral_topn", (s, d) => lateralTopn(s, d), Some(lateralTopnSql)),
     Q("q81_map_suite", (s, d) => mapSuite(documents(s, d)), Some(mapSuiteOracle)),
     Q("q80_gap_fill", (s, d) => gapFill(events(s, d)), Some(gapFillOracle)),
     Q("q79_exact_moments",
