@@ -336,13 +336,15 @@ object Extended extends QueryModule {
         sum(dec(col("value") * col("user_id"), 2)).cast("double").as("s11"))
       .select(col("event_type"), col("n"),
         (col("s1") / col("n")).as("mean_value"),
-        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-          .as("var_value"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
-          .as("stddev_value"),
+        // nullif guards: singleton groups (n=1) and zero-variance columns
+        // yield NULL instead of engine-dependent inf/NaN edges
+        ((col("s2") - col("s1") * col("s1") / col("n")) /
+          nullif(col("n") - 1, lit(0))).as("var_value"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          nullif(col("n") - 1, lit(0))).as("stddev_value"),
         ((col("n") * col("s11") - col("s1") * col("su")) /
-          (sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
-            sqrt(col("n") * col("su2") - col("su") * col("su"))))
+          nullif(sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
+            sqrt(col("n") * col("su2") - col("su") * col("su")), lit(0.0)))
           .as("corr_value_user"))
       .orderBy("event_type")
 
@@ -357,10 +359,10 @@ object Extended extends QueryModule {
       FROM events GROUP BY event_type)
     SELECT event_type, n,
       s1 / n AS mean_value,
-      (s2 - s1 * s1 / n) / (n - 1) AS var_value,
-      sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value,
+      (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) AS var_value,
+      sqrt((s2 - s1 * s1 / n) / NULLIF(n - 1, 0)) AS stddev_value,
       (n * s11 - s1 * su) /
-        (sqrt(n * s2 - s1 * s1) * sqrt(n * su2 - su * su)) AS corr_value_user
+        NULLIF(sqrt(n * s2 - s1 * s1) * sqrt(n * su2 - su * su), 0) AS corr_value_user
     FROM s ORDER BY event_type"""
 
   /** Time-series gap fill: hourly event counts joined against the
@@ -373,9 +375,10 @@ object Extended extends QueryModule {
   def gapFill(events: DataFrame): DataFrame = {
     val hourly = events.groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n_events"))
-    val bounds = events.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+      .localCheckpoint() // bounds + join both read this one aggregate
+    // date_trunc is monotone, so min/max of the hourly buckets equal the
+    // truncated raw bounds — deriving them here avoids a second full scan
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
     val spine = bounds.select(
       explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
     spine.join(hourly, Seq("h"), "left_outer")
