@@ -121,6 +121,34 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("char_ngrams handles multibyte UTF-8 identically to the HOF") {
+    // the native expression walks UTF-8 byte boundaries by hand — pin it
+    // against the builtin substring/lower on multibyte text (2-, 3- and
+    // 4-byte code points, mixed with ASCII and boundary-length strings)
+    import graft.functions.CharNGrams.char_ngrams
+    import spark.implicits._
+    val texts = Seq(
+      "héllo wörld",            // 2-byte chars
+      "日本語のテキストです",        // 3-byte chars
+      "mixed 日本 and ascii",     // mixed widths
+      "emoji 😀😀 pair",          // 4-byte surrogate-pair chars
+      "ÀÉÎÕÜ",                  // uppercase accents (lowercasing)
+      "ab",                     // shorter than n
+      "日本",                    // exactly... 2 chars < 3
+      "àbc",                    // exactly n
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val both = df.select(col("id"),
+        char_ngrams(col("text"), 3).as("native"),
+        expr("CASE WHEN length(text) >= 3 THEN " +
+          "transform(sequence(1, length(text) - 2), i -> lower(substring(text, i, 3))) " +
+          "ELSE array() END").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
