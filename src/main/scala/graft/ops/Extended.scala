@@ -168,7 +168,8 @@ object Extended extends QueryModule {
     * sorted first (engine list_distinct order is not a portable contract).
     */
   def arraySuite(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    docs.filter(col("text").isNotNull) // null-text safety: len/size(NULL) diverge across engines
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -182,7 +183,8 @@ object Extended extends QueryModule {
       .orderBy("doc_id")
 
   private val arraySuiteOracle = """
-    WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
       CAST(len(t) AS BIGINT) AS n_tokens,
       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
@@ -200,7 +202,8 @@ object Extended extends QueryModule {
     * hits at the >= 8-char threshold).
     */
   def longTokenAudit(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode_outer(expr(
+    docs.filter(col("text").isNotNull) // null text: explode_outer(NULL) vs unnest diverge
+      .select(col("doc_id"), explode_outer(expr(
         "sort_array(array_distinct(filter(split(text, ' '), x -> length(x) >= 8)))"))
         .as("long_tok"))
       .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
@@ -209,7 +212,7 @@ object Extended extends QueryModule {
     WITH l AS (
       SELECT doc_id, list_sort(list_distinct(list_filter(
         string_split(text, ' '), x -> len(x) >= 8))) AS lt
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
       unnest(CASE WHEN len(lt) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE lt END) AS long_tok
     FROM l ORDER BY doc_id, long_tok NULLS FIRST"""
@@ -340,11 +343,17 @@ object Extended extends QueryModule {
         // yield NULL instead of engine-dependent inf/NaN edges
         ((col("s2") - col("s1") * col("s1") / col("n")) /
           nullif(col("n") - 1, lit(0))).as("var_value"),
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-          nullif(col("n") - 1, lit(0))).as("stddev_value"),
-        ((col("n") * col("s11") - col("s1") * col("su")) /
-          nullif(sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
-            sqrt(col("n") * col("su2") - col("su") * col("su")), lit(0.0)))
+        // explicit CASE clamp: near-constant groups cancel to a tiny
+        // NEGATIVE radicand (last-ulp noise) — Spark sqrt would give NaN
+        // while the oracle engine errors. CASE (not GREATEST) because
+        // GREATEST's null handling is not a portable contract.
+        expr("""CASE WHEN (s2 - s1 * s1 / n) / nullif(n - 1, 0) > 0
+                     THEN sqrt((s2 - s1 * s1 / n) / nullif(n - 1, 0))
+                     WHEN (s2 - s1 * s1 / n) / nullif(n - 1, 0) IS NULL THEN NULL
+                     ELSE 0.0 END""").as("stddev_value"),
+        expr("""(n * s11 - s1 * su) / nullif(
+                  sqrt(CASE WHEN n * s2 - s1 * s1 > 0 THEN n * s2 - s1 * s1 ELSE 0.0 END) *
+                  sqrt(CASE WHEN n * su2 - su * su > 0 THEN n * su2 - su * su ELSE 0.0 END), 0.0)""")
           .as("corr_value_user"))
       .orderBy("event_type")
 
@@ -360,9 +369,13 @@ object Extended extends QueryModule {
     SELECT event_type, n,
       s1 / n AS mean_value,
       (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) AS var_value,
-      sqrt((s2 - s1 * s1 / n) / NULLIF(n - 1, 0)) AS stddev_value,
-      (n * s11 - s1 * su) /
-        NULLIF(sqrt(n * s2 - s1 * s1) * sqrt(n * su2 - su * su), 0) AS corr_value_user
+      CASE WHEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) > 0
+           THEN sqrt((s2 - s1 * s1 / n) / NULLIF(n - 1, 0))
+           WHEN (s2 - s1 * s1 / n) / NULLIF(n - 1, 0) IS NULL THEN NULL
+           ELSE 0.0 END AS stddev_value,
+      (n * s11 - s1 * su) / NULLIF(
+        sqrt(CASE WHEN n * s2 - s1 * s1 > 0 THEN n * s2 - s1 * s1 ELSE 0.0 END) *
+        sqrt(CASE WHEN n * su2 - su * su > 0 THEN n * su2 - su * su ELSE 0.0 END), 0) AS corr_value_user
     FROM s ORDER BY event_type"""
 
   /** Time-series gap fill: hourly event counts joined against the
@@ -407,7 +420,8 @@ object Extended extends QueryModule {
     * not a portable contract; map semantics are what's under test).
     */
   def mapSuite(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), expr(
         "map_from_arrays(array_distinct(t), " +
           "transform(array_distinct(t), x -> size(filter(t, y -> y = x))))").as("m"))
@@ -420,7 +434,8 @@ object Extended extends QueryModule {
 
   private val mapSuiteOracle = """
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      FROM documents WHERE text IS NOT NULL),
     freq AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2)
     SELECT doc_id,
       COUNT(*) AS n_keys,
