@@ -462,7 +462,37 @@ object Extended extends QueryModule {
     spark.sql(lateralTopnSql)
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): the month ladder between
+    * the order-date bounds generated by iteration — carrying the upper
+    * bound through the recursion — left-joined to monthly order counts
+    * with zero-fill. The recursion-generated spine complements q80's
+    * sequence-generated one; months render as strings (the repo's
+    * DATE-rendering rule).
+    */
+  private def recursiveMonthsSql(fmt: String): String = s"""
+    WITH RECURSIVE months(m, hi) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)),
+             date_trunc('month', MAX(o_orderdate))
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
+    ),
+    monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mm, COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT $fmt AS month, COALESCE(n, 0) AS n_orders
+    FROM months LEFT JOIN monthly ON m = mm
+    ORDER BY month"""
+
+  def recursiveMonths(spark: SparkSession, sfDir: String): DataFrame = {
+    orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(recursiveMonthsSql("date_format(m, 'yyyy-MM')"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q83_recursive_months",
+      (s, d) => recursiveMonths(s, d),
+      Some(recursiveMonthsSql("strftime(m, '%Y-%m')"))),
     Q("q82_lateral_topn", (s, d) => lateralTopn(s, d), Some(lateralTopnSql)),
     Q("q81_map_suite", (s, d) => mapSuite(documents(s, d)), Some(mapSuiteOracle)),
     Q("q80_gap_fill", (s, d) => gapFill(events(s, d)), Some(gapFillOracle)),
