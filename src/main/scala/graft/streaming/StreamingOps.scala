@@ -63,7 +63,12 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("bucket_start")
+    // materialize the result, then drop the memory-sink table — otherwise
+    // every invocation retains its full result set in driver memory for
+    // the session lifetime
+    val res = spark.table(name).orderBy("bucket_start").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    res
   }
 
   // shares q16's oracle: complete-mode streaming == batch on finite input
@@ -78,20 +83,22 @@ object StreamingOps extends QueryModule {
   final case class SessOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, session_value: Double)
 
-  /** Custom per-key state machine (SURVEY.md §2.9 streaming state):
-    * 30-minute-gap sessionization via flatMapGroupsWithState — the
-    * streaming twin of the window-based q19. Emits closed sessions as
-    * events arrive; flushes open sessions at stream end via timeout.
-    * Batch-checkable invariants are tested in StreamingSpec.
+  /** The single session fold shared by the streaming state machine and
+    * the batch driver: fold time-sorted events into closed sessions plus
+    * the still-open tail. ONE definition of the 30-minute gap and the
+    * 3-branch transition, so the stateful query, the batch twin, and the
+    * spec can never drift apart.
     */
-  def sessionState(events: Iterator[Ev], state: GroupState[SessState],
-      gapUs: Long = 1800000000L): Iterator[SessOut] = {
+  val sessionGapUs: Long = 1800000000L
+
+  def foldSessions(uid: Long, sorted: Seq[Ev], init: Option[SessState],
+      gapUs: Long = sessionGapUs): (Seq[SessOut], Option[SessState]) = {
     val out = scala.collection.mutable.ArrayBuffer[SessOut]()
-    var cur = state.getOption
-    events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+    var cur = init
+    sorted.foreach { e =>
       cur match {
         case Some(s) if e.ts - s.last > gapUs =>
-          out += SessOut(e.user_id, s.start, s.last, s.n, s.value)
+          out += SessOut(uid, s.start, s.last, s.n, s.value)
           cur = Some(SessState(e.ts, e.ts, 1, e.value))
         case Some(s) =>
           cur = Some(SessState(s.start, e.ts, s.n + 1, s.value + e.value))
@@ -99,11 +106,38 @@ object StreamingOps extends QueryModule {
           cur = Some(SessState(e.ts, e.ts, 1, e.value))
       }
     }
-    cur.foreach(state.update)
-    out.iterator
+    (out.toSeq, cur)
   }
 
-  /** Batch-mode driver for the state machine over the whole table
+  /** Custom per-key state machine (SURVEY.md §2.9 streaming state):
+    * 30-minute-gap sessionization via flatMapGroupsWithState — the
+    * streaming twin of the window-based q19. Emits closed sessions as
+    * events arrive; on a timeout invocation (stream idle past the gap)
+    * it flushes the open session and clears the key's state. Wire with
+    * `flatMapGroupsWithState(OutputMode.Append,
+    * GroupStateTimeout.ProcessingTimeTimeout)(sessionState(uid, _, _))`.
+    */
+  def sessionState(uid: Long, events: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      // no new events: emit the open session and drop the key's state
+      val flushed = state.getOption.map(s =>
+        SessOut(uid, s.start, s.last, s.n, s.value))
+      state.remove()
+      return flushed.iterator
+    }
+    val (closed, open) = foldSessions(uid,
+      events.toSeq.sortBy(e => (e.ts, e.event_id)), state.getOption)
+    open match {
+      case Some(s) =>
+        state.update(s)
+        state.setTimeoutDuration(sessionGapUs / 1000) // flush after one idle gap
+      case None => state.remove()
+    }
+    closed.iterator
+  }
+
+  /** Batch-mode driver for the same fold over the whole table
     * (deterministic; used by the rows-only query + spec).
     */
   def sessionizeStateful(spark: SparkSession, sfDir: String): DataFrame = {
@@ -111,26 +145,14 @@ object StreamingOps extends QueryModule {
     val evs = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), unix_micros(col("ts")).as("ts"),
         col("user_id"), col("value")).as[Ev]
-    // finite input: run the same state fn per user via groupByKey;
-    // open sessions are flushed by a sentinel pass
+    // finite input: run the shared fold per user via groupByKey; the
+    // open tail is flushed explicitly (batch end == stream idle forever)
     evs.groupByKey(_.user_id)
       .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer[SessOut]()
-        var cur: Option[SessState] = None
-        sorted.foreach { e =>
-          cur match {
-            case Some(s) if e.ts - s.last > 1800000000L =>
-              out += SessOut(uid, s.start, s.last, s.n, s.value)
-              cur = Some(SessState(e.ts, e.ts, 1, e.value))
-            case Some(s) =>
-              cur = Some(SessState(s.start, e.ts, s.n + 1, s.value + e.value))
-            case None =>
-              cur = Some(SessState(e.ts, e.ts, 1, e.value))
-          }
-        }
-        cur.foreach(s => out += SessOut(uid, s.start, s.last, s.n, s.value))
-        out.iterator
+        val (closed, open) =
+          foldSessions(uid, it.toSeq.sortBy(e => (e.ts, e.event_id)), None)
+        (closed ++ open.map(s => SessOut(uid, s.start, s.last, s.n, s.value)))
+          .iterator
       }
       .toDF()
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
@@ -190,7 +212,9 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy("p_event_id", "e_event_id")
+    val res = spark.table(name).orderBy("p_event_id", "e_event_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    res
   }
 
   private val streamStreamJoinOracle = """
@@ -222,10 +246,15 @@ object StreamingOps extends QueryModule {
       .start()
     q.awaitTermination()
     import graft.Num._
-    spark.table(name)
+    // aggregate down to 5 rows BEFORE dropping the memory-sink table: the
+    // sink holds the full deduped event set in driver memory otherwise
+    val res = spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .orderBy("event_type")
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    res
   }
 
   private val streamingDedupOracle = """

@@ -158,11 +158,15 @@ object TextAnalysis extends QueryModule {
         md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fingerprint"),
         substring(md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")), 1, 4)
           .as("shard_key"),
+        // single-reference fold (the CollapseProject fold-once rule): the
+        // slice/element_at form evaluated the full char-transform three
+        // times per row; the -1 sentinel reproduces DuckDB list_reduce's
+        // seedless semantics (first element passes through unreduced —
+        // ascii() is never negative, so the sentinel is unambiguous)
         expr(
-          "aggregate(slice(transform(split(text, ''), c -> cast(ascii(c) as bigint)), 2, " +
-            "size(split(text, '')) - 1), " +
-            "element_at(transform(split(text, ''), c -> cast(ascii(c) as bigint)), 1), " +
-            "(h, a) -> pmod(h * 31 + a, 1000000007L))").as("rolling_hash"))
+          "aggregate(transform(split(text, ''), c -> cast(ascii(c) as bigint)), " +
+            "cast(-1 as bigint), " +
+            "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))").as("rolling_hash"))
       .orderBy("doc_id")
 
   private val fingerprintsOracle = """
@@ -182,11 +186,21 @@ object TextAnalysis extends QueryModule {
     import org.apache.spark.sql.functions.{md5 => smd5}
     val base = docs.select(col("lang"), col("source"),
       smd5(col("text").cast("binary")).as("h"))
+    // exactly two corpus-sized passes (fine counts + the hash-distinct
+    // projection), localCheckpointed; every coarser level reaggregates
+    // these reduced inputs instead of re-scanning the corpus — the true
+    // Expand-free shape the docstring promises
     val fine = base.groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .localCheckpoint()
+    val dedup3 = base.distinct().localCheckpoint() // (lang, source, h)
     def lvl(keys: Seq[String]): DataFrame = {
-      val grouped = if (keys.isEmpty) base.groupBy() else base.groupBy(keys.map(col): _*)
-      val agg = grouped.agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      val docsAgg = (if (keys.isEmpty) fine.groupBy() else fine.groupBy(keys.map(col): _*))
+        .agg(sum(col("n_docs")).as("n_docs"))
+      val distAgg = (if (keys.isEmpty) dedup3.groupBy() else dedup3.groupBy(keys.map(col): _*))
+        .agg(countDistinct(col("h")).as("n_distinct"))
+      val agg = if (keys.isEmpty) docsAgg.crossJoin(distAgg)
+        else docsAgg.join(distAgg, keys)
       val withLang = if (keys.contains("lang")) agg else agg.withColumn("lang", lit(null).cast("string"))
       if (keys.contains("source")) withLang else withLang.withColumn("source", lit(null).cast("string"))
     }

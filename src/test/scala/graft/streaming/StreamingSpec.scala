@@ -49,6 +49,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionState: closes on gap, keeps open tail, flushes on timeout") {
+    import StreamingOps._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val us = 1000000L
+    val s0 = TestGroupState.create[SessState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L, Optional.empty(), false)
+    val evs = Seq(Ev(1, 0, 7, 1.0), Ev(2, 60 * us, 7, 2.0),
+      Ev(3, (60 + 1801) * us, 7, 3.0))
+    val closed = sessionState(7L, evs.iterator, s0).toSeq
+    assert(closed.map(_.n_events) == Seq(2), "gap closes the first session")
+    assert(s0.exists && s0.get.n == 1, "open tail kept in state")
+    // timeout invocation (stream idle): flush open session, remove state
+    val s1 = TestGroupState.create[SessState](Optional.of(s0.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 1L, Optional.empty(), true)
+    val flushed = sessionState(7L, Iterator.empty, s1).toSeq
+    assert(flushed.map(_.n_events) == Seq(1), "timeout flushes the open session")
+    assert(s1.isRemoved, "state cleaned up after flush")
+  }
+
   test("session state machine: gap splits, no gap merges, state persists") {
     import StreamingOps._
     // synthetic per-key run through the state function semantics
