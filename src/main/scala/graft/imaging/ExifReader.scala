@@ -26,28 +26,19 @@ object ExifReader {
     } catch { case _: Exception => empty }
   }
 
-  /** Locate the APP1 "Exif\0\0" segment; returns the TIFF payload. */
-  private def findApp1(b: Array[Byte]): Option[Array[Byte]] = {
-    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
-    var i = 2
-    while (i + 4 <= b.length && (b(i) & 0xFF) == 0xFF) {
-      val marker = b(i + 1) & 0xFF
-      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) { i += 2 }
-      else {
-        val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-        if (marker == 0xE1 && i + 10 <= b.length &&
-            b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
-            b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
-          val start = i + 10
-          val end = math.min(i + 2 + len, b.length)
-          return Some(java.util.Arrays.copyOfRange(b, start, end))
-        }
-        if (marker == 0xDA) return None // start-of-scan: no APP1 before image data
-        i += 2 + len
-      }
+  /** Locate the APP1 "Exif\0\0" segment via the shared JFIF segment
+    * walker (ImageOps.findSegment); returns the TIFF payload.
+    */
+  private def findApp1(b: Array[Byte]): Option[Array[Byte]] =
+    ImageOps.findSegment[Array[Byte]](b) { (marker, off, payloadLen) =>
+      if (marker == 0xE1 && off + 6 <= b.length &&
+          b(off) == 'E' && b(off + 1) == 'x' && b(off + 2) == 'i' &&
+          b(off + 3) == 'f' && b(off + 4) == 0 && b(off + 5) == 0) {
+        val start = off + 6
+        val end = math.max(start, math.min(off + payloadLen, b.length))
+        Some(java.util.Arrays.copyOfRange(b, start, end))
+      } else None
     }
-    None
-  }
 
   private def parseTiff(t: Array[Byte]): Exif = {
     if (t.length < 8) return empty
@@ -62,7 +53,9 @@ object ExifReader {
     val raw = scala.collection.mutable.Map[Int, String]()
     var gps = Map.empty[String, String]
 
-    def walk(offset: Int, nameOf: Int => Option[String],
+    // tag ids are collected raw here; friendly naming happens once after
+    // the walk via the ExifTags maps
+    def walk(offset: Int,
         into: scala.collection.mutable.Map[Int, String], depth: Int): Unit = {
       if (depth > 3 || offset < 0 || offset + 2 > t.length) return
       val n = bb.getShort(offset) & 0xFFFF
@@ -74,10 +67,10 @@ object ExifReader {
           val typ = bb.getShort(base + 2) & 0xFFFF
           val cnt = bb.getInt(base + 4)
           if (tag == ExifTags.ExifIfdPointer) {
-            walk(bb.getInt(base + 8), i => ExifTags.tagName.get(i), into, depth + 1)
+            walk(bb.getInt(base + 8), into, depth + 1)
           } else if (tag == ExifTags.GpsInfoPointer) {
             val g = scala.collection.mutable.Map[Int, String]()
-            walk(bb.getInt(base + 8), i => ExifTags.gpsName.get(i), g, depth + 1)
+            walk(bb.getInt(base + 8), g, depth + 1)
             gps = g.flatMap { case (id, v) => ExifTags.gpsName.get(id).map(_ -> v) }.toMap
           } else {
             decodeValue(bb, t, base, typ, cnt).foreach(v => into(tag) = v)
@@ -87,7 +80,7 @@ object ExifReader {
       }
     }
 
-    walk(ifd0, i => ExifTags.tagName.get(i), raw, 0)
+    walk(ifd0, raw, 0)
     val named = raw.flatMap { case (id, v) => ExifTags.tagName.get(id).map(_ -> v) }.toMap
     Exif(named, gps)
   }

@@ -14,6 +14,11 @@ import javax.imageio.ImageIO
   */
 object ImageOps {
 
+  // the payloads are already in memory — the default disk-backed
+  // FileCacheImageInputStream would create/write/delete a temp file per
+  // decode in the UDF hot path
+  ImageIO.setUseCache(false)
+
   final case class Meta(
       height: Int, width: Int, dpi: Option[(Int, Int)], layers: Int,
       mode: String, format: String)
@@ -27,29 +32,47 @@ object ImageOps {
     catch { case _: Exception => None }
 
   /** PIL-style mode string from band count. */
-  def modeOf(img: BufferedImage): String = img.getRaster.getNumBands match {
+  def modeOfBands(bands: Int): String = bands match {
     case 1 => "L"
     case 3 => "RGB"
     case 4 => "CMYK"
     case n => s"BANDS$n"
   }
 
-  def metadata(bytes: Array[Byte]): Option[Meta] =
-    decode(bytes).map { img =>
-      Meta(
-        height = img.getHeight,
-        width = img.getWidth,
-        dpi = jfifDpi(bytes),
-        layers = img.getRaster.getNumBands,
-        mode = modeOf(img),
-        format = "JPEG")
-    }
+  def modeOf(img: BufferedImage): String = modeOfBands(img.getRaster.getNumBands)
 
-  /** DPI from the JFIF APP0 density fields when the unit is dots-per-inch
-    * (unit byte == 1) — PIL surfaces `info["dpi"]` under the same
-    * condition only.
+  /** Header-only metadata: dimensions and band count come from the
+    * ImageReader without decoding pixels (PIL's open() reads only the
+    * header the same way — and U2 pays the full pixel decode anyway in
+    * the same enrich projection, so decoding here would double it).
     */
-  def jfifDpi(b: Array[Byte]): Option[(Int, Int)] = {
+  def metadata(bytes: Array[Byte]): Option[Meta] = {
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0); val h = r.getHeight(0)
+            val it = r.getImageTypes(0)
+            val bands = if (it.hasNext) it.next().getNumComponents else 3
+            Some(Meta(h, w, jfifDpi(bytes), bands, modeOfBands(bands), "JPEG"))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** One JFIF marker-segment walker shared by the APP0 (DPI) and APP1
+    * (Exif) lookups: `f` sees (marker, payloadOffset, payloadLen) for
+    * every non-standalone segment, and the walk stops at the first
+    * Some, at start-of-scan (0xDA), or at buffer end.
+    */
+  private[imaging] def findSegment[T](b: Array[Byte])(
+      f: (Int, Int, Int) => Option[T]): Option[T] = {
     if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
     var i = 2
     while (i + 4 <= b.length && (b(i) & 0xFF) == 0xFF) {
@@ -57,20 +80,30 @@ object ImageOps {
       if (marker >= 0xD0 && marker <= 0xD9) { i += 2 }
       else {
         val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-        if (marker == 0xE0 && i + 4 + 14 <= b.length &&
-            b(i + 4) == 'J' && b(i + 5) == 'F' && b(i + 6) == 'I' &&
-            b(i + 7) == 'F' && b(i + 8) == 0) {
-          val units = b(i + 11) & 0xFF
-          val xd = ((b(i + 12) & 0xFF) << 8) | (b(i + 13) & 0xFF)
-          val yd = ((b(i + 14) & 0xFF) << 8) | (b(i + 15) & 0xFF)
-          return if (units == 1) Some((xd, yd)) else None
-        }
+        val res = f(marker, i + 4, len - 2)
+        if (res.isDefined) return res
         if (marker == 0xDA) return None
         i += 2 + len
       }
     }
     None
   }
+
+  /** DPI from the JFIF APP0 density fields when the unit is dots-per-inch
+    * (unit byte == 1) — PIL surfaces `info["dpi"]` under the same
+    * condition only.
+    */
+  def jfifDpi(b: Array[Byte]): Option[(Int, Int)] =
+    findSegment[Option[(Int, Int)]](b) { (marker, off, _) =>
+      if (marker == 0xE0 && off + 12 <= b.length &&
+          b(off) == 'J' && b(off + 1) == 'F' && b(off + 2) == 'I' &&
+          b(off + 3) == 'F' && b(off + 4) == 0) {
+        val units = b(off + 7) & 0xFF
+        val xd = ((b(off + 8) & 0xFF) << 8) | (b(off + 9) & 0xFF)
+        val yd = ((b(off + 10) & 0xFF) << 8) | (b(off + 11) & 0xFF)
+        Some(if (units == 1) Some((xd, yd)) else None)
+      } else None
+    }.flatten
 
   /** Single-pass histogram accumulation; all other stats derived from it
     * (the PIL ImageStat formulas above).

@@ -37,11 +37,20 @@ object ImageQueries extends QueryModule {
     }
   }
 
-  private def corpusDir(): Path = {
+  /** One JPEG-encoded corpus per JVM: regenerating 24 encodes per query
+    * invocation would bill image ENCODING to every benchmark pass and
+    * leak a temp directory each run. The corpus is read-only, so sharing
+    * across queries is safe; files are removed at JVM exit.
+    */
+  lazy val sharedCorpusDir: Path = {
     val dir = Files.createTempDirectory("graft_images")
     writeCorpus(dir)
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.list(dir).forEach(p => p.toFile.deleteOnExit())
     dir
   }
+
+  private def corpusDir(): Path = sharedCorpusDir
 
   /** Batch ingest (entry point A as a batch plan): full enrichment, then a
     * flat projection of the nested structs.

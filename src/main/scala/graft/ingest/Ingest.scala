@@ -19,15 +19,25 @@ import graft.imaging.ImageUdfs
   */
 object Ingest {
 
-  /** F1-F5 projection chain, reusing the reference expr strings verbatim. */
+  /** F1-F5 projection chain. The reference authored these under ANSI-off
+    * Spark, where a non-conforming filename null-fills every derived
+    * column; this build runs Spark 4's default ANSI mode, so the
+    * positional indexes and casts use their try_/element_at-safe forms —
+    * one odd `photo.jpg` in the source directory must null-fill its row,
+    * not crash the whole ingest stream. Original reference strings kept
+    * as trailing comments (02_Data Ingest.py:93-100).
+    */
   def withPathMeta(df: DataFrame): DataFrame =
-    df.withColumn("file_name", expr("reverse(split(path,'/'))[0]"))            // 02:95
-      .withColumn("timestamp", expr("to_timestamp(split(file_name,'_')[0])")) // 02:96
+    df.withColumn("file_name",
+        expr("reverse(split(path,'/'))[0]"))                                   // 02:95 (split yields >=1 token)
+      .withColumn("timestamp",
+        expr("try_to_timestamp(split(file_name,'_')[0])"))                     // 02:96 to_timestamp(split(..)[0])
       .withColumn("date", expr("to_date(timestamp)"))                          // 02:97
-      .withColumn("device_id",                                                 // 02:98
-        expr("reverse(split(reverse(split(file_name,'_',2)[1]),'_',2)[1])"))
-      .withColumn("label",                                                     // 02:99
-        expr("cast(split(reverse(split(file_name,'[.]')[0]),'_')[0] as int)"))
+      .withColumn("device_id",                                                 // 02:98 reverse(split(reverse(split(f,'_',2)[1]),'_',2)[1])
+        expr("reverse(try_element_at(split(reverse(try_element_at(" +
+          "split(file_name,'_',2), 2)),'_',2), 2))"))
+      .withColumn("label",                                                     // 02:99 cast(split(reverse(split(f,'[.]')[0]),'_')[0] as int)
+        expr("try_cast(split(reverse(split(file_name,'[.]')[0]),'_')[0] as int)"))
 
   /** U1 + U2 enrichment via the registered UDF names (02:209-212, 257-260). */
   def enrich(spark: SparkSession, df: DataFrame): DataFrame = {

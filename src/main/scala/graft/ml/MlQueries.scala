@@ -11,10 +11,12 @@ object MlQueries extends QueryModule {
     */
   private def streamingScore(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     import java.nio.file.Files
-    val src = Files.createTempDirectory("q51_src")
+    // source corpus is shared (read-only, JVM-wide); the sink + checkpoint
+    // must be fresh per run for streaming exactly-once semantics
+    val src = graft.imaging.ImageQueries.sharedCorpusDir
     val out = Files.createTempDirectory("q51_out")
     val cp  = Files.createTempDirectory("q51_cp")
-    graft.imaging.ImageQueries.writeCorpus(src)
+    out.toFile.deleteOnExit(); cp.toFile.deleteOnExit()
     val labeled = graft.ingest.Ingest.batch(s, src.toString).select("content", "label")
     val model = StreamScoring.trainOnImages(s, labeled)
     StreamScoring.scoreStream(s, model, src.toString, out.toString, cp.toString)

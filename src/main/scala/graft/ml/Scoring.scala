@@ -98,7 +98,13 @@ object Scoring {
       .write.mode("append").parquet(runsDir)
   }
 
-  /** SR2 (04a_Model Deployment.py:118-123): latest run wins. */
+  /** SR2 (04a_Model Deployment.py:118-123): latest run wins. Tiebreak on
+    * (run_name, model_path): two runs logged in the same millisecond must
+    * still promote deterministically (the repo's every-retrieval-has-a-
+    * tiebreak rule).
+    */
   def latestRun(spark: SparkSession, runsDir: String): DataFrame =
-    spark.read.parquet(runsDir).orderBy(desc("start_time")).limit(1)
+    spark.read.parquet(runsDir)
+      .orderBy(desc("start_time"), desc("run_name"), desc("model_path"))
+      .limit(1)
 }

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TensorCache {
 
-  /** Byte sizing per 03a:121-122: lit(4) label width + payload length. */
+  /** Byte sizing per 03a:121-122: lit(4) label width + payload length.
+    * coalesce: sum over zero rows is null — an empty cache is 0 bytes,
+    * not an NPE.
+    */
   def datasetBytes(df: DataFrame, payloadCol: String): Long =
-    df.agg(sum(lit(4L) + length(col(payloadCol)).cast("long")))
+    df.agg(coalesce(sum(lit(4L) + length(col(payloadCol)).cast("long")), lit(0L)))
       .collect()(0).getLong(0)
 
   def materialize(spark: SparkSession, df: DataFrame, payloadCol: String,
@@ -40,9 +43,15 @@ object TensorCache {
     fs.delete(p, true)
   }
 
-  /** S6 DDL (02_Data Ingest.py:36-37): the reference's exact statements. */
+  /** S6 DDL (02_Data Ingest.py:36-37): the reference's statements, with
+    * the identifier backtick-quoted and the location literal escaped —
+    * raw interpolation would break on quotes in paths (and invite
+    * injection from caller-supplied names).
+    */
   def recreateDatabase(spark: SparkSession, db: String, location: String): Unit = {
-    spark.sql(s"drop database if exists $db cascade")
-    spark.sql(s"create database if not exists $db location '$location'")
+    val dbQ = "`" + db.replace("`", "``") + "`"
+    val locQ = location.replace("'", "\\'")
+    spark.sql(s"drop database if exists $dbQ cascade")
+    spark.sql(s"create database if not exists $dbQ location '$locQ'")
   }
 }

@@ -30,23 +30,30 @@ object Multimodal extends QueryModule {
   final case class Frame(media_id: Long, frame_idx: Long, frame_ts_ms: Long,
       frame_hash: String)
 
+  /** Stub-decode constants, defined ONCE: metadata's n_frames and the
+    * sampler's emitted frames must stay in lockstep (the oracle SQL
+    * mirrors the same numbers — grep 10 / 250 there when changing).
+    */
+  val MsPerByte: Long = 10L // stub: 10ms of media per payload byte
+  val FrameMs: Long = 250L  // stub: 4 fps sampling interval
+
   /** STUB decode: deterministic pseudo-metadata from payload bytes.
     * A real build replaces this body with the codec call; the signature
     * and batch shape are the contract.
     */
-  def fakeDecodeMeta(m: MediaIn): MediaMeta = {
+  def fakeDecodeMeta(m: MediaIn, frameMs: Long = FrameMs): MediaMeta = {
     val nBytes = m.content.length.toLong
-    val durationMs = nBytes * 10        // stub: 10ms per payload byte
-    val frameMs = 250L                  // stub: 4 fps
+    val durationMs = nBytes * MsPerByte
     MediaMeta(m.media_id, m.media_type, nBytes, durationMs,
       durationMs / frameMs, md5Hex(m.content).take(8))
   }
 
   /** STUB frame sampler: every `frameMs` milliseconds, a frame descriptor
-    * whose hash is derived from (payload, index).
+    * whose hash is derived from (payload, index). Emits exactly
+    * `fakeDecodeMeta(m, frameMs).n_frames` frames by construction.
     */
-  def fakeSampleFrames(m: MediaIn, frameMs: Long = 250L): Iterator[Frame] = {
-    val durationMs = m.content.length.toLong * 10
+  def fakeSampleFrames(m: MediaIn, frameMs: Long = FrameMs): Iterator[Frame] = {
+    val durationMs = m.content.length.toLong * MsPerByte
     val n = durationMs / frameMs
     (0L until n).iterator.map { i =>
       Frame(m.media_id, i, i * frameMs,
@@ -76,7 +83,7 @@ object Multimodal extends QueryModule {
   def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaCorpus(spark, sfDir).as[MediaIn]
-      .mapPartitions(batch => batch.map(fakeDecodeMeta))
+      .mapPartitions(batch => batch.map(m => fakeDecodeMeta(m)))
       .toDF()
       .orderBy("media_id")
   }

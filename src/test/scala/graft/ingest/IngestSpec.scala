@@ -23,6 +23,21 @@ class IngestSpec extends SparkSpec {
     assert(r.getInt(4) == 1)
   }
 
+  test("F1-F5 null-fill (not crash) on non-conforming filenames under ANSI") {
+    // the reference ran ANSI-off where a stray file null-fills its derived
+    // columns; this build runs default-ANSI Spark 4, so the try_-safe
+    // forms must reproduce that null-filling instead of aborting ingest
+    import spark.implicits._
+    val df = Seq("/x/photo.jpg", "/x/a_b.jpg", "/x/nounderscore").toDF("path")
+    val rows = Ingest.withPathMeta(df)
+      .select("file_name", "timestamp", "date", "device_id", "label")
+      .collect()
+    assert(rows.length == 3, "no row may crash out")
+    val photo = rows(0)
+    assert(photo.getString(0) == "photo.jpg")
+    assert(photo.isNullAt(1) && photo.isNullAt(2) && photo.isNullAt(3))
+  }
+
   test("batch ingest over synthetic corpus: enrichment complete") {
     val dir = Files.createTempDirectory("ingest_batch")
     ImageQueries.writeCorpus(dir)
