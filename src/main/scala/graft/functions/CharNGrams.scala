@@ -10,12 +10,17 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Lowercased character n-grams of a string column in one native pass —
-  * bit-identical to the HOF formulation
+  * for strings of length >= n, bit-identical to the HOF formulation
   * `transform(sequence(1, length(s)-n+1), i -> lower(substring(s, i, n)))`
-  * (same UTF8String.substringSQL + toLowerCase the builtins use), without
+  * (same UTF8String byte slicing + toLowerCase the builtins use), without
   * the per-element interpreted-lambda walk: the HOF evaluates a boxed
   * lambda and a sequence array per row, which dominates trigram profiling
   * at millions of elements.
+  *
+  * Sub-n strings return an EMPTY array (the sane semantic); the raw HOF
+  * would produce a DESCENDING sequence there (sequence(1, 0) = [1, 0])
+  * and emit truncated fragments — callers comparing against the HOF twin
+  * must guard `length(s) >= n` as the oracle SQL and NativeExprSpec do.
   */
 case class CharNGrams(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {

@@ -90,6 +90,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y") // freshName: raw locals could shadow enclosing codegen scope
       s"""
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
@@ -100,12 +101,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
         }
         for (int $i = 0; $i < $a.numElements(); $i++) {
           if (!$a.isNullAt($i)) {
-            double x = (double) $a.$aGet($i); $na += x * x;
+            double $x = (double) $a.$aGet($i); $na += $x * $x;
           }
         }
         for (int $i = 0; $i < $b.numElements(); $i++) {
           if (!$b.isNullAt($i)) {
-            double y = (double) $b.$bGet($i); $nb += y * y;
+            double $y = (double) $b.$bGet($i); $nb += $y * $y;
           }
         }
         ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -80,9 +80,14 @@ case class TopKByAgg(
     val c = child.eval(input)
     val o1 = ord1.eval(input)
     val o2 = ord2.eval(input)
-    if (c != null && o1 != null && o2 != null) {
-      buf += ((o1.asInstanceOf[Long], o2.asInstanceOf[Long],
-        proj(c.asInstanceOf[InternalRow]).copy()))
+    if (c != null) {
+      // null ordinals rank LAST in this descending order (Long.MinValue),
+      // matching `row_number() OVER (ORDER BY ord DESC)` NULLS-LAST
+      // semantics in both engines — dropping them would return fewer rows
+      // than the window twin for keys with < k non-null-ordered rows
+      val l1 = if (o1 == null) Long.MinValue else o1.asInstanceOf[Long]
+      val l2 = if (o2 == null) Long.MinValue else o2.asInstanceOf[Long]
+      buf += ((l1, l2, proj(c.asInstanceOf[InternalRow]).copy()))
       if (buf.length >= 4 * k) shrink(buf) // amortized bound
     }
     buf

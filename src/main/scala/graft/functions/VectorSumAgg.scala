@@ -33,6 +33,20 @@ case class VectorSumAgg(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_sum"
 
+  /** Analysis-time contract: array&lt;double&gt; only. Via the
+    * SQL-registered name, an array&lt;float&gt; argument would reinterpret
+    * 4-byte slots as doubles and silently return garbage (same hazard
+    * CosineSimilarity guards against).
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> (cast the input), got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {

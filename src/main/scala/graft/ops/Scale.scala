@@ -32,6 +32,11 @@ object Scale extends QueryModule {
     * Exchange on either side (verified in ScaleSpec). At 100 TB this is
     * the difference between re-shuffling two fact tables per query and
     * never shuffling them at all.
+    *
+    * The bucketed tables are CATALOG objects (bucketing requires
+    * saveAsTable): the caller owns the `dbPrefix` namespace and cleanup
+    * via [[dropBucketedTables]]; concurrent callers must use distinct
+    * prefixes (mode=overwrite races on a shared name).
     */
   def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
       key: String, buckets: Int, dbPrefix: String): DataFrame = {
@@ -40,6 +45,14 @@ object Scale extends QueryModule {
     left.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(lt)
     right.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(rt)
     spark.table(lt).join(spark.table(rt), key)
+  }
+
+  /** Cleanup for [[bucketedJoin]]'s catalog tables (call after the joined
+    * result is consumed — the join plan reads the tables lazily).
+    */
+  def dropBucketedTables(spark: SparkSession, dbPrefix: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${dbPrefix}_l`")
+    spark.sql(s"DROP TABLE IF EXISTS `${dbPrefix}_r`")
   }
 
   private val saltedOracle = """
