@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default LoggedOutput decorates every forked-run output line with
+// an "[info] " prefix, so the bench's ONE JSON line arrives in the
+// driver's log tail as "[info] {...}" and a per-line JSON parse fails
+// (BENCH_r1 and BENCH_r2 both recorded parsed:null even when the line
+// fit the 2000-char tail). StdoutOutput streams the child's stdout raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,7 +26,8 @@ case class TopKByAgg(
     child: Expression, ord1: Expression, ord2: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long, InternalRow)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[TopKByAgg.Entry]] {
+  import TopKByAgg.Entry
 
   require(k > 0, "top_k_by: k must be positive")
 
@@ -54,84 +55,97 @@ case class TopKByAgg(
 
   @transient private lazy val proj = UnsafeProjection.create(rowType)
 
-  // explicit reversed ordering: negation (sortBy(-ord)) would overflow for
-  // Long.MinValue ordinals
-  private val descOrd: Ordering[(Long, Long, InternalRow)] =
-    new Ordering[(Long, Long, InternalRow)] {
-      override def compare(x: (Long, Long, InternalRow),
-          y: (Long, Long, InternalRow)): Int = {
-        val c1 = java.lang.Long.compare(y._1, x._1)
-        if (c1 != 0) c1 else java.lang.Long.compare(y._2, x._2)
+  // Total order, fully deterministic: descending on (ord1, ord2) with
+  // explicit null flags ranking NULLS LAST (a null is distinguishable
+  // from a genuine Long.MinValue ordinal), then an unsigned byte-wise
+  // compare of the row itself as the final tiebreak. Without the row
+  // tiebreak, ties would be resolved by buffer insertion order, which
+  // varies with partition/merge order across shrink() calls.
+  private val descOrd: Ordering[Entry] =
+    new Ordering[Entry] {
+      override def compare(x: Entry, y: Entry): Int = {
+        val xn1 = (x.nullFlags & 1) != 0; val yn1 = (y.nullFlags & 1) != 0
+        if (xn1 != yn1) return if (xn1) 1 else -1
+        val c1 = if (xn1) 0 else java.lang.Long.compare(y.o1, x.o1)
+        if (c1 != 0) return c1
+        val xn2 = (x.nullFlags & 2) != 0; val yn2 = (y.nullFlags & 2) != 0
+        if (xn2 != yn2) return if (xn2) 1 else -1
+        val c2 = if (xn2) 0 else java.lang.Long.compare(y.o2, x.o2)
+        if (c2 != 0) return c2
+        java.util.Arrays.compareUnsigned(
+          x.row.asInstanceOf[UnsafeRow].getBytes,
+          y.row.asInstanceOf[UnsafeRow].getBytes)
       }
     }
 
-  override def createAggregationBuffer(): ArrayBuffer[(Long, Long, InternalRow)] =
+  override def createAggregationBuffer(): ArrayBuffer[Entry] =
     ArrayBuffer.empty
 
-  private def shrink(buf: ArrayBuffer[(Long, Long, InternalRow)]): Unit =
+  private def shrink(buf: ArrayBuffer[Entry]): Unit =
     if (buf.length > k) {
       val sorted = buf.sorted(descOrd).take(k)
       buf.clear()
       buf ++= sorted
     }
 
-  override def update(buf: ArrayBuffer[(Long, Long, InternalRow)],
-      input: InternalRow): ArrayBuffer[(Long, Long, InternalRow)] = {
+  override def update(buf: ArrayBuffer[Entry],
+      input: InternalRow): ArrayBuffer[Entry] = {
     val c = child.eval(input)
     val o1 = ord1.eval(input)
     val o2 = ord2.eval(input)
     if (c != null) {
-      // null ordinals rank LAST in this descending order (Long.MinValue),
-      // matching `row_number() OVER (ORDER BY ord DESC)` NULLS-LAST
-      // semantics in both engines — dropping them would return fewer rows
-      // than the window twin for keys with < k non-null-ordered rows
-      val l1 = if (o1 == null) Long.MinValue else o1.asInstanceOf[Long]
-      val l2 = if (o2 == null) Long.MinValue else o2.asInstanceOf[Long]
-      buf += ((l1, l2, proj(c.asInstanceOf[InternalRow]).copy()))
+      // null ordinals rank LAST in this descending order (flag bits in
+      // descOrd), matching `row_number() OVER (ORDER BY ord DESC)`
+      // NULLS-LAST semantics in both engines — dropping them would return
+      // fewer rows than the window twin for keys with < k non-null rows
+      val flags = (if (o1 == null) 1 else 0) | (if (o2 == null) 2 else 0)
+      val l1 = if (o1 == null) 0L else o1.asInstanceOf[Long]
+      val l2 = if (o2 == null) 0L else o2.asInstanceOf[Long]
+      buf += Entry(l1, l2, flags.toByte, proj(c.asInstanceOf[InternalRow]).copy())
       if (buf.length >= 4 * k) shrink(buf) // amortized bound
     }
     buf
   }
 
-  override def merge(a: ArrayBuffer[(Long, Long, InternalRow)],
-      b: ArrayBuffer[(Long, Long, InternalRow)]): ArrayBuffer[(Long, Long, InternalRow)] = {
+  override def merge(a: ArrayBuffer[Entry],
+      b: ArrayBuffer[Entry]): ArrayBuffer[Entry] = {
     a ++= b
     shrink(a)
     a
   }
 
-  override def eval(buf: ArrayBuffer[(Long, Long, InternalRow)]): Any = {
+  override def eval(buf: ArrayBuffer[Entry]): Any = {
     val top = buf.sorted(descOrd).take(k)
-    new GenericArrayData(top.map(_._3).toArray[Any])
+    new GenericArrayData(top.map(_.row).toArray[Any])
   }
 
-  override def serialize(buf: ArrayBuffer[(Long, Long, InternalRow)]): Array[Byte] = {
+  override def serialize(buf: ArrayBuffer[Entry]): Array[Byte] = {
     shrink(buf)
-    val rows = buf.map { case (o1, o2, r) =>
-      (o1, o2, r.asInstanceOf[UnsafeRow].getBytes)
-    }
-    val size = 4 + rows.map(16 + 4 + _._3.length).sum
+    val rows = buf.map(e =>
+      (e.o1, e.o2, e.nullFlags, e.row.asInstanceOf[UnsafeRow].getBytes))
+    val size = 4 + rows.map(16 + 1 + 4 + _._4.length).sum
     val bb = ByteBuffer.allocate(size)
     bb.putInt(rows.length)
-    rows.foreach { case (o1, o2, bytes) =>
-      bb.putLong(o1).putLong(o2).putInt(bytes.length).put(bytes)
+    rows.foreach { case (o1, o2, flags, bytes) =>
+      bb.putLong(o1).putLong(o2).put(flags).putInt(bytes.length).put(bytes)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long, InternalRow)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Entry] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = ArrayBuffer.empty[(Long, Long, InternalRow)]
+    val buf = ArrayBuffer.empty[Entry]
     var i = 0
     while (i < n) {
       val o1 = bb.getLong; val o2 = bb.getLong
+      val flags = bb.get()
       val len = bb.getInt
       val rowBytes = new Array[Byte](len)
       bb.get(rowBytes)
       val row = new UnsafeRow(rowType.length)
       row.pointTo(rowBytes, len)
-      buf += ((o1, o2, row))
+      buf += Entry(o1, o2, flags, row)
       i += 1
     }
     buf
@@ -146,6 +160,12 @@ case class TopKByAgg(
 }
 
 object TopKByAgg {
+  /** Buffer entry: ordinals, a null-flag byte (bit0 = ord1 null, bit1 =
+    * ord2 null) and the projected row. Flags keep NULL distinguishable
+    * from genuine Long.MinValue ordinals.
+    */
+  final case class Entry(o1: Long, o2: Long, nullFlags: Byte, row: InternalRow)
+
   /** `top_k_by(rowStruct, ord1, ord2, k)`: array of the k rows with the
     * largest (ord1, ord2), descending. ord1/ord2 must be LONG.
     */

@@ -46,7 +46,8 @@ object ImageQueries extends QueryModule {
     val dir = Files.createTempDirectory("graft_images")
     writeCorpus(dir)
     dir.toFile.deleteOnExit()
-    java.nio.file.Files.list(dir).forEach(p => p.toFile.deleteOnExit())
+    val listing = Files.list(dir)
+    try listing.forEach(p => p.toFile.deleteOnExit()) finally listing.close()
     dir
   }
 

@@ -334,8 +334,13 @@ object Extended extends QueryModule {
         count(lit(1)).as("n"),
         sum(dec(col("value"), 2)).cast("double").as("s1"),
         sum(dec(col("value") * col("value"), 4)).cast("double").as("s2"),
-        sum(col("user_id")).cast("double").as("su"),
-        sum(col("user_id") * col("user_id")).cast("double").as("su2"),
+        // id power sums go through decimal like the value columns: a raw
+        // int64 Σid² overflows near 3e9-row scale under ANSI Spark while
+        // DuckDB silently promotes to HUGEINT — decimal(38,0) keeps both
+        // engines exact and order-independent
+        sum(col("user_id").cast("decimal(38,0)")).cast("double").as("su"),
+        sum(col("user_id").cast("decimal(38,0)") *
+          col("user_id").cast("decimal(38,0)")).cast("double").as("su2"),
         sum(dec(col("value") * col("user_id"), 2)).cast("double").as("s11"))
       .select(col("event_type"), col("n"),
         (col("s1") / col("n")).as("mean_value"),

@@ -185,6 +185,14 @@ object StreamingOps extends QueryModule {
     * AvailableNow over the finite events table, the inner join emits
     * exactly the batch-equivalent pair set (deterministic ⇒ shares a
     * DuckDB oracle).
+    *
+    * Batch-equivalence caveat: the oracle identity holds only because the
+    * whole finite source fits ONE micro-batch (the corpus is a single
+    * events.parquet file and no maxFilesPerTrigger is set). Across
+    * multiple batches the advancing 10-minute watermark could drop
+    * cross-batch late pairs — correct streaming semantics, but a silent
+    * divergence from the batch oracle. Enforced below: a multi-batch run
+    * fails loudly instead of hash-mismatching.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
     val name = s"graft_ss_join_${System.nanoTime()}"
@@ -212,6 +220,12 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    if (dataBatches > 1)
+      throw new IllegalStateException(
+        s"streamStreamJoin: source split into $dataBatches data micro-batches; " +
+          "the batch-oracle equivalence assumes a single AvailableNow batch " +
+          "(multi-file fixture? set maxFilesPerTrigger or drop the oracle)")
     val res = spark.table(name).orderBy("p_event_id", "e_event_id").localCheckpoint()
     spark.catalog.dropTempView(name)
     res
