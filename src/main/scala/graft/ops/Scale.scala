@@ -59,11 +59,56 @@ object Scale extends QueryModule {
     SELECT event_type, COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Bloom-filter semi-join pruning — the runtime-filter pattern for
+    * shuffled fact⋈dim joins at scale. The dim side's join keys are
+    * folded into a compact bloom sketch by a distributed aggregation
+    * (`df.stat.bloomFilter` merges per-partition sketches; ~1.2 MB for
+    * 1M keys at 1% FPP), the sketch is broadcast, and the fact scan is
+    * pre-filtered BEFORE the join's shuffle. False positives pass the
+    * bloom but are removed by the exact join that still runs, so the
+    * result is identical to the plain join (⇒ plain-SQL oracle); what
+    * changes is that ~99% of non-matching fact rows never enter the
+    * exchange. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling only the ~matching slice — the same
+    * mechanism as Spark's own `runtime.bloomFilter` injection, spelled
+    * explicitly so it applies when the optimizer's heuristics decline.
+    */
+  def bloomPrunedRevenue(spark: SparkSession, lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    import graft.Num._
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // size the sketch with a cheap distributed count of the dim side —
+    // two passes over the SMALL side beat a mis-sized filter on the big one
+    val nKeys = math.max(urgent.count(), 1L)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    lineitem.filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+          .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomPrunedOracle = """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   override def queries: Seq[Q] = Seq(
     // salted two-phase aggregation provably equals the direct groupBy —
     // the oracle is the plain GROUP BY
     Q("q58_salted_counts",
       (s, d) => saltedCount(events(s, d), "event_type").orderBy("event_type"),
       Some(saltedOracle)),
+    // bloom pre-filter + exact join provably equals the plain join
+    Q("q85_bloom_prune",
+      (s, d) => bloomPrunedRevenue(s, lineitem(s, d), orders(s, d)),
+      Some(bloomPrunedOracle)),
   )
 }

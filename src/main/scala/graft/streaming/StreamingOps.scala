@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.{Q, QueryModule}
 
 /** Structured-Streaming operators (SURVEY.md §1.4/§3.1): the engine's
@@ -276,6 +276,171 @@ object StreamingOps extends QueryModule {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Sessionization on the transformWithState API (Spark 4's arbitrary
+    * stateful operator, successor to flatMapGroupsWithState): the open
+    * session lives in a typed ValueState on the RocksDB state store —
+    * the provider transformWithState requires, and the one a production
+    * deployment runs (state spills to disk instead of executor heap, so
+    * per-key state survives 100 TB-scale key cardinality). The per-key
+    * fold is the SAME shared foldSessions the flatMapGroups twin and the
+    * batch driver use — one definition of the session semantics across
+    * all three APIs.
+    *
+    * `emitOpenTail` controls end-of-batch behavior: the graded query
+    * emits each key's still-open session after folding (finite corpus,
+    * single AvailableNow batch ⇒ equals the batch twin, shares q45's
+    * oracle), which is guarded like q69 — a multi-batch run would split
+    * sessions at batch boundaries, so it fails loudly instead of
+    * silently mismatching. With `emitOpenTail=false` the open tail stays
+    * in state across batches (true incremental operation; exercised by
+    * the multi-batch spec).
+    */
+  class SessionizeProcessor(emitOpenTail: Boolean)
+      extends StatefulProcessor[Long, Ev, SessOut] {
+    @transient private var open: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessState]("open",
+        Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SessOut] = {
+      val prior = if (open.exists()) Some(open.get()) else None
+      val (closed, tail) =
+        foldSessions(uid, rows.toSeq.sortBy(e => (e.ts, e.event_id)), prior)
+      if (emitOpenTail) {
+        open.clear()
+        (closed ++ tail.map(s => SessOut(uid, s.start, s.last, s.n, s.value)))
+          .iterator
+      } else {
+        tail match {
+          case Some(s) => open.update(s)
+          case None    => open.clear()
+        }
+        closed.iterator
+      }
+    }
+  }
+
+  /** Run `f` with the RocksDB state store provider (required by
+    * transformWithState; also the scale-correct store — state lives
+    * off-heap/on-disk per executor instead of on the JVM heap).
+    */
+  def withRocksDb[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  def twsSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, 8) { withRocksDb(spark) {
+      import spark.implicits._
+      val name = s"graft_tws_sess_${System.nanoTime()}"
+      val evs = eventStream(spark, sfDir)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("value")).as[Ev]
+      val q = evs.groupByKey(_.user_id)
+        .transformWithState(new SessionizeProcessor(emitOpenTail = true),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches > 1)
+        throw new IllegalStateException(
+          s"twsSessionize: $dataBatches data micro-batches; emitOpenTail " +
+            "oracle equivalence assumes a single AvailableNow batch")
+      val res = spark.table(name)
+        .orderBy("user_id", "session_start_us").localCheckpoint()
+      spark.catalog.dropTempView(name)
+      res
+    }}
+
+  /** Incremental aggregation via foreachBatch — the streaming pattern
+    * for maintaining an aggregate table without reprocessing history:
+    * each micro-batch is aggregated DISTRIBUTED (map-side partials, one
+    * small result per batch), the per-batch partials are appended to a
+    * keyed parquet state location, and reading the aggregate is a cheap
+    * re-combine of partials (counts and decimal sums are associative, so
+    * partials-of-partials are exact — same algebra as Spark's own
+    * two-phase hash aggregate, persisted across batches). At 100 TB the
+    * append target is a MERGE-capable table and the re-combine is a
+    * compaction job; the algebra is unchanged.
+    *
+    * The source is a 4-file copy of the events table streamed with
+    * maxFilesPerTrigger=1, so the query REALLY runs 4+ incremental
+    * batches (asserted below — the inverse of q69's single-batch guard);
+    * the final combined aggregate equals the batch aggregate (oracle).
+    */
+  private val splitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def splitEventsDir(spark: SparkSession, sfDir: String): String =
+    splitDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_split")
+      dir.toFile.deleteOnExit()
+      graft.Tables.events(spark, sfDir).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.toString
+    })
+
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import graft.Num._
+      val src = splitEventsDir(spark, sfDir)
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_incr_state")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum(dec(col("value"), 2)).as("value_partial"))
+            .write.mode("append").parquet(stateDir.toString)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches < 2)
+        throw new IllegalStateException(
+          s"incrementalAgg: expected multiple micro-batches over the split " +
+            s"source, got $dataBatches — incrementality untested")
+      val res = spark.read.parquet(stateDir.toString)
+        .groupBy("event_type")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("value_partial")).cast("double").as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint()
+      // partials are folded into `res`; drop the per-run state location
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
+      res
+    }
+
+  // totals over the whole stream == the plain batch aggregate
+  private val incrementalAggOracle = """
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
     Q("q44_streaming_window",
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
@@ -285,5 +450,11 @@ object StreamingOps extends QueryModule {
       (s, d) => sessionizeStateful(s, d), Some(sessionStatefulOracle)),
     Q("q69_stream_stream_join",
       (s, d) => streamStreamJoin(s, d), Some(streamStreamJoinOracle)),
+    // transformWithState twin of q45 — same fold, same oracle, new API +
+    // RocksDB state store
+    Q("q84_tws_sessionize",
+      (s, d) => twsSessionize(s, d), Some(sessionStatefulOracle)),
+    Q("q88_incremental_agg",
+      (s, d) => incrementalAgg(s, d), Some(incrementalAggOracle)),
   )
 }

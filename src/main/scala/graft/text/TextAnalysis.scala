@@ -259,6 +259,100 @@ object TextAnalysis extends QueryModule {
       FROM counts)
     SELECT lang, rk, tri, n FROM ranked WHERE rk <= 5 ORDER BY lang, rk"""
 
+  /** Repetition audit (Gopher/C4-style curation signal): per-document
+    * duplicate-token mass and heaviest token / adjacent-bigram
+    * frequencies — the metrics repetition filters threshold on before
+    * training. Integer-only outputs (counts, not fractions) so the
+    * oracle hash is immune to divide/round divergence; consumers derive
+    * ratios. One narrow pass: token stats via HOFs in the scan
+    * projection, top-counts via explode → two-phase hash aggregation
+    * (map-side combine keeps the shuffle at |doc × distinct-gram|).
+    */
+  def repetitionAudit(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+    val topTok = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_token_n"))
+    // guarded bigram build: sequence() flips to a DESCENDING step when
+    // start > stop, so a 1-token doc must yield array() not [0,-1]
+    val topBg = toks.select(col("doc_id"),
+        explode(expr("""CASE WHEN size(t) >= 2
+          THEN transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))
+          ELSE array() END""")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("top_bigram_n"))
+    base.join(topTok, Seq("doc_id"), "left").join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_tokens") - col("n_distinct")).as("dup_tokens"),
+        coalesce(col("top_token_n"), lit(0L)).as("top_token_n"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionOracle = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t),
+    tok AS (SELECT doc_id, MAX(cnt) AS top_token_n FROM (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    bg AS (SELECT doc_id, MAX(cnt) AS top_bigram_n FROM (
+      SELECT doc_id, b, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1])) AS b FROM t) GROUP BY doc_id, b)
+      GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, n_tokens - n_distinct AS dup_tokens,
+      COALESCE(top_token_n, 0) AS top_token_n,
+      COALESCE(top_bigram_n, 0) AS top_bigram_n
+    FROM base LEFT JOIN tok USING (doc_id) LEFT JOIN bg USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** PII scrubbing: redact emails and phone-shaped tokens with portable
+    * regexes (character classes + bounded quantifiers only — identical
+    * leftmost match under Java regex and RE2). The corpus text carries no
+    * PII, so each document is tainted with a deterministic doc_id-derived
+    * email + phone first; the md5 of the scrubbed text pins the exact
+    * replacement behavior in both engines. Pure scan-side projection —
+    * no shuffle, codegen'd end-to-end; at 100 TB this runs at read
+    * bandwidth.
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+[0-9][0-9-]{4,}[0-9]"
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val tainted = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com call +1-555-"), col("doc_id"), lit(" ok"))
+    docs.select(col("doc_id"), tainted.as("txt"))
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("txt"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("txt"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>").as("scrubbed"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("scrubbed")).as("scrub_md5"),
+        length(col("scrubbed")).cast("long").as("n_chars_scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubOracle = """
+    WITH t AS (SELECT doc_id,
+      text || ' contact user' || doc_id || '@mail.example.com call +1-555-' || doc_id || ' ok' AS txt
+      FROM documents),
+    s AS (SELECT doc_id, txt,
+      regexp_replace(regexp_replace(txt,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9][0-9-]{4,}[0-9]', '<PHONE>', 'g') AS scrubbed FROM t)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(txt, '\+[0-9][0-9-]{4,}[0-9]')) AS BIGINT) AS n_phones,
+      md5(scrubbed) AS scrub_md5,
+      CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed
+    FROM s ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("q61_lang_source_sets",
       (s, d) => langSourceSets(documents(s, d)), Some(langSourceSetsOracle)),
@@ -274,5 +368,9 @@ object TextAnalysis extends QueryModule {
       (s, d) => tokenCounts(documents(s, d)), Some(tokenCountsOracle)),
     Q("q24_fingerprints",
       (s, d) => fingerprints(documents(s, d)), Some(fingerprintsOracle)),
+    Q("q86_repetition_audit",
+      (s, d) => repetitionAudit(documents(s, d)), Some(repetitionOracle)),
+    Q("q87_pii_scrub",
+      (s, d) => piiScrub(documents(s, d)), Some(piiScrubOracle)),
   )
 }

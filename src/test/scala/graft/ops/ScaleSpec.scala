@@ -18,6 +18,19 @@ class ScaleSpec extends SparkSpec {
     assert(direct.toSeq == salted.toSeq)
   }
 
+  test("bloom-pruned join equals the plain join (false positives removed)") {
+    val l = Tables.lineitem(spark, sf("sf0.001"))
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val pruned = Scale.bloomPrunedRevenue(spark, l, o).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val plain = l.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
   test("bucketed join plan has no shuffle exchange") {
     val o = Tables.orders(spark, sf("sf0.001")).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf("sf0.001"))

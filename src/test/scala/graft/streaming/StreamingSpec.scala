@@ -69,6 +69,59 @@ class StreamingSpec extends SparkSpec {
     assert(s1.isRemoved, "state cleaned up after flush")
   }
 
+  test("transformWithState sessionize equals the flatMapGroups-family batch twin") {
+    val tws = StreamingOps.twsSessionize(spark, sf("sf0.001")).collect()
+    val batch = StreamingOps.sessionizeStateful(spark, sf("sf0.001")).collect()
+    assert(tws.length == batch.length)
+    assert(tws.map(_.toString).sorted.toSeq == batch.map(_.toString).sorted.toSeq)
+  }
+
+  test("transformWithState keeps the open session in state across micro-batches") {
+    import StreamingOps._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    StreamingOps.withRocksDb(spark) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val us = 1000000L
+      val ms = MemoryStream[Ev]
+      val name = s"graft_tws_multibatch_${System.nanoTime()}"
+      val q = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new SessionizeProcessor(emitOpenTail = false),
+          TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        // batch 1: two events 60s apart -> ONE open session, nothing emitted
+        ms.addData(Ev(1, 0 * us, 7, 1.0), Ev(2, 60 * us, 7, 2.0))
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 0, "open session must stay in state")
+        // batch 2: event past the 30-min gap -> closes the carried session
+        ms.addData(Ev(3, (60 + 1801) * us, 7, 3.0))
+        q.processAllAvailable()
+        val closed = spark.table(name).collect()
+        assert(closed.length == 1)
+        assert(closed(0).getAs[Long]("n_events") == 2L,
+          "closed session spans batch 1's two events — state persisted")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    }
+  }
+
+  test("incremental foreachBatch aggregate equals the batch aggregate") {
+    val incr = StreamingOps.incrementalAgg(spark, sf("sf0.001")).collect()
+    val batch = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incr.length == batch.size)
+    incr.foreach { r =>
+      assert(r.getAs[Long]("n_events") == batch(r.getAs[String]("event_type")))
+    }
+  }
+
   test("session state machine: gap splits, no gap merges, state persists") {
     import StreamingOps._
     // synthetic per-key run through the state function semantics

@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Curation-operator invariants (q86 repetition audit, q87 PII scrub) on
+  * hand-computed fixtures plus corpus-wide bounds — the oracle pins exact
+  * values; these pin the semantics a reader can check by hand.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("repetition audit: hand-computed fixture") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionAudit(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // "a a a b": 4 tokens, 2 distinct, 2 duplicated, top token "a"x3,
+    // top bigram "a a"x2
+    assert(byId(1L).getLong(1) == 4 && byId(1L).getLong(2) == 2)
+    assert(byId(1L).getLong(3) == 2)
+    assert(byId(1L).getLong(4) == 3 && byId(1L).getLong(5) == 2)
+    // "x y": no repetition, single bigram
+    assert(byId(2L).getLong(4) == 1 && byId(2L).getLong(5) == 1)
+    // single token: bigram count 0 (sequence() guard — not [0,-1])
+    assert(byId(3L).getLong(1) == 1 && byId(3L).getLong(5) == 0)
+  }
+
+  test("repetition audit: corpus-wide bounds") {
+    val rows = TextAnalysis.repetitionAudit(
+      Tables.documents(spark, sf("sf0.001"))).collect()
+    rows.foreach { r =>
+      val (n, d, dup, tt, tb) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(dup == n - d && dup >= 0)
+      assert(tt >= 1 && tt <= n)
+      assert(tb >= 0 && tb <= math.max(n - 1, 0))
+    }
+  }
+
+  test("pii scrub: every tainted doc redacts exactly its injected PII") {
+    import spark.implicits._
+    val one = Seq((7L, "hello")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(one).collect()(0)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1)
+    // expected scrubbed string is fully determined
+    val expected = "hello contact <EMAIL> call <PHONE> ok"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedMd5 = md.digest(expected.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(3) == expectedMd5)
+    assert(r.getLong(4) == expected.length.toLong)
+    // corpus-wide: word-soup text carries no PII of its own
+    val corpus = TextAnalysis.piiScrub(
+      Tables.documents(spark, sf("sf0.001"))).collect()
+    corpus.foreach(c => assert(c.getLong(1) == 1 && c.getLong(2) == 1))
+  }
+}
