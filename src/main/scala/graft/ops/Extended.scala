@@ -383,6 +383,94 @@ object Extended extends QueryModule {
         sqrt(CASE WHEN n * su2 - su * su > 0 THEN n * su2 - su * su ELSE 0.0 END), 0) AS corr_value_user
     FROM s ORDER BY event_type"""
 
+  /** Higher exact moments — skewness and kurtosis from the SAME
+    * single-pass power-sum algebra as [[exactMoments]], extended to
+    * Σx³/Σx⁴ via exact unscaled-integer decimals (see the in-body
+    * comment for why a plain double→decimal cast breaks at x⁴
+    * magnitudes). Central moments and the skewness/kurtosis ratios are
+    * then the identical IEEE expression tree in both engines — only *,
+    * /, and sqrt (all correctly rounded by spec), no pow() (libm pow
+    * differs across runtimes in the last ulp), and constant-bearing
+    * products written in Catalyst's ReorderAssociativeOperator canonical
+    * shape so the optimizer cannot regroup them away from the oracle's
+    * evaluation order. One two-phase hash-agg shuffle, |groups| rows.
+    */
+  def higherMoments(events: DataFrame): DataFrame = {
+    // Unscaled-integer power sums (the VectorSumDecAgg trick): value has
+    // exactly 2 decimal digits, so a = round(value·100) is an exact
+    // integer and a⁴ is an exact DECIMAL(38,0) product — summed with no
+    // rounding at all. A direct double→DECIMAL(38,8) cast of value⁴
+    // diverges between engines: the scaled magnitude (~1e19) exceeds
+    // 2^53, so DuckDB's scale-in-double conversion quantizes while
+    // Spark's exact BigDecimal expansion doesn't. Unscaling back to
+    // double (one cast + one correctly-rounded division) is engine-
+    // deterministic.
+    val a = round(col("value") * lit(100.0)).cast("decimal(38,0)")
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(a).as("t1"),
+        sum(a * a).as("t2"),
+        sum(a * a * a).as("t3"),
+        sum(a * a * a * a).as("t4"))
+      .select(col("event_type"), col("n"),
+        (col("t1").cast("double") / lit(100.0)).as("s1"),
+        (col("t2").cast("double") / lit(10000.0)).as("s2"),
+        (col("t3").cast("double") / lit(1000000.0)).as("s3"),
+        (col("t4").cast("double") / lit(100000000.0)).as("s4"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"), col("s3"),
+        col("s4"), expr("s1 / n").as("m"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"), col("s3"),
+        col("s4"), col("m"), expr("m * m").as("mm"))
+      // constant-bearing products are written in Catalyst's canonical
+      // shape — constant leftmost, non-constants grouped left-assoc —
+      // so ReorderAssociativeOperator's regrouping is a no-op and the
+      // oracle (which has no such rule) evaluates the identical tree;
+      // 3*m*m*m*m spelled naively regroups to 3*(m·m·m·m) and flips the
+      // last ulp
+      .select(col("event_type"), col("n"), col("m"),
+        expr("s2 / n - mm").as("m2"),
+        expr("s3 / n - 3 * (m * (s2 / n)) + 2 * (mm * m)").as("m3"),
+        expr("s4 / n - 4 * (m * (s3 / n)) + 6 * (mm * (s2 / n)) - 3 * (mm * mm)")
+          .as("m4"))
+      .select(col("event_type"), col("n"),
+        col("m").as("mean_value"),
+        col("m2").as("var_pop"),
+        expr("CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE NULL END")
+          .as("skewness"),
+        expr("CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 ELSE NULL END")
+          .as("kurtosis"))
+      .orderBy("event_type")
+  }
+
+  private val higherMomentsOracle = """
+    WITH raw AS (
+      SELECT event_type,
+        CAST(round(value * 100.0) AS DECIMAL(38,0)) AS a
+      FROM events),
+    -- decimal->double goes through VARCHAR: DuckDB's direct HUGEINT->
+    -- DOUBLE cast is not correctly rounded once the sum exceeds int64
+    -- (upper*2^64 + lower, two double roundings), while string->double
+    -- and Spark's BigDecimal->double both are
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(CAST(SUM(a) AS VARCHAR) AS DOUBLE) / 100.0 AS s1,
+        CAST(CAST(SUM(a * a) AS VARCHAR) AS DOUBLE) / 10000.0 AS s2,
+        CAST(CAST(SUM(a * a * a) AS VARCHAR) AS DOUBLE) / 1000000.0 AS s3,
+        CAST(CAST(SUM(a * a * a * a) AS VARCHAR) AS DOUBLE) / 100000000.0 AS s4
+      FROM raw GROUP BY event_type),
+    c1 AS (SELECT *, s1 / n AS m FROM s),
+    c1b AS (SELECT *, m * m AS mm FROM c1),
+    c2 AS (SELECT *,
+        s2 / n - mm AS m2,
+        s3 / n - 3 * (m * (s2 / n)) + 2 * (mm * m) AS m3,
+        s4 / n - 4 * (m * (s3 / n)) + 6 * (mm * (s2 / n)) - 3 * (mm * mm) AS m4
+      FROM c1b)
+    SELECT event_type, n, m AS mean_value, m2 AS var_pop,
+      CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) ELSE NULL END AS skewness,
+      CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 ELSE NULL END AS kurtosis
+    FROM c2 ORDER BY event_type"""
+
   /** Time-series gap fill: hourly event counts joined against the
     * complete hour spine between the corpus bounds, zero-filling silent
     * hours — the date-spine completion every monitoring/feature pipeline
@@ -503,6 +591,8 @@ object Extended extends QueryModule {
     Q("q80_gap_fill", (s, d) => gapFill(events(s, d)), Some(gapFillOracle)),
     Q("q79_exact_moments",
       (s, d) => exactMoments(events(s, d)), Some(exactMomentsOracle)),
+    Q("q90_higher_moments",
+      (s, d) => higherMoments(events(s, d)), Some(higherMomentsOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),

@@ -165,8 +165,43 @@ object Funcs extends QueryModule {
       COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Bitwise operator suite: row-level &, |, ^, ~, shifts and popcount
+    * folded through the bit_and/bit_or/bit_xor aggregates per group —
+    * integer-exact in both engines (no float divergence possible).
+    * Operator spellings differ (Spark `^` = DuckDB `xor()`, DuckDB `^` is
+    * POWER; Spark `shiftleft()` = DuckDB `<<`), semantics are two's-
+    * complement int64 in both.
+    */
+  def bitwiseSuite(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_and(event_id & 1023)").as("and_low"),
+        expr("bit_or(event_id & 1023)").as("or_low"),
+        expr("bit_xor(user_id)").as("xor_users"),
+        sum(expr("bit_count(event_id)").cast("long")).as("total_bits"),
+        sum(expr("shiftright(event_id, 2)")).as("sum_shr"),
+        sum(expr("shiftleft(user_id, 3)")).as("sum_shl"),
+        sum(expr("event_id ^ user_id")).as("sum_xor"),
+        sum(expr("~event_id & 1023")).as("sum_not_low"))
+      .orderBy("event_type")
+
+  private val bitwiseOracle = """
+    SELECT event_type, COUNT(*) AS n,
+      bit_and(event_id & 1023) AS and_low,
+      bit_or(event_id & 1023) AS or_low,
+      bit_xor(user_id) AS xor_users,
+      CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_bits,
+      CAST(SUM(event_id >> 2) AS BIGINT) AS sum_shr,
+      CAST(SUM(user_id << 3) AS BIGINT) AS sum_shl,
+      CAST(SUM(xor(event_id, user_id)) AS BIGINT) AS sum_xor,
+      CAST(SUM(~event_id & 1023) AS BIGINT) AS sum_not_low
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
     Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
+    Q("q91_bitwise_suite",
+      (s, d) => bitwiseSuite(events(s, d)), Some(bitwiseOracle)),
     Q("q59_pivot_revenue",
       (s, d) => pivotRevenue(orders(s, d), customer(s, d)), Some(pivotOracle)),
     Q("q60_string_agg", (s, d) => stringAgg(lineitem(s, d)), Some(stringAggOracle)),

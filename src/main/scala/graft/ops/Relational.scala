@@ -410,6 +410,44 @@ object Relational extends QueryModule {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via the BUILTIN session_window aggregate — the
+    * idiomatic Spark spelling (works identically over a stream with a
+    * watermark), completing the family: window-SQL (q19),
+    * flatMapGroupsWithState (q45), transformWithState (q84), builtin
+    * (this). Physical plan: sort within user partitions + merging
+    * session-window aggregation — no per-row window state, shuffle keyed
+    * on user_id only.
+    *
+    * Boundary semantics differ from q19/q45 by design: session_window
+    * treats the window as half-open [first, last+gap), so a gap of
+    * EXACTLY 30 minutes starts a new session (>=), while the lag-based
+    * twins split only on strict >. The oracle mirrors >=.
+    */
+  def sessionWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
+  private val sessionWindowOracle = """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_us"""
+
   private val sessionizeOracle = """
     WITH g AS (
       SELECT user_id, event_id, ts, value,
@@ -656,6 +694,8 @@ object Relational extends QueryModule {
       (s, d) => runningTotals(events(s, d)), Some(runningOracle)),
     Q("q19_sessionize",
       (s, d) => sessionize(events(s, d)), Some(sessionizeOracle)),
+    Q("q89_session_window",
+      (s, d) => sessionWindow(events(s, d)), Some(sessionWindowOracle)),
     Q("q33_revenue_rollup",
       (s, d) => revenueRollup(orders(s, d), customer(s, d)), Some(rollupOracle)),
     Q("q34_last_error_before_purchase",
