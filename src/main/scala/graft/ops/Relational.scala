@@ -410,6 +410,33 @@ object Relational extends QueryModule {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sliding (hopping) event-time windows — each event contributes to
+    * width/slide buckets (here 10 min / 5 min = exactly 2), completing
+    * the window family: tumbling (q16), sliding (this), session (q89).
+    * Spark replicates rows into their windows scan-side (no self-join);
+    * the oracle mirrors that with an explicit 2-element unnest onto the
+    * same epoch-aligned 5-minute grid.
+    */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+        .getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("win_start_us")
+
+  private val slidingWindowOracle = """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS win_start,
+             value
+      FROM events)
+    SELECT epoch_us(win_start) AS win_start_us, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start ORDER BY win_start_us"""
+
   /** Sessionization via the BUILTIN session_window aggregate — the
     * idiomatic Spark spelling (works identically over a stream with a
     * watermark), completing the family: window-SQL (q19),
@@ -559,6 +586,30 @@ object Relational extends QueryModule {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    * Spark 4 sketch function family): per-group sketches built
+    * distributed, a re-aggregated union proving mergeability (the
+    * property that matters at 100 TB — per-partition/per-day sketches
+    * union into corpus totals without rescanning), estimates next to
+    * exact counts. The sketch binary is engine-specific so this is a
+    * rows-only query; OperatorSpec pins the error bound and the
+    * union==whole identity.
+    */
+  def hllSketchDistinct(events: DataFrame): DataFrame = {
+    val perType = events.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    perType.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est_users"), col("exact_users"))
+      .unionByName(
+        // union of the per-type sketches == sketch of the whole table
+        perType.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_users"))
+          .select(lit("ALL").as("event_type"), col("est_users"),
+            lit(null).cast("long").as("exact_users")))
+      .orderBy("event_type")
+  }
+
   /** Window-function suite: rank/dense_rank (value order, ties allowed —
     * both are tie-stable), ntile and lag over fully-tiebroken orders.
     */
@@ -696,6 +747,8 @@ object Relational extends QueryModule {
       (s, d) => sessionize(events(s, d)), Some(sessionizeOracle)),
     Q("q89_session_window",
       (s, d) => sessionWindow(events(s, d)), Some(sessionWindowOracle)),
+    Q("q92_sliding_window",
+      (s, d) => slidingWindow(events(s, d)), Some(slidingWindowOracle)),
     Q("q33_revenue_rollup",
       (s, d) => revenueRollup(orders(s, d), customer(s, d)), Some(rollupOracle)),
     Q("q34_last_error_before_purchase",
@@ -704,6 +757,8 @@ object Relational extends QueryModule {
       (s, d) => stratifiedSplitAudit(lineitem(s, d), s), None),
     Q("q36_approx_distinct",
       (s, d) => approxDistinct(lineitem(s, d)), None),
+    Q("q93_hll_sketch",
+      (s, d) => hllSketchDistinct(events(s, d)), None),
     Q("q48_window_suite",
       (s, d) => windowSuite(events(s, d)), Some(windowSuiteOracle)),
     Q("q49_outer_join_audit",

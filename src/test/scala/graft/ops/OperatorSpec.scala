@@ -111,4 +111,19 @@ class OperatorSpec extends SparkSpec {
     assert(s.filter(col("session_start") > col("session_end")).count() == 0)
     assert(s.filter(col("n_events") < 1).count() == 0)
   }
+
+  test("hll sketches: per-group estimates within 5% of exact, union covers whole table") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val rows = Relational.hllSketchDistinct(ev).collect()
+    val (all, per) = rows.partition(_.getString(0) == "ALL")
+    assert(per.nonEmpty && all.length == 1)
+    per.foreach { r =>
+      val est = r.getLong(1); val exact = r.getLong(2)
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+    val exactAll = ev.select("user_id").distinct().count()
+    assert(math.abs(all(0).getLong(1) - exactAll).toDouble / exactAll < 0.05,
+      s"union estimate ${all(0).getLong(1)} vs exact $exactAll")
+  }
 }
