@@ -367,8 +367,12 @@ object Extended extends QueryModule {
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
         CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2,
-        CAST(SUM(user_id) AS DOUBLE) AS su,
-        CAST(SUM(user_id * user_id) AS DOUBLE) AS su2,
+        -- id sums through VARCHAR before DOUBLE: DuckDB's direct HUGEINT->
+        -- DOUBLE cast is not correctly rounded past int64 (see
+        -- higherMomentsOracle); the per-row square is promoted to HUGEINT
+        -- so the multiply itself cannot overflow either
+        CAST(CAST(SUM(user_id) AS VARCHAR) AS DOUBLE) AS su,
+        CAST(CAST(SUM(CAST(user_id AS HUGEINT) * user_id) AS VARCHAR) AS DOUBLE) AS su2,
         CAST(SUM(CAST(value * user_id AS DECIMAL(18,2))) AS DOUBLE) AS s11
       FROM events GROUP BY event_type)
     SELECT event_type, n,

@@ -180,9 +180,17 @@ object Funcs extends QueryModule {
         expr("bit_or(event_id & 1023)").as("or_low"),
         expr("bit_xor(user_id)").as("xor_users"),
         sum(expr("bit_count(event_id)").cast("long")).as("total_bits"),
-        sum(expr("shiftright(event_id, 2)")).as("sum_shr"),
-        sum(expr("shiftleft(user_id, 3)")).as("sum_shl"),
-        sum(expr("event_id ^ user_id")).as("sum_xor"),
+        // id-magnitude sums grow ~N²: promote addends to decimal(38,0)
+        // (exact, like q79/q90) instead of raw int64 sums that ANSI-
+        // overflow around 4e9 rows; DuckDB's SUM is already HUGEINT.
+        // The final BIGINT output cast overflows identically in both
+        // engines if the total itself outgrows int64.
+        sum(expr("shiftright(event_id, 2)").cast("decimal(38,0)"))
+          .cast("long").as("sum_shr"),
+        sum(expr("shiftleft(user_id, 3)").cast("decimal(38,0)"))
+          .cast("long").as("sum_shl"),
+        sum(expr("event_id ^ user_id").cast("decimal(38,0)"))
+          .cast("long").as("sum_xor"),
         sum(expr("~event_id & 1023")).as("sum_not_low"))
       .orderBy("event_type")
 

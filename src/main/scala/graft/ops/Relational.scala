@@ -596,9 +596,13 @@ object Relational extends QueryModule {
     * union==whole identity.
     */
   def hllSketchDistinct(events: DataFrame): DataFrame = {
+    // localCheckpoint: the tiny per-type sketch table feeds BOTH output
+    // branches; without it each branch re-scans and re-aggregates the
+    // events table
     val perType = events.groupBy("event_type")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
         countDistinct(col("user_id")).as("exact_users"))
+      .localCheckpoint()
     perType.select(col("event_type"),
         expr("hll_sketch_estimate(sk)").as("est_users"), col("exact_users"))
       .unionByName(

@@ -82,6 +82,10 @@ object Scale extends QueryModule {
     // two passes over the SMALL side beat a mis-sized filter on the big one
     val nKeys = math.max(urgent.count(), 1L)
     val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    // the broadcast's only driver-side reference lives in the returned
+    // plan's UDF closure, so ContextCleaner reclaims executor copies as
+    // soon as the caller drops the DataFrame — retention is bounded by
+    // the query's lifetime, not the session's
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
     lineitem.filter(mightContain(col("l_orderkey")))

@@ -220,15 +220,18 @@ object StreamingOps extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    if (dataBatches > 1)
-      throw new IllegalStateException(
-        s"streamStreamJoin: source split into $dataBatches data micro-batches; " +
-          "the batch-oracle equivalence assumes a single AvailableNow batch " +
-          "(multi-file fixture? set maxFilesPerTrigger or drop the oracle)")
-    val res = spark.table(name).orderBy("p_event_id", "e_event_id").localCheckpoint()
-    spark.catalog.dropTempView(name)
-    res
+    // guard + materialize under finally: drop the memory-sink table even
+    // when the guard throws (otherwise the join result stays pinned in
+    // driver memory for the session lifetime)
+    try {
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      if (dataBatches > 1)
+        throw new IllegalStateException(
+          s"streamStreamJoin: source split into $dataBatches data micro-batches; " +
+            "the batch-oracle equivalence assumes a single AvailableNow batch " +
+            "(multi-file fixture? set maxFilesPerTrigger or drop the oracle)")
+      spark.table(name).orderBy("p_event_id", "e_event_id").localCheckpoint()
+    } finally spark.catalog.dropTempView(name)
   }
 
   private val streamStreamJoinOracle = """
@@ -354,15 +357,18 @@ object StreamingOps extends QueryModule {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      if (dataBatches > 1)
-        throw new IllegalStateException(
-          s"twsSessionize: $dataBatches data micro-batches; emitOpenTail " +
-            "oracle equivalence assumes a single AvailableNow batch")
-      val res = spark.table(name)
-        .orderBy("user_id", "session_start_us").localCheckpoint()
-      spark.catalog.dropTempView(name)
-      res
+      // guard + materialize under finally: the memory-sink table must be
+      // dropped even when the guard throws, or the full result set stays
+      // pinned in driver memory for the session lifetime
+      try {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1)
+          throw new IllegalStateException(
+            s"twsSessionize: $dataBatches data micro-batches; emitOpenTail " +
+              "oracle equivalence assumes a single AvailableNow batch")
+        spark.table(name)
+          .orderBy("user_id", "session_start_us").localCheckpoint()
+      } finally spark.catalog.dropTempView(name)
     }}
 
   /** Incremental aggregation via foreachBatch — the streaming pattern
@@ -385,9 +391,14 @@ object StreamingOps extends QueryModule {
   private def splitEventsDir(spark: SparkSession, sfDir: String): String =
     splitDirs.computeIfAbsent(sfDir, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_events_split")
-      dir.toFile.deleteOnExit()
       graft.Tables.events(spark, sfDir).repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
+      // deleteOnExit on the dir alone is a no-op for non-empty dirs:
+      // register every written child too (LIFO deletion order empties
+      // the dir before removing it)
+      dir.toFile.deleteOnExit()
+      val listing = java.nio.file.Files.list(dir)
+      try listing.forEach(p => p.toFile.deleteOnExit()) finally listing.close()
       dir.toString
     })
 
@@ -416,23 +427,26 @@ object StreamingOps extends QueryModule {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      if (dataBatches < 2)
-        throw new IllegalStateException(
-          s"incrementalAgg: expected multiple micro-batches over the split " +
-            s"source, got $dataBatches — incrementality untested")
-      val res = spark.read.parquet(stateDir.toString)
-        .groupBy("event_type")
-        .agg(sum(col("n_events")).as("n_events"),
-          sum(col("value_partial")).cast("double").as("total_value"))
-        .orderBy("event_type")
-        .localCheckpoint()
-      // partials are folded into `res`; drop the per-run state location
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
-      res
+      try {
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 2)
+          throw new IllegalStateException(
+            s"incrementalAgg: expected multiple micro-batches over the split " +
+              s"source, got $dataBatches — incrementality untested")
+        spark.read.parquet(stateDir.toString)
+          .groupBy("event_type")
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("value_partial")).cast("double").as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally {
+        // partials are folded into the checkpointed result (or the run
+        // failed): drop the per-run state location either way
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
+      }
     }
 
   // totals over the whole stream == the plain batch aggregate
