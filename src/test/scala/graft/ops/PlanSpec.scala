@@ -76,4 +76,33 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2,
       s"too many exchanges:\n${p.take(1500)}")
   }
+
+  test("q85: bloom pre-filter sits on the fact scan side, join is broadcast") {
+    val p = plan("q85_bloom_prune")
+    // the UDF bloom probe must run BEFORE the join (scan-side filter,
+    // keeping non-matching fact rows out of the join's input)
+    val filterIdx = p.indexOf("Filter")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim side should broadcast:\n${p.take(1200)}")
+  }
+
+  test("q89: session_window is a merging session aggregation, not a row window") {
+    val p = plan("q89_session_window")
+    assert(p.toLowerCase.contains("session"),
+      s"expected session-window physical operators:\n${p.take(1200)}")
+    assert(!p.contains("Window "),
+      "builtin session windows must not fall back to a per-row window function")
+  }
+
+  test("q92: sliding window expands rows scan-side (no self-join)") {
+    val p = plan("q92_sliding_window")
+    assert(p.contains("Expand") || p.contains("explode"),
+      s"expected scan-side row-to-window expansion:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "sliding windows must not join")
+    // still a two-phase aggregation over the expanded rows
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > firstAgg)
+  }
 }
