@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule}
 import graft.Tables._
@@ -206,10 +206,35 @@ object Funcs extends QueryModule {
       CAST(SUM(~event_id & 1023) AS BIGINT) AS sum_not_low
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Per-type weighted mean via the typed Aggregator API (weight =
+    * event_id%10 + 1, a deterministic stand-in for a sampling weight).
+    * See [[graft.functions.WeightedMeanAgg]] for the exactness contract.
+    */
+  def weightedMean(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.WeightedMeanAgg
+    events
+      .select(col("event_type"),
+        col("value"), (col("event_id") % 10 + 1).as("w"))
+      .as[WeightedMeanAgg.EvW]
+      .groupByKey(_.event_type)
+      .agg(WeightedMeanAgg.weightedMean.toColumn.name("wmean"))
+      .toDF("event_type", "wmean")
+      .orderBy("event_type")
+  }
+
+  private val weightedMeanOracle = """
+    SELECT event_type,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * ((event_id % 10) + 1)) AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM((event_id % 10) + 1) AS VARCHAR) AS DOUBLE) AS wmean
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
     Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
     Q("q91_bitwise_suite",
       (s, d) => bitwiseSuite(events(s, d)), Some(bitwiseOracle)),
+    Q("q94_weighted_mean",
+      (s, d) => weightedMean(s, events(s, d)), Some(weightedMeanOracle)),
     Q("q59_pivot_revenue",
       (s, d) => pivotRevenue(orders(s, d), customer(s, d)), Some(pivotOracle)),
     Q("q60_string_agg", (s, d) => stringAgg(lineitem(s, d)), Some(stringAggOracle)),
