@@ -455,6 +455,78 @@ object StreamingOps extends QueryModule {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Keyed incremental upsert (CDC/SCD-1 latest-wins) — the OTHER
+    * foreachBatch table-maintenance pattern next to q88's additive
+    * aggregation: each micro-batch reduces to one row per key (argmax by
+    * (ts, event_id) — associative and commutative over a total order, so
+    * batch arrival order cannot change the result), then merges into the
+    * keyed state by the same rule, written as a fresh versioned snapshot
+    * per batch (poor-man's table versioning; at 100 TB the snapshot
+    * write becomes a MERGE into a key-bucketed table and the per-batch
+    * cost is |batch keys| + touched buckets, not the full table). The
+    * final state over the finite split source equals the batch
+    * latest-event-per-user query, q08's shape in integer micros.
+    */
+  def incrementalUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      import org.apache.spark.sql.expressions.Window
+      val src = splitEventsDir(spark, sfDir)
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+      def latestWins(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+      var current: Option[String] = None
+      try {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val b = latestWins(batch.select(col("user_id"), col("event_id"),
+              col("event_type"), unix_micros(col("ts")).as("ts_us"),
+              col("value")))
+            val merged = current match {
+              case None    => b
+              case Some(p) => latestWins(spark.read.parquet(p).unionByName(b))
+            }
+            val next = s"$stateDir/v$id"
+            merged.write.mode("overwrite").parquet(next)
+            current = Some(next)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches < 2)
+          throw new IllegalStateException(
+            s"incrementalUpsert: expected multiple micro-batches, got " +
+              s"$dataBatches — incrementality untested")
+        spark.read.parquet(current.get).orderBy("user_id").localCheckpoint()
+      } finally {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
+      }
+    }
+
+  // final upserted state == batch latest-event-per-user (q08 in micros)
+  private val incrementalUpsertOracle = """
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("q44_streaming_window",
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
@@ -470,5 +542,7 @@ object StreamingOps extends QueryModule {
       (s, d) => twsSessionize(s, d), Some(sessionStatefulOracle)),
     Q("q88_incremental_agg",
       (s, d) => incrementalAgg(s, d), Some(incrementalAggOracle)),
+    Q("q95_incremental_upsert",
+      (s, d) => incrementalUpsert(s, d), Some(incrementalUpsertOracle)),
   )
 }
