@@ -402,32 +402,39 @@ object StreamingOps extends QueryModule {
       dir.toString
     })
 
+  /** The split-source events schema, shared by both foreachBatch
+    * maintenance queries (after Tables.events' nanos→micros conversion,
+    * ts is a plain TimestampType).
+    */
+  private val splitEventsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
   def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame =
     withStatePartitions(spark, 8) {
       import graft.Num._
       val src = splitEventsDir(spark, sfDir)
       val stateDir = java.nio.file.Files.createTempDirectory("graft_incr_state")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.groupBy("event_type")
-            .agg(count(lit(1)).as("n_events"),
-              sum(dec(col("value"), 2)).as("value_partial"))
-            .write.mode("append").parquet(stateDir.toString)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // stream construction/start inside the try: a start-time failure
+      // must still delete the state dir
       try {
+        val q = spark.readStream.schema(splitEventsSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .writeStream
+          .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n_events"),
+                sum(dec(col("value"), 2)).as("value_partial"))
+              .write.mode("append").parquet(stateDir.toString)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
         q.awaitTermination()
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         if (dataBatches < 2)
@@ -472,13 +479,6 @@ object StreamingOps extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val src = splitEventsDir(spark, sfDir)
       val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
       def latestWins(df: DataFrame): DataFrame = {
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts_us").desc, col("event_id").desc)
@@ -487,7 +487,7 @@ object StreamingOps extends QueryModule {
       }
       var current: Option[String] = None
       try {
-        val q = spark.readStream.schema(schema)
+        val q = spark.readStream.schema(splitEventsSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(src)
           .writeStream

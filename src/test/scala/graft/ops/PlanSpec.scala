@@ -79,13 +79,16 @@ class PlanSpec extends SparkSpec {
 
   test("q85: bloom pre-filter sits on the fact scan side, join is broadcast") {
     val p = plan("q85_bloom_prune")
-    // the UDF bloom probe must run BEFORE the join (scan-side filter,
-    // keeping non-matching fact rows out of the join's input)
-    val filterIdx = p.indexOf("Filter")
-    val joinIdx = p.indexOf("Join")
-    assert(filterIdx >= 0 && joinIdx >= 0)
-    assert(p.contains("BroadcastHashJoin"),
-      s"dim side should broadcast:\n${p.take(1200)}")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"dim side should broadcast:\n${p.take(1200)}")
+    // treeString prints children below their parent: the UDF bloom probe
+    // must appear between the join node and the lineitem scan, i.e. as a
+    // filter INSIDE the join's fact-side subtree, not above the join
+    val factScanIdx = p.indexOf("lineitem.parquet")
+    assert(factScanIdx > joinIdx, "fact scan must be a child of the join")
+    val probeIdx = p.indexOf("UDF(", joinIdx)
+    assert(probeIdx >= 0 && probeIdx < factScanIdx,
+      s"bloom UDF probe must filter the fact scan before the join:\n${p.take(1500)}")
   }
 
   test("q89: session_window is a merging session aggregation, not a row window") {
