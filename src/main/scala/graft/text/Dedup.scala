@@ -325,9 +325,82 @@ object Dedup extends QueryModule {
       CAST(SUM(n_tokens) AS BIGINT) AS token_budget
     FROM tagged GROUP BY split, lang ORDER BY split, lang"""
 
+  /** Connected components over the near-dup pair graph — the completion
+    * step that turns pairwise similarity (q27/q28) into duplicate
+    * CLUSTERS, via iterative min-label propagation: every node adopts
+    * the minimum label among itself and its neighbors until fixpoint.
+    * Each iteration is one join + aggregation (shuffle ∝ |edges|), the
+    * driver only checks a change COUNT, and `localCheckpoint` truncates
+    * the growing lineage per round — the standard Spark iterative-
+    * algorithm shape (GraphFrames CC; at extreme diameters the
+    * large-star/small-star variant halves the round count, same
+    * per-round plan). Converges in O(component diameter) rounds. The
+    * oracle computes the same components by recursive transitive
+    * closure (tractable at oracle SFs; label propagation IS the
+    * at-scale formulation because closure materializes O(n²) pairs per
+    * component).
+    */
+  /** Min-label propagation to fixpoint over an undirected edge list
+    * `(doc_a, doc_b)` → `(doc_id, component_id)` where component_id is
+    * the minimum node id in the component. Factored from
+    * [[dupComponents]] so the iteration can be spec-driven on synthetic
+    * multi-round graphs.
+    */
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = adj.join(labels, adj("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  def dupComponents(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    connectedComponents(jaccardPairs(docs, threshold))
+
+  private val dupComponentsOracle = s"""
+    WITH RECURSIVE sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    good AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM good
+      UNION ALL SELECT doc_b, doc_a FROM good),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a)
+    SELECT node AS doc_id, MIN(r) AS component_id
+    FROM reach GROUP BY node ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("q25_exact_dedup",
       (s, d) => exactDedup(documents(s, d)), Some(exactDedupOracle)),
+    Q("q96_dup_components",
+      (s, d) => dupComponents(documents(s, d)), Some(dupComponentsOracle)),
     Q("q78_curation_pipeline",
       (s, d) => curationPipeline(documents(s, d)), Some(curationOracle)),
     Q("q68_containment_pairs",

@@ -38,6 +38,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("connected components: multi-round propagation on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 forces >1 propagation round) + pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("pii scrub: every tainted doc redacts exactly its injected PII") {
     import spark.implicits._
     val one = Seq((7L, "hello")).toDF("doc_id", "text")
