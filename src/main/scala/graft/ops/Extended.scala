@@ -196,6 +196,64 @@ object Extended extends QueryModule {
         x -> x IN ('the', 'a', 'of'))), '|'), '') AS stop_hits
     FROM s ORDER BY doc_id"""
 
+  /** Array set-operation suite: intersect/union/except/overlap between
+    * the first and second half of each document's token stream —
+    * vocabulary drift within a document, the kind of array set algebra
+    * feature pipelines run per row. Results are canonicalized
+    * (distinct + sort + string-join) because the two engines' set ops
+    * agree on MEMBERSHIP but not on element order. Pure scan-side HOFs,
+    * no shuffle.
+    */
+  def arraySetOps(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        expr("slice(t, 1, size(t) div 2)").as("a"),
+        expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)").as("b"))
+      .select(
+        col("doc_id"),
+        concat_ws("|", expr("sort_array(array_distinct(array_intersect(a, b)))"))
+          .as("inter"),
+        size(expr("array_union(a, b)")).cast("long").as("n_union"),
+        size(expr("array_except(a, b)")).cast("long").as("n_a_only"),
+        expr("arrays_overlap(a, b)").cast("long").as("overlaps"))
+      .orderBy("doc_id")
+
+  private val arraySetOpsOracle = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    h AS (SELECT doc_id,
+            t[1:len(t)//2] AS a,
+            t[len(t)//2+1:] AS b
+          FROM s)
+    SELECT doc_id,
+      COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), '|'), '') AS inter,
+      CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+      CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS BIGINT) AS n_a_only,
+      CAST(list_has_any(a, b) AS BIGINT) AS overlaps
+    FROM h ORDER BY doc_id"""
+
+  /** Provenance columns from the scan: every curation pipeline needs to
+    * answer "which file did this row come from" for audits/takedowns;
+    * Spark exposes it as the hidden `_metadata` struct on file scans (no
+    * input_file_name() UDF call, no extra I/O — the value is attached at
+    * scan time). Grouped per source file so the output is a compact
+    * per-file manifest.
+    */
+  def provenanceManifest(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), expr("_metadata.file_name").as("file_name"))
+      .groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("file_name")
+
+  // single-file table: the manifest is fully determined
+  private val provenanceOracle = """
+    SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows,
+      MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY 1 ORDER BY file_name"""
+
   /** explode_outer: docs with no qualifying token survive as a null row
     * (the left-lateral semantics `explode` would silently drop — the
     * difference only shows on empty arrays, which ~1/5 of the corpus
@@ -597,6 +655,10 @@ object Extended extends QueryModule {
       (s, d) => exactMoments(events(s, d)), Some(exactMomentsOracle)),
     Q("q90_higher_moments",
       (s, d) => higherMoments(events(s, d)), Some(higherMomentsOracle)),
+    Q("q97_array_set_ops",
+      (s, d) => arraySetOps(documents(s, d)), Some(arraySetOpsOracle)),
+    Q("q98_provenance_manifest",
+      (s, d) => provenanceManifest(s, d), Some(provenanceOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),
