@@ -212,7 +212,8 @@ object Extended extends QueryModule {
         expr("slice(t, size(t) div 2 + 1, size(t) - size(t) div 2)").as("b"))
       .select(
         col("doc_id"),
-        concat_ws("|", expr("sort_array(array_distinct(array_intersect(a, b)))"))
+        // array_intersect already dedups; sort_array canonicalizes order
+        concat_ws("|", expr("sort_array(array_intersect(a, b))"))
           .as("inter"),
         size(expr("array_union(a, b)")).cast("long").as("n_union"),
         size(expr("array_except(a, b)")).cast("long").as("n_a_only"),
@@ -241,7 +242,7 @@ object Extended extends QueryModule {
     * per-file manifest.
     */
   def provenanceManifest(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr("_metadata.file_name").as("file_name"))
       .groupBy("file_name")
       .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_doc"),

@@ -325,28 +325,21 @@ object Dedup extends QueryModule {
       CAST(SUM(n_tokens) AS BIGINT) AS token_budget
     FROM tagged GROUP BY split, lang ORDER BY split, lang"""
 
-  /** Connected components over the near-dup pair graph — the completion
-    * step that turns pairwise similarity (q27/q28) into duplicate
-    * CLUSTERS, via iterative min-label propagation: every node adopts
-    * the minimum label among itself and its neighbors until fixpoint.
-    * Each iteration is one join + aggregation (shuffle ∝ |edges|), the
-    * driver only checks a change COUNT, and `localCheckpoint` truncates
-    * the growing lineage per round — the standard Spark iterative-
-    * algorithm shape (GraphFrames CC; at extreme diameters the
-    * large-star/small-star variant halves the round count, same
-    * per-round plan). Converges in O(component diameter) rounds. The
-    * oracle computes the same components by recursive transitive
-    * closure (tractable at oracle SFs; label propagation IS the
-    * at-scale formulation because closure materializes O(n²) pairs per
-    * component).
-    */
   /** Min-label propagation to fixpoint over an undirected edge list
     * `(doc_a, doc_b)` → `(doc_id, component_id)` where component_id is
     * the minimum node id in the component. Factored from
     * [[dupComponents]] so the iteration can be spec-driven on synthetic
     * multi-round graphs.
+    *
+    * Memory lifetime: each round's localCheckpoint table is
+    * |pair-participating docs| rows (a small fraction of the corpus);
+    * dead rounds' blocks are reclaimed by ContextCleaner once the
+    * superseded DataFrame is unreachable (Dataset.unpersist does not
+    * apply to checkpoint blocks). A round cap turns a pathological
+    * non-converging graph into a loud failure instead of an unbounded
+    * loop.
     */
-  def connectedComponents(edges0: DataFrame): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = edges0.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -354,7 +347,13 @@ object Dedup extends QueryModule {
     var labels = adj.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxRounds rounds " +
+            "(diameter larger than the cap? raise maxRounds)")
       val neighborMin = adj.join(labels, adj("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       val updated = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
@@ -370,6 +369,21 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the near-dup pair graph — the completion
+    * step that turns pairwise similarity (q27/q28) into duplicate
+    * CLUSTERS, via iterative min-label propagation: every node adopts
+    * the minimum label among itself and its neighbors until fixpoint.
+    * Each iteration is one join + aggregation (shuffle ∝ |edges|), the
+    * driver only checks a change COUNT, and `localCheckpoint` truncates
+    * the growing lineage per round — the standard Spark iterative-
+    * algorithm shape (GraphFrames CC; at extreme diameters the
+    * large-star/small-star variant halves the round count, same
+    * per-round plan). Converges in O(component diameter) rounds. The
+    * oracle computes the same components by recursive transitive
+    * closure (tractable at oracle SFs; label propagation IS the
+    * at-scale formulation because closure materializes O(n²) pairs per
+    * component).
+    */
   def dupComponents(docs: DataFrame, threshold: Double = 0.6): DataFrame =
     connectedComponents(jaccardPairs(docs, threshold))
 
