@@ -378,6 +378,36 @@ object Extended extends QueryModule {
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY gid, st, prio"""
 
+  /** Explicit GROUPING SETS via the first-class Dataset.groupingSets API
+    * (Spark 4) — the general form of which rollup (q33) and cube
+    * (q65/q77) are special cases: exactly the requested grouping
+    * combinations, one Expand + two-phase aggregation, no redundant
+    * sets. Here: (status, priority), (status), and the grand total.
+    */
+  def groupingSetsAudit(orders: DataFrame): DataFrame = {
+    import graft.Num._
+    orders.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n_orders"), col("total_price"))
+      .orderBy("st", "prio")
+  }
+
+  private val groupingSetsOracle = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+           COALESCE(o_orderpriority, 'ALL') AS prio,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY st, prio"""
+
   /** Statistical aggregates, exactly: builtin stddev/var/corr merge
     * partial moments in partition order (last-ulp nondeterminism the
     * oracle gate cannot tolerate), so the moments are derived from exact
@@ -660,6 +690,8 @@ object Extended extends QueryModule {
       (s, d) => arraySetOps(documents(s, d)), Some(arraySetOpsOracle)),
     Q("q98_provenance_manifest",
       (s, d) => provenanceManifest(s, d), Some(provenanceOracle)),
+    Q("q99_grouping_sets",
+      (s, d) => groupingSetsAudit(orders(s, d)), Some(groupingSetsOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),
