@@ -408,6 +408,42 @@ object Extended extends QueryModule {
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     ORDER BY st, prio"""
 
+  /** Null-handling aggregate semantics, pinned: COUNT(*) counts rows,
+    * COUNT(col) skips nulls, SUM/MIN/MAX skip nulls, count_if counts a
+    * predicate — the null contracts every downstream consumer silently
+    * relies on. Nulls are synthesized deterministically (values below a
+    * threshold) with the identical CASE in both engines.
+    */
+  def nullAggSuite(events: DataFrame): DataFrame = {
+    import graft.Num._
+    events
+      .withColumn("v", expr("CASE WHEN value < 50 THEN NULL ELSE value END"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_vals"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        dsum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        expr("count_if(v IS NULL)").as("n_null_if"))
+      .orderBy("event_type")
+  }
+
+  private val nullAggOracle = """
+    WITH t AS (SELECT event_type,
+        CASE WHEN value < 50 THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_type,
+      COUNT(*) AS n_rows,
+      COUNT(v) AS n_vals,
+      COUNT(*) - COUNT(v) AS n_nulls,
+      CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      MIN(v) AS min_v,
+      MAX(v) AS max_v,
+      count_if(v IS NULL) AS n_null_if
+    FROM t GROUP BY event_type ORDER BY event_type"""
+
   /** Statistical aggregates, exactly: builtin stddev/var/corr merge
     * partial moments in partition order (last-ulp nondeterminism the
     * oracle gate cannot tolerate), so the moments are derived from exact
@@ -692,6 +728,8 @@ object Extended extends QueryModule {
       (s, d) => provenanceManifest(s, d), Some(provenanceOracle)),
     Q("q99_grouping_sets",
       (s, d) => groupingSetsAudit(orders(s, d)), Some(groupingSetsOracle)),
+    Q("q100_null_agg_suite",
+      (s, d) => nullAggSuite(events(s, d)), Some(nullAggOracle)),
     Q("q77_grouping_id", (s, d) => groupingIdSuite(orders(s, d)), Some(groupingIdOracle)),
     Q("q76_conditional_suite",
       (s, d) => conditionalSuite(customer(s, d)), Some(conditionalOracle)),
