@@ -441,7 +441,7 @@ object Extended extends QueryModule {
       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
       MIN(v) AS min_v,
       MAX(v) AS max_v,
-      count_if(v IS NULL) AS n_null_if
+      CAST(count_if(v IS NULL) AS BIGINT) AS n_null_if
     FROM t GROUP BY event_type ORDER BY event_type"""
 
   /** Statistical aggregates, exactly: builtin stddev/var/corr merge

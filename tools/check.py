@@ -31,6 +31,13 @@ def compare(name, spark_df, duck_df):
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
+            # Driver hashes stringified values: int64 "2" vs float64 "2.0"
+            # mismatch even when numerically equal (e.g. DuckDB HUGEINT ->
+            # pandas float64). Flag dtype-kind drift as a failure.
+            if {av.dtype.kind, bv.dtype.kind} == {'i', 'f'} or \
+               {av.dtype.kind, bv.dtype.kind} == {'u', 'f'}:
+                return (f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
+                        f"(driver stringifies: 2 vs 2.0 hash-mismatch)")
             if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
                 import numpy as np
                 an, bn = av.astype(float), bv.astype(float)
