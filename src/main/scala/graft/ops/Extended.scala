@@ -711,6 +711,37 @@ object Extended extends QueryModule {
     spark.sql(recursiveMonthsSql("date_format(m, 'yyyy-MM')"))
   }
 
+  /** Name-based union with missing-column fill (`unionByName(
+    * allowMissingColumns = true)`) — the schema-evolution union: two
+    * ledger extracts with different column ORDER and one missing column
+    * are aligned by NAME (positional `union`, SO1, would silently pair
+    * o_orderstatus with o_orderkey here) and the absent column comes
+    * back NULL. The aggregate then exercises exactly the null semantics
+    * evolution produces: COUNT(*) vs COUNT(col) vs null-skipping SUM.
+    */
+  def unionByNameRecon(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val b = orders.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderstatus"), col("o_orderkey"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_priced"),
+        dsum(col("o_totalprice")).as("priced_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val unionByNameOracle = """
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL BY NAME
+      SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT o_orderstatus, COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_priced,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS priced_total
+    FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   override def queries: Seq[Q] = Seq(
     Q("q83_recursive_months",
       (s, d) => recursiveMonths(s, d),
@@ -749,5 +780,7 @@ object Extended extends QueryModule {
       (s, d) => unpivotTotals(orders(s, d)), Some(unpivotOracle)),
     Q("q71_rank_suite",
       (s, d) => rankSuite(customer(s, d)), Some(rankSuiteOracle)),
+    Q("q104_union_by_name",
+      (s, d) => unionByNameRecon(orders(s, d)), Some(unionByNameOracle)),
   )
 }

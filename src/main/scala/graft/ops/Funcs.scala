@@ -229,8 +229,99 @@ object Funcs extends QueryModule {
         / CAST(CAST(SUM((event_id % 10) + 1) AS VARCHAR) AS DOUBLE) AS wmean
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Exact MODE and DISCRETE quantiles per group — the order-statistics
+    * that interpolated percentile (q15) doesn't cover. Both are spelled
+    * as explicit window semantics instead of engine builtins because the
+    * builtins' tie-breaking is engine-defined (Spark `mode()` picks an
+    * arbitrary most-frequent value; DuckDB's differs) — the explicit
+    * forms pin a total order: mode = highest count then lowest value,
+    * discrete quantile q = smallest value whose cume_dist >= q (the
+    * standard inverse-CDF definition). Distribution shape: the mode is a
+    * two-phase count aggregate (map-side partials) + a top-1 window over
+    * |distinct values| rows; the quantile pass is one sort per group.
+    */
+  def quantileModes(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val wMode = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val modes = freq.withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_n"))
+    val wCd = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val disc = li.select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("cd", cume_dist().over(wCd))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("cd") >= 0.5, col("l_quantity"))).as("p50_disc"),
+        min(when(col("cd") >= 0.9, col("l_quantity"))).as("p90_disc"),
+        count(lit(1)).as("n"))
+    modes.join(disc, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  private val quantileModesOracle = """
+    WITH freq AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY cnt DESC, l_quantity ASC) AS rn FROM freq)
+      WHERE rn = 1),
+    cd AS (
+      SELECT l_returnflag, l_quantity,
+        cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+      FROM lineitem),
+    disc AS (
+      SELECT l_returnflag,
+        MIN(CASE WHEN cd >= 0.5 THEN l_quantity END) AS p50_disc,
+        MIN(CASE WHEN cd >= 0.9 THEN l_quantity END) AS p90_disc,
+        COUNT(*) AS n
+      FROM cd GROUP BY 1)
+    SELECT modes.l_returnflag, mode_qty, mode_n, p50_disc, p90_disc, n
+    FROM modes JOIN disc ON modes.l_returnflag = disc.l_returnflag
+    ORDER BY modes.l_returnflag"""
+
+  /** Regexp-function suite over document text: match counting, first
+    * match, all-matches extraction, global replacement, boolean match —
+    * regexp_count / regexp_extract / regexp_extract_all / regexp_replace
+    * / rlike. Patterns stay in the common Java-regex ∩ RE2 dialect
+    * (character classes + quantifiers) so both engines compile them
+    * identically; the all-matches list is folded to '|'-joined md5 to
+    * keep rows narrow.
+    */
+  def regexpSuite(docs: DataFrame): DataFrame = {
+    val pat = "ta[a-z]+"
+    docs.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_ta"),
+        regexp_extract(col("text"), pat, 0).as("first_ta"),
+        md5(concat_ws("|", regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("binary")).as("all_ta_md5"),
+        col("text").rlike("vector|stream").cast("int").as("has_topic"),
+        md5(regexp_replace(col("text"), "[aeiou]", "_").cast("binary"))
+          .as("devoweled_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val regexpOracle = """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT) AS n_ta,
+      COALESCE(regexp_extract(text, 'ta[a-z]+'), '') AS first_ta,
+      -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      md5(COALESCE(array_to_string(regexp_extract_all(text, 'ta[a-z]+'), '|'), ''))
+        AS all_ta_md5,
+      CAST(regexp_matches(text, 'vector|stream') AS INT) AS has_topic,
+      md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS devoweled_md5
+    FROM documents ORDER BY doc_id"""
+
   override def queries: Seq[Q] = Seq(
     Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
+    Q("q102_quantile_modes",
+      (s, d) => quantileModes(lineitem(s, d)), Some(quantileModesOracle)),
+    Q("q107_regexp_suite",
+      (s, d) => regexpSuite(documents(s, d)), Some(regexpOracle)),
     Q("q91_bitwise_suite",
       (s, d) => bitwiseSuite(events(s, d)), Some(bitwiseOracle)),
     Q("q94_weighted_mean",

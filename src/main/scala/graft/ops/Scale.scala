@@ -104,7 +104,52 @@ object Scale extends QueryModule {
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Hive-style partitioned layout + static partition pruning — the
+    * data-skipping discipline that makes a 100 TB table queryable: the
+    * events table is written once partitioned by event_date (30 date
+    * directories; at scale this is THE layout decision for any
+    * time-keyed fact table), and a date-literal filter then prunes the
+    * listing to 3 of 30 directories BEFORE any I/O — the scan's
+    * PartitionFilters, asserted in ScaleSpec, remove 90% of the corpus
+    * without reading a footer. The date range is fixtures-fixed
+    * (2024-01-01..30 at every SF), so the pruned aggregate is
+    * oracle-checked against a plain date filter on the raw table.
+    */
+  def partitionPrunedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Num._
+    spark.read.parquet(partitionedEventsDir(spark, sfDir))
+      .filter(col("event_date") <= lit("2024-01-03").cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** One partitioned copy of events per sfDir (fixture setup, cached for
+    * the session; cleaned up on JVM exit — parents registered before the
+    * walked children so LIFO deletion empties directories first).
+    */
+  private val partDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsDir(spark: SparkSession, sfDir: String): String =
+    partDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_bydate")
+      graft.Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(dir.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir.toString
+    })
+
+  private val partitionPrunedOracle = """
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+    GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q108_partition_prune",
+      (s, d) => partitionPrunedCounts(s, d), Some(partitionPrunedOracle)),
     // salted two-phase aggregation provably equals the direct groupBy —
     // the oracle is the plain GROUP BY
     Q("q58_salted_counts",

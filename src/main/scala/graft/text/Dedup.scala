@@ -325,6 +325,93 @@ object Dedup extends QueryModule {
       CAST(SUM(n_tokens) AS BIGINT) AS token_budget
     FROM tagged GROUP BY split, lang ORDER BY split, lang"""
 
+  /** Benchmark decontamination — the training-corpus hygiene pass that
+    * flags training documents sharing word-4-grams with a held-out eval
+    * set (eval membership here: doc_id % 97 = 0, a stand-in for "rows of
+    * the benchmark table"). The shape is the production one: shingle both
+    * sides ONCE (native WordShingles pass), key the join by shingle id —
+    * shuffle ∝ corpus shingle volume, never |train| × |eval| — and
+    * aggregate per training doc: how many distinct eval docs it collides
+    * with and how many of its distinct shingles are contaminated. At
+    * 100 TB the eval side is tiny, so Catalyst broadcasts it and the
+    * train side never shuffles at all.
+    */
+  def decontamination(docs: DataFrame): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val sh = docs
+      .select(col("doc_id"), explode(word_shingles(col("text"), 4)).as("shid"))
+    val evalSide = sh.filter(col("doc_id") % 97 === 0)
+      .withColumnRenamed("doc_id", "eval_doc_id")
+    val trainSide = sh.filter(col("doc_id") % 97 =!= 0)
+    trainSide.join(evalSide, "shid")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_doc_id")).as("n_eval_docs"),
+        countDistinct(col("shid")).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminationOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    ev AS (SELECT doc_id AS eval_doc_id, sh FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, COUNT(DISTINCT eval_doc_id) AS n_eval_docs,
+      COUNT(DISTINCT tr.sh) AS n_shared_shingles
+    FROM tr JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id ORDER BY tr.doc_id"""
+
+  /** The near-dup fixture for the edit-distance detector: every 10th doc
+    * re-enters under a shifted id with its first two characters replaced
+    * ('@@' + rest) — same length, edit distance 2 from the original, so
+    * the detector has planted positives to find at every SF.
+    */
+  private def withNearDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), col("lang")).union(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + lit(2000000L),
+          concat(lit("@@"), expr("substring(text, 3)")), col("lang")))
+
+  private val withNearDupsSql = """
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, '@@' || substr(text, 3) AS text, lang
+      FROM documents WHERE doc_id % 10 = 0"""
+
+  /** Edit-distance (Levenshtein) near-dup pairs — the character-level
+    * detector that catches small in-place edits n-gram Jaccard dilutes
+    * away. All-pairs Levenshtein is O(|corpus|²·len²) and never runs at
+    * scale; candidates are BANDED first on (lang, length div 8) — near
+    * dups can't change the length much, so same-band is a cheap necessary
+    * condition — and the distance runs on fixed 40-char prefixes, so each
+    * pair costs O(40²) regardless of document size. Same blocking
+    * strategy as the LSH family: band key join, never a cross product.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 12): DataFrame = {
+    val d = withNearDups(docs)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 40).as("prefix"),
+        expr("length(text) div 8").as("bucket"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("lev", levenshtein(col("a.prefix"), col("b.prefix")).cast("long"))
+      .filter(col("lev") <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val editDistanceOracle = s"""
+    WITH all_docs AS ($withNearDupsSql),
+    d AS (
+      SELECT doc_id, lang, substr(text, 1, 40) AS prefix, length(text) // 8 AS bucket
+      FROM all_docs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    ORDER BY doc_a, doc_b"""
+
   /** Min-label propagation to fixpoint over an undirected edge list
     * `(doc_a, doc_b)` → `(doc_id, component_id)` where component_id is
     * the minimum node id in the component. Factored from
@@ -427,5 +514,9 @@ object Dedup extends QueryModule {
       (s, d) => minhashLsh(documents(s, d)), Some(minhashOracle)),
     Q("q29_simhash",
       (s, d) => simhash(documents(s, d)), Some(simhashOracle)),
+    Q("q101_decontamination",
+      (s, d) => decontamination(documents(s, d)), Some(decontaminationOracle)),
+    Q("q103_edit_distance_pairs",
+      (s, d) => editDistancePairs(documents(s, d)), Some(editDistanceOracle)),
   )
 }

@@ -261,7 +261,73 @@ object Similarity extends QueryModule {
     SELECT vec_id, label, CAST(cell AS BIGINT) AS cell, cosine
     FROM s ORDER BY cosine DESC, vec_id LIMIT 10"""
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step an ANN index runs before storage (4x smaller than float32,
+    * 8x smaller than float64). Per-dimension min/max come from ONE
+    * distributed pass (posexplode + grouped min/max: shuffle is
+    * |dims| x partials, nothing row-sized), are folded into two
+    * 64-element arrays, and broadcast back onto the corpus; each vector
+    * then quantizes in a single codegen-friendly pass: code_j =
+    * floor((x_j - mn_j) * 255 / (mx_j - mn_j)), plus the max absolute
+    * reconstruction error as the quality audit. All per-row arithmetic
+    * is scalar double ops in a pinned evaluation order, so codes AND
+    * error are bit-identical in the oracle — no sums, no rounding
+    * ambiguity beyond the final round(...,6).
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+    val minmax = dims.agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+        .as("mins"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+        .as("maxs"))
+    // codes serialize to a '|'-joined string: the compare harness sorts
+    // rows by every column, and raw array cells are unsortable there
+    emb.crossJoin(broadcast(minmax))
+      .select(col("vec_id"),
+        expr("""concat_ws('|', transform(transform(embedding, (x, i) -> CASE
+            WHEN element_at(maxs, i + 1) = element_at(mins, i + 1) THEN 0
+            ELSE CAST(floor((CAST(x AS DOUBLE) - element_at(mins, i + 1)) * 255.0D
+                      / (element_at(maxs, i + 1) - element_at(mins, i + 1))) AS INT)
+            END), c -> CAST(c AS STRING)))""").as("codes"),
+        round(expr("""array_max(transform(embedding, (x, i) -> CASE
+            WHEN element_at(maxs, i + 1) = element_at(mins, i + 1) THEN 0.0D
+            ELSE abs(CAST(x AS DOUBLE) - (element_at(mins, i + 1)
+                 + floor((CAST(x AS DOUBLE) - element_at(mins, i + 1)) * 255.0D
+                         / (element_at(maxs, i + 1) - element_at(mins, i + 1)))
+                   * (element_at(maxs, i + 1) - element_at(mins, i + 1)) / 255.0D))
+            END))"""), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  private val quantizeOracle = """
+    WITH u AS (
+      SELECT unnest(embedding) AS x, unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    dims AS (
+      SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+      FROM u GROUP BY i),
+    mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims)
+    SELECT vec_id,
+      array_to_string(list_transform(list_transform(embedding, (x, i) -> CASE
+        WHEN maxs[i] = mins[i] THEN 0
+        ELSE CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / (maxs[i] - mins[i])) AS INT)
+        END), c -> CAST(c AS VARCHAR)), '|') AS codes,
+      ROUND(list_max(list_transform(embedding, (x, i) -> CASE
+        WHEN maxs[i] = mins[i] THEN 0.0
+        ELSE abs(CAST(x AS DOUBLE) - (mins[i]
+             + floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 / (maxs[i] - mins[i]))
+               * (maxs[i] - mins[i]) / 255.0))
+        END)), 6) AS max_abs_err
+    FROM embeddings, mm
+    ORDER BY vec_id"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q105_embedding_quantize",
+      (s, d) => quantizeEmbeddings(embeddings(s, d)), Some(quantizeOracle)),
     Q("q30_knn_brute_force",
       (s, d) => knnBruteForce(embeddings(s, d)), Some(knnOracle)),
     Q("q31_knn_bucketed",

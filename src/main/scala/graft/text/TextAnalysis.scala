@@ -353,7 +353,83 @@ object TextAnalysis extends QueryModule {
       CAST(length(scrubbed) AS BIGINT) AS n_chars_scrubbed
     FROM s ORDER BY doc_id"""
 
+  /** Greedy per-language token-budget sampling — the mixture-building
+    * step of a training-data build: within each language, documents are
+    * admitted longest-first (tiebreak doc_id) until the language's token
+    * budget is exhausted; the audit reports how many docs/tokens each
+    * language contributed. One window pass per language (cumulative sum
+    * over the sorted partition) — no driver loop, no collect; at 100 TB
+    * the per-lang partitions sort independently and a skewed language
+    * salts into sub-ranges that are prefix-summed and offset.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+      .orderBy("lang")
+  }
+
+  private val tokenBudgetOracle = """
+    WITH t AS (
+      SELECT lang, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t)
+    SELECT lang, COUNT(*) AS n_docs_kept,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM c WHERE cum_tokens <= 2000
+    GROUP BY lang ORDER BY lang"""
+
+  /** Top word-bigrams per language — the distributed n-gram counting at
+    * the bottom of every statistical language model / tokenizer-training
+    * corpus audit. Bigram extraction is ONE native pass (WordNGrams:
+    * zero-copy byte slices; the HOF spelling re-evaluates split() per
+    * index — the CollapseProject pitfall), counting is a two-phase hash
+    * aggregate with map-side combine (shuffle carries (lang, bigram)
+    * partials, not rows), and the per-lang top-3 is a bounded window
+    * over |distinct bigrams| with a total-order tiebreak.
+    */
+  def topBigrams(docs: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.WordNGrams.word_ngrams
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    docs.select(col("lang"), explode(word_ngrams(col("text"), 2)).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "bigram", "n")
+      .orderBy("lang", "rank")
+  }
+
+  private val topBigramsOracle = """
+    WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT lang, unnest(list_transform(range(1, len(t)),
+        i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    counted AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+    ranked AS (
+      SELECT lang, bigram, n, CAST(row_number() OVER (PARTITION BY lang
+        ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+      FROM counted)
+    SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 3
+    ORDER BY lang, rank"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q106_token_budget",
+      (s, d) => tokenBudgetSample(documents(s, d)), Some(tokenBudgetOracle)),
+    Q("q109_top_bigrams",
+      (s, d) => topBigrams(documents(s, d)), Some(topBigramsOracle)),
     Q("q61_lang_source_sets",
       (s, d) => langSourceSets(documents(s, d)), Some(langSourceSetsOracle)),
     Q("q67_char_trigrams",

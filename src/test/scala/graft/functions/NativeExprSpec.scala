@@ -149,6 +149,29 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams equals the split/slice HOF bit-for-bit") {
+    import graft.functions.WordNGrams.word_ngrams
+    import spark.implicits._
+    val extra = Seq(
+      (9000001L, "a  b c"),      // internal double space (empty token)
+      (9000002L, " lead trail "), // leading + trailing separators
+      (9000003L, "one"),          // fewer tokens than n
+      (9000004L, ""),             // empty string (one empty token)
+      (9000005L, "héllo wörld 日本語 😀 mixed"), // multibyte slicing
+    ).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    val both = d.select(col("doc_id"),
+        word_ngrams(col("text"), 2).as("native"),
+        expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+          "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) " +
+          "ELSE array() END").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))

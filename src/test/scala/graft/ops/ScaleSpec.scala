@@ -44,6 +44,35 @@ class ScaleSpec extends SparkSpec {
     spark.sql("drop table if exists graft_bj_r")
   }
 
+  test("partitioned layout prunes the scan to the filtered date dirs") {
+    val df = Scale.partitionPrunedCounts(spark, sf("sf0.001"))
+    // AQE wraps the physical plan; unwrap to reach the scan node
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    val scan = scans.head
+    // static date-literal filter must land in PartitionFilters (listing-
+    // time skip), not merely as a post-scan Filter
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters:\n${df.queryExecution.executedPlan.treeString.take(1500)}")
+    // 2024-01-01..03 of 30 date partitions survive the pruning
+    assert(scan.selectedPartitions.partitionCount == 3,
+      s"expected 3 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    // and the pruned aggregate equals the plain filtered aggregate
+    val expected = Tables.events(spark, sf("sf0.001"))
+      .filter(to_date(col("ts")) <= lit("2024-01-03").cast("date"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val pruned = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pruned.toSeq == expected.toSeq)
+  }
+
   test("cosine_sim and vec_sum usable from SQL after registration") {
     GraftFunctions.registerAll(spark)
     val emb = Tables.embeddings(spark, sf("sf0.001"))

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSpec {
 
+  test("decontamination flags a planted train/eval overlap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 97 is the eval member (id % 97 = 0); doc 1 shares both of its
+    // 4-gram shingles, doc 2 shares none, doc 3 shares the first only
+    val docs = Seq(
+      (97L, "a b c d e"),
+      (1L, "a b c d e"),
+      (2L, "v w x y z"),
+      (3L, "a b c d q")).toDF("doc_id", "text")
+    val flagged = Dedup.decontamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(flagged == Map(1L -> ((1L, 2L)), 3L -> ((1L, 1L))))
+  }
+
+  test("token budget: greedy prefix respects the per-lang budget") {
+    import spark.implicits._
+    // lang "aa": docs of 6, 4, 3 tokens; budget 10 admits 6+4 only
+    // (longest-first), never 6+4+3; lang "bb" fits entirely
+    val docs = Seq(
+      (1L, "t t t t t t", "aa"), (2L, "t t t t", "aa"), (3L, "t t t", "aa"),
+      (4L, "u u", "bb")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.tokenBudgetSample(docs, budget = 10L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("aa" -> ((2L, 10L)), "bb" -> ((1L, 2L))))
+  }
+
   test("repetition audit: hand-computed fixture") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b"), (2L, "x y"), (3L, "z"))
