@@ -742,7 +742,107 @@ object Extended extends QueryModule {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS priced_total
     FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Explicit AS-OF join — the temporal "latest effective row as of t"
+    * lookup (reference has no temporal join; this is the classic rates /
+    * SCD lookup every warehouse needs). The point-in-time dimension is
+    * intervalized once with lead() (tiny, single-partition window on the
+    * dim side only), then the fact side probes it with a broadcast range
+    * join: at 100 TB the fact table never shuffles — each row scans an
+    * in-memory interval list (BroadcastNestedLoopJoin over |eras| rows,
+    * q64's shape). DuckDB's native ASOF JOIN is the oracle, making this
+    * an equivalence proof between "intervalize + range join" and the
+    * dedicated temporal operator.
+    */
+  def asofJoin(spark: SparkSession, orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(
+      ("1994-07-01", 1.00), ("1996-01-01", 1.04), ("1997-01-01", 1.09),
+      ("1998-01-01", 1.16), ("1999-01-01", 1.08), ("2000-01-01", 1.12),
+      ("2001-01-01", 1.21),
+    ).toDF("eff", "rate")
+      .select(to_date(col("eff")).as("effective_from"), col("rate"))
+    val nextEra = Window.orderBy("effective_from")
+    val eras = rates.withColumn("effective_to",
+      coalesce(lead(col("effective_from"), 1).over(nextEra),
+        to_date(lit("9999-12-31"))))
+    orders.join(broadcast(eras),
+        col("o_orderdate") >= col("effective_from") &&
+          col("o_orderdate") < col("effective_to"))
+      .groupBy(date_format(col("effective_from"), "yyyy-MM-dd").as("era"),
+        col("rate"))
+      .agg(count(lit(1)).as("n_orders"),
+        // rate applied in exact decimal: a double product lands arbitrarily
+        // close to .xx5 boundaries where engines' double->decimal rounding
+        // diverges; decimal x decimal is exact and order-independent
+        sum(dec(col("o_totalprice")) * col("rate").cast(DecimalType(4, 2)))
+          .cast("double").as("adj_revenue"))
+      .orderBy("era")
+  }
+
+  private val asofJoinOracle = """
+    WITH rates(eff, rate) AS (VALUES
+      (DATE '1994-07-01', 1.00), (DATE '1996-01-01', 1.04),
+      (DATE '1997-01-01', 1.09), (DATE '1998-01-01', 1.16),
+      (DATE '1999-01-01', 1.08), (DATE '2000-01-01', 1.12),
+      (DATE '2001-01-01', 1.21))
+    SELECT strftime(eff, '%Y-%m-%d') AS era, CAST(rate AS DOUBLE) AS rate,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(rate AS DECIMAL(4,2)))
+           AS DOUBLE) AS adj_revenue
+    FROM orders ASOF JOIN rates ON o_orderdate >= eff
+    GROUP BY 1, 2 ORDER BY era"""
+
+  /** SCD2 history build from a CDC-style event stream: collapse
+    * consecutive same-value rows per key, then emit validity intervals
+    * [valid_from, valid_to) with an is_current flag — the standard
+    * "dimension table from a change feed" derivation. Two windows over
+    * the SAME (user_id, time) partitioning: Catalyst reuses one shuffle +
+    * sort for both (no second exchange), so at 100 TB this is a single
+    * repartition by key regardless of history depth. valid_to is
+    * COALESCEd to a 10000-01-01 sentinel instead of NULL so the column
+    * stays integral end-to-end (a nullable BIGINT degrades to float64 in
+    * the driver's pandas compare).
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val sentinelUs = 253402300800000000L // 10000-01-01T00:00Z in micros
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"))
+    val byStart = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us"), col("event_id"))
+    changes
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byStart), lit(sentinelUs)))
+      .withColumn("is_current", (col("valid_to_us") === sentinelUs).cast("long"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  private val scd2Oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_id, event_type, ts_us FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_id, event_type, ts_us AS valid_from_us,
+      COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+               253402300800000000) AS valid_to_us,
+      CAST(CASE WHEN lead(ts_us) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END
+           AS BIGINT) AS is_current
+    FROM changes ORDER BY user_id, valid_from_us"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q110_asof_join",
+      (s, d) => asofJoin(s, orders(s, d)), Some(asofJoinOracle)),
+    Q("q111_scd2_history",
+      (s, d) => scd2History(events(s, d)), Some(scd2Oracle)),
     Q("q83_recursive_months",
       (s, d) => recursiveMonths(s, d),
       Some(recursiveMonthsSql("strftime(m, '%Y-%m')"))),
