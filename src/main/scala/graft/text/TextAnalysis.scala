@@ -425,7 +425,136 @@ object TextAnalysis extends QueryModule {
     SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 3
     ORDER BY lang, rank"""
 
+  /** Corpus Zipf / frequency-coverage curve: global token counts, rank by
+    * frequency, and the cumulative share of the corpus the top-k tokens
+    * cover — the standard "how head-heavy is this corpus" curation signal.
+    * Scale shape: token counts aggregate with map-side combine; the top-k
+    * is a TakeOrderedAndProject (no global sort materialization); the
+    * cumulative window then runs over k rows only, so the single-partition
+    * window is O(k) regardless of corpus size.
+    */
+  def zipfCurve(docs: DataFrame, k: Int = 50): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val byFreq = Window.orderBy(col("n").desc, col("tok"))
+    counts.orderBy(col("n").desc, col("tok")).limit(k)
+      .withColumn("rnk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("tok"), col("n"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("rnk")
+  }
+
+  private val zipfOracle = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    t AS (SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM t),
+    r AS (SELECT tok, n,
+        CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+        CAST(SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING)
+             AS DOUBLE) AS cum
+      FROM t)
+    SELECT rnk, tok, n, ROUND(cum / total, 6) AS cum_share
+    FROM r, tot WHERE rnk <= 50 ORDER BY rnk"""
+
+  /** Fixed-size token chunking with stride (overlap): every document is
+    * cut into 64-token windows starting every 48 tokens — the LLM
+    * context-window preprocessing step. Pure per-row explode (narrow, no
+    * shuffle): at 100 TB each task chunks its own documents and the output
+    * is written straight back out; chunk identity is a 16-hex md5 prefix
+    * so downstream exact-dedup can run on chunks. The final chunk is the
+    * first one whose window reaches the end of the document (no tail
+    * windows fully contained in their predecessor).
+    */
+  def docChunks(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    val chunk = col("chunk_id")
+    docs
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= lit("")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(n_tok - $win, 0) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), chunk,
+        (chunk * stride).as("start_tok"),
+        size(slice(col("toks"), (chunk * stride + 1).cast("int"), lit(win)))
+          .cast("long").as("n_chunk_toks"),
+        substring(md5(concat_ws(" ",
+            slice(col("toks"), (chunk * stride + 1).cast("int"), lit(win)))
+          .cast("binary")), 1, 16).as("chunk_sig"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val docChunksOracle = """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    n AS (SELECT doc_id, toks,
+        1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT)
+          AS n_chunks
+      FROM d),
+    c AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+      CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+           AS BIGINT) AS n_chunk_toks,
+      substr(md5(array_to_string(
+        list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')), 1, 16)
+        AS chunk_sig
+    FROM c ORDER BY doc_id, chunk_id"""
+
+  /** Data-mixture rebalancing weights: per-language token shares against a
+    * uniform target mixture, the up/down-sampling weight that would hit
+    * it, and the repetition factor (epochs) an upsampled language needs.
+    * One map-side-combined aggregate plus a broadcast of the 1-row grand
+    * total — the 100 TB plan is a single pass.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("lang_tokens"))
+    val total = perLang.agg(sum(col("lang_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        round(col("lang_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("share"),
+        round((col("total_tokens").cast("double") / col("n_langs"))
+          / col("lang_tokens"), 6).as("weight"),
+        ceil((col("total_tokens").cast("double") / col("n_langs"))
+          / col("lang_tokens")).cast("long").as("epochs"))
+      .orderBy("lang")
+  }
+
+  private val mixtureOracle = """
+    WITH d AS (SELECT lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+    per AS (SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d GROUP BY lang),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+        COUNT(*) AS n_langs FROM per)
+    SELECT lang, n_docs, lang_tokens,
+      ROUND(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        AS share,
+      ROUND((CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens, 6)
+        AS weight,
+      CAST(ceil((CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens)
+           AS BIGINT) AS epochs
+    FROM per, tot ORDER BY lang"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q112_zipf_curve",
+      (s, d) => zipfCurve(documents(s, d)), Some(zipfOracle)),
+    Q("q115_doc_chunking",
+      (s, d) => docChunks(documents(s, d)), Some(docChunksOracle)),
+    Q("q117_mixture_weights",
+      (s, d) => mixtureWeights(documents(s, d)), Some(mixtureOracle)),
     Q("q106_token_budget",
       (s, d) => tokenBudgetSample(documents(s, d)), Some(tokenBudgetOracle)),
     Q("q109_top_bigrams",
