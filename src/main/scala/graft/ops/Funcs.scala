@@ -316,7 +316,71 @@ object Funcs extends QueryModule {
       md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS devoweled_md5
     FROM documents ORDER BY doc_id"""
 
+  /** Semi-structured VARIANT pipeline (Spark 4's open JSON type,
+    * complementing q53's string-path get_json_object): rows are serialized
+    * to JSON, parsed into VARIANT once, and all downstream access is typed
+    * `variant_get` path extraction — nested object, array index, and a
+    * missing path through `try_variant_get` (NULL, never an error). The
+    * double survives the text round-trip exactly (shortest-round-trip
+    * serialization on both engines), so the revenue sum still
+    * decimal-matches the oracle, which reads the same fields relationally.
+    * At scale VARIANT keeps one binary-encoded column instead of
+    * re-parsing JSON text per access.
+    */
+  def variantSuite(orders: DataFrame): DataFrame = {
+    val j = to_json(struct(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("s"),
+      array(col("o_totalprice")).as("a"),
+      struct(col("o_orderpriority").as("p")).as("n")))
+    orders.withColumn("v", parse_json(j))
+      .select(
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.s', 'string')").as("s"),
+        expr("variant_get(v, '$.a[0]', 'double')").as("price"),
+        expr("variant_get(v, '$.n.p', 'string')").as("prio"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("missing"))
+      .groupBy("s", "prio")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("price")).as("revenue"),
+        max(col("k")).as("max_key"),
+        count(col("missing")).as("n_missing"))
+      .orderBy("s", "prio")
+  }
+
+  private val variantOracle = """
+    SELECT o_orderstatus AS s, o_orderpriority AS prio, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      MAX(o_orderkey) AS max_key, CAST(0 AS BIGINT) AS n_missing
+    FROM orders GROUP BY 1, 2 ORDER BY s, prio"""
+
+  /** Approximate quantiles (Greenwald-Khanna `approx_percentile`) per
+    * return flag — the sketch that replaces exact percentiles (q15) when
+    * a single sorted pass over 100 TB is off the table: mergeable
+    * per-partition summaries, one small final merge. Sketch outputs are
+    * solver-defined, not SQL-reproducible => rows-only here; the ScalaTest
+    * spec pins each estimate within the documented rank-error bound of
+    * the exact percentile.
+    */
+  def approxQuantiles(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+          .as("approx_q"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_q"), 1).as("p25"),
+        element_at(col("approx_q"), 2).as("p50"),
+        element_at(col("approx_q"), 3).as("p75"),
+        element_at(col("approx_q"), 4).as("p95"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
   override def queries: Seq[Q] = Seq(
+    Q("q118_variant_suite",
+      (s, d) => variantSuite(orders(s, d)), Some(variantOracle)),
+    Q("q113_approx_quantiles",
+      (s, d) => approxQuantiles(lineitem(s, d)), None),
     Q("q53_json_extract", (s, d) => jsonExtract(events(s, d)), Some(jsonOracle)),
     Q("q102_quantile_modes",
       (s, d) => quantileModes(lineitem(s, d)), Some(quantileModesOracle)),

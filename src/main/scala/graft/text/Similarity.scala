@@ -325,7 +325,58 @@ object Similarity extends QueryModule {
     FROM embeddings, mm
     ORDER BY vec_id"""
 
+  /** Nearest-centroid classification with a confusion matrix: per-label
+    * mean vectors (exact decimal sums — order-independent, so the
+    * centroids are bit-identical across engines), then every vector is
+    * assigned to its max-cosine centroid (tiebreak: lowest label) and the
+    * (true label, predicted) counts are emitted. The centroid table is a
+    * |labels| x width broadcast; assignment is a narrow scored pass over
+    * the corpus — at 100 TB this is one map stage plus a confusion-matrix
+    * sized aggregate. The decimal sums are read back through a VARCHAR
+    * round-trip on the oracle side (DuckDB's HUGEINT->DOUBLE is not
+    * correctly rounded; via VARCHAR it is).
+    */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorSumAgg.vec_sum_dec
+    val cents = emb.groupBy(col("label").as("c_label"))
+      .agg(vec_sum_dec(expr(
+          "transform(cast(embedding as array<double>), x -> cast(x as decimal(18,8)))"))
+          .as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("c_label"),
+        expr("transform(vsum, s -> cast(s as double) / n)").as("centroid"))
+    val wV = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine_sim(col("embedding"), col("centroid")))
+      .withColumn("rk", row_number().over(wV))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("predicted"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "predicted")
+  }
+
+  private val centroidClassifyOracle = s"""
+    WITH u AS (
+      SELECT label, unnest(range(1, len(embedding) + 1)) AS dim,
+        unnest(list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))) AS v
+      FROM embeddings),
+    cd AS (SELECT label AS c_label, dim,
+        CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS cv
+      FROM u GROUP BY label, dim),
+    cl AS (SELECT c_label, list(cv ORDER BY dim) AS centroid FROM cd GROUP BY c_label),
+    s AS (SELECT e.vec_id, e.label, cl.c_label,
+        ${cosSql("e.embedding", "centroid")} AS cos
+      FROM embeddings e, cl),
+    p AS (SELECT vec_id, label, c_label FROM s
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) = 1)
+    SELECT label, c_label AS predicted, COUNT(*) AS n_vectors
+    FROM p GROUP BY label, c_label ORDER BY label, predicted"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q114_centroid_classify",
+      (s, d) => centroidClassify(embeddings(s, d)), Some(centroidClassifyOracle)),
     Q("q105_embedding_quantize",
       (s, d) => quantizeEmbeddings(embeddings(s, d)), Some(quantizeOracle)),
     Q("q30_knn_brute_force",

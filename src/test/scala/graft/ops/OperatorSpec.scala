@@ -126,4 +126,27 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(all(0).getLong(1) - exactAll).toDouble / exactAll < 0.05,
       s"union estimate ${all(0).getLong(1)} vs exact $exactAll")
   }
+
+  test("approx quantiles land within the accuracy parameter's rank-error bound") {
+    import org.apache.spark.sql.functions.expr
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val approx = Funcs.approxQuantiles(li).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val pcts = Seq(0.25, 0.5, 0.75, 0.95)
+    // approx_percentile(acc=10000) guarantees rank error <= n/acc: the
+    // estimate must sit between the exact (p - eps) and (p + eps) ranks
+    approx.foreach { case (flag, est) =>
+      val vals = li.filter(expr(s"l_returnflag = '$flag'"))
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      // rank error <= 1/accuracy of n; +/-1 index slack for the
+      // floor/ceil conventions at the rank boundaries
+      val eps = 1.0 / 10000.0
+      pcts.zip(est).foreach { case (p, e) =>
+        val lo = vals(math.max(0, math.floor((p - eps) * vals.length).toInt - 2))
+        val hi = vals(math.min(vals.length - 1, math.ceil((p + eps) * vals.length).toInt + 1))
+        assert(e >= lo && e <= hi, s"$flag p$p: $e outside [$lo, $hi]")
+      }
+    }
+  }
 }
