@@ -548,7 +548,64 @@ object TextAnalysis extends QueryModule {
            AS BIGINT) AS epochs
     FROM per, tot ORDER BY lang"""
 
+  /** Greedy sequence packing (training sample-packing): documents are
+    * packed in doc_id order into bins of a fixed token capacity; a bin
+    * closes when the next document would overflow it (an oversized
+    * document gets a bin of its own). The fold is inherently sequential
+    * WITHIN a language, so it runs as a typed flatMapGroups — one shuffle
+    * by lang, then a linear in-memory scan per group. At 100 TB the group
+    * key becomes (lang, shard): packing is embarrassingly parallel across
+    * shards and nothing about the fold changes. The oracle replays the
+    * same fold as a recursive CTE.
+    */
+  def sequencePacking(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, capacity: Long = 512L): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (lang, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        var bin = 0L; var binTok = 0L; var binDocs = 0L
+        sorted.foreach { case (_, _, n) =>
+          if (binDocs > 0 && binTok + n > capacity) {
+            out += ((lang, bin, binDocs, binTok))
+            bin += 1; binTok = 0; binDocs = 0
+          }
+          binTok += n; binDocs += 1
+        }
+        if (binDocs > 0) out += ((lang, bin, binDocs, binTok))
+        out.iterator
+      }
+      .toDF("lang", "bin_id", "n_docs", "bin_tokens")
+      .orderBy("lang", "bin_id")
+  }
+
+  private val sequencePackingOracle = """
+    WITH RECURSIVE d AS (
+      SELECT lang, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents),
+    walk(lang, rn, n_tok, bin_id, bin_tok) AS (
+      SELECT lang, rn, n_tok, CAST(0 AS BIGINT), n_tok FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn, d.n_tok,
+        CASE WHEN w.bin_tok + d.n_tok > 512 THEN w.bin_id + 1
+             ELSE w.bin_id END,
+        CASE WHEN w.bin_tok + d.n_tok > 512 THEN d.n_tok
+             ELSE w.bin_tok + d.n_tok END
+      FROM d JOIN walk w ON d.lang = w.lang AND d.rn = w.rn + 1)
+    SELECT lang, bin_id, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM walk GROUP BY lang, bin_id ORDER BY lang, bin_id"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q116_sequence_packing",
+      (s, d) => sequencePacking(s, documents(s, d)), Some(sequencePackingOracle)),
     Q("q112_zipf_curve",
       (s, d) => zipfCurve(documents(s, d)), Some(zipfOracle)),
     Q("q115_doc_chunking",

@@ -93,4 +93,15 @@ class CurationSpec extends SparkSpec {
       Tables.documents(spark, sf("sf0.001"))).collect()
     corpus.foreach(c => assert(c.getLong(1) == 1 && c.getLong(2) == 1))
   }
+
+  test("sequence packing: a bin exceeds capacity only as a single oversized doc") {
+    val bins = TextAnalysis.sequencePacking(
+      spark, Tables.documents(spark, sf("sf0.01"))).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val nDocs = r.getLong(2); val tokens = r.getLong(3)
+      assert(tokens <= 512 || nDocs == 1,
+        s"${r.getString(0)} bin ${r.getLong(1)}: $tokens tokens across $nDocs docs")
+    }
+  }
 }
