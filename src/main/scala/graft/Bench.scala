@@ -23,6 +23,8 @@ object Bench {
       // multi-file split copy of events is created once per sfDir; its
       // write cost is corpus preparation, not q88/q95 operator cost
       graft.streaming.StreamingOps.prepareSplitSource(spark, sfDir)
+      graft.ops.Scale.preparePartitionedEvents(spark, sfDir)
+      graft.ops.Extended.prepareTextCopies(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,

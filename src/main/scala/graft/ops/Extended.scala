@@ -838,7 +838,89 @@ object Extended extends QueryModule {
            AS BIGINT) AS is_current
     FROM changes ORDER BY user_id, valid_from_us"""
 
+  /** Single-pass pipeline telemetry via `Dataset.observe`: data-quality
+    * gate metrics (row count, exact value total, negative-value count,
+    * max timestamp) are accumulated ON the pass that consumes the data —
+    * at 100 TB the alternative is a second full scan per audit. The
+    * consuming action here is a distributed `foreach` (nothing is
+    * collected); the observed-metrics row is then lifted back into a
+    * 1-row DataFrame, which the oracle reproduces relationally.
+    */
+  def observeMetrics(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val observed = events.observe("quality_gate",
+      count(lit(1)).as("n_rows"),
+      sum(dec(col("value"), 2)).as("value_total"),
+      count(when(col("value") < 0, lit(1))).as("n_negative"),
+      max(unix_micros(col("ts"))).as("max_ts_us"))
+    // run the dataset's OWN QueryExecution (foreach/count would plan a new
+    // one and the metrics would attach there, not here); nothing leaves
+    // the executors
+    observed.queryExecution.toRdd.foreach(_ => ())
+    val m = observed.queryExecution.observedMetrics("quality_gate")
+    Seq((m.getLong(0),
+        m.getDecimal(1).doubleValue(),
+        m.getLong(2),
+        m.getLong(3)))
+      .toDF("n_rows", "value_total", "n_negative", "max_ts_us")
+  }
+
+  private val observeOracle = """
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
+      CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+      MAX(epoch_us(ts)) AS max_ts_us
+    FROM events"""
+
+  /** Multi-format source round-trip: the events table is materialized once
+    * per sfDir as JSON-lines and CSV (fixture, session-cached), read back
+    * through the json/csv sources with an explicit schema (no inference
+    * pass — at scale, schema inference is a full extra scan), unioned, and
+    * aggregated. Every row surviving BOTH text formats exactly (shortest
+    * round-trip double serialization) makes the oracle the plain parquet
+    * aggregate at double weight.
+    */
+  def multiformatSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = textCopiesDir(spark, sfDir)
+    val schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    val j = spark.read.schema(schema).json(s"$dir/json")
+    val c = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
+    j.union(c)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val textDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textCopiesDir(spark: SparkSession, sfDir: String): String =
+    textDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_text")
+      val base = events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "value")
+      base.write.mode("overwrite").json(s"$dir/json")
+      base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir.toString
+    })
+
+  /** Bench warmup hook: materialize the text-format fixtures outside query
+    * timings (corpus preparation, not q120 operator cost).
+    */
+  def prepareTextCopies(spark: SparkSession, sfDir: String): Unit = {
+    textCopiesDir(spark, sfDir); ()
+  }
+
+  private val multiformatOracle = """
+    SELECT event_type, 2 * COUNT(*) AS n_rows,
+      CAST(2 * SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q119_observe_metrics",
+      (s, d) => observeMetrics(s, events(s, d)), Some(observeOracle)),
+    Q("q120_multiformat_source",
+      (s, d) => multiformatSource(s, d), Some(multiformatOracle)),
     Q("q110_asof_join",
       (s, d) => asofJoin(s, orders(s, d)), Some(asofJoinOracle)),
     Q("q111_scd2_history",

@@ -124,6 +124,15 @@ object Scale extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Bench warmup hook: materialize the partitioned-events fixture for
+    * `sfDir` outside any query timing (the layout write is corpus
+    * preparation, not q108 operator cost — same rationale as
+    * StreamingOps.prepareSplitSource).
+    */
+  def preparePartitionedEvents(spark: SparkSession, sfDir: String): Unit = {
+    partitionedEventsDir(spark, sfDir); ()
+  }
+
   /** One partitioned copy of events per sfDir (fixture setup, cached for
     * the session; cleaned up on JVM exit — parents registered before the
     * walked children so LIFO deletion empties directories first).
