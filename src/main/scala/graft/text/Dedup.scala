@@ -391,7 +391,14 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 40).as("prefix"),
         expr("length(text) div 8").as("bucket"))
-    d.as("a").join(d.as("b"),
+    // the corpus arrives as one input split at test scale, and the DP
+    // distance runs inside the broadcast join's probe loop — spread the
+    // probe side across the cluster or every pair evaluates on one
+    // thread. The partition count is pinned explicitly: a row count this
+    // small is otherwise AQE-coalesced back to one partition, but the
+    // per-row probe work (not the row count) is what needs spreading.
+    val probeParts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    d.repartition(probeParts, col("doc_id")).as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .withColumn("lev", levenshtein(col("a.prefix"), col("b.prefix")).cast("long"))
