@@ -916,7 +916,33 @@ object Extended extends QueryModule {
       CAST(2 * SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Explicit left-semi join — membership without duplication or payload
+    * (q03's anti join's dual; with inner/left/full/anti/cross/range/asof
+    * this completes the join-type family). The dim side reduces to bare
+    * keys before broadcasting: a semi join needs only key presence, so
+    * shipping any other column is wasted broadcast bytes at scale.
+    */
+  def semiJoinRevenue(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(
+        broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+
+  private val semiJoinOracle = """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q122_semi_join",
+      (s, d) => semiJoinRevenue(orders(s, d), customer(s, d)),
+      Some(semiJoinOracle)),
     Q("q119_observe_metrics",
       (s, d) => observeMetrics(s, events(s, d)), Some(observeOracle)),
     Q("q120_multiformat_source",

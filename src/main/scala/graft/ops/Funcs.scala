@@ -376,7 +376,64 @@ object Funcs extends QueryModule {
         col("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Malformed-input tolerance audit: a deterministic slice of the JSON
+    * payloads is corrupted in-plan, then parsed with `from_json` under
+    * PERMISSIVE semantics — bad records degrade to NULL rows instead of
+    * failing the job (at 100 TB a fail-on-first-bad-record pipeline never
+    * finishes; quarantine-and-count is the only viable posture). The audit
+    * reports per-type valid counts and the aggregate over surviving rows.
+    */
+  def corruptJsonAudit(events: DataFrame): DataFrame = {
+    val raw = when(col("event_id") % 7 === 0, concat(lit("x"), col("props")))
+      .otherwise(col("props"))
+    events.withColumn("parsed", from_json(raw, "k BIGINT", Map.empty[String, String]))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("parsed.k")).as("n_valid"),
+        sum(col("parsed.k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  private val corruptJsonOracle = """
+    WITH r AS (SELECT event_type,
+        CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(COUNT(CASE WHEN json_valid(raw) THEN 1 END) AS BIGINT) AS n_valid,
+      CAST(SUM(CASE WHEN json_valid(raw)
+                THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END)
+           AS BIGINT) AS sum_k
+    FROM r GROUP BY event_type ORDER BY event_type"""
+
+  /** argmax/argmin aggregate family (`max_by`/`min_by`): "the value at the
+    * extremal key" without a self-join or window — single-pass, partial-
+    * aggregable, the O(1)-state alternative to q08's row_number approach.
+    * The ordering key (event_id) is unique, so results are deterministic
+    * across engines (max_by on a tied key is tie-arbitrary — never use a
+    * non-unique key when an oracle must match).
+    */
+  def argmaxSuite(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        max_by(col("value"), col("event_id")).as("last_val"),
+        min_by(col("value"), col("event_id")).as("first_val"),
+        max_by(col("user_id"), col("event_id")).as("last_user"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("event_type")
+
+  private val argmaxOracle = """
+    SELECT event_type,
+      arg_max("value", event_id) AS last_val,
+      arg_min("value", event_id) AS first_val,
+      arg_max(user_id, event_id) AS last_user,
+      MAX(event_id) AS max_event_id
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q121_corrupt_json_audit",
+      (s, d) => corruptJsonAudit(events(s, d)), Some(corruptJsonOracle)),
+    Q("q123_argmax_suite",
+      (s, d) => argmaxSuite(events(s, d)), Some(argmaxOracle)),
     Q("q118_variant_suite",
       (s, d) => variantSuite(orders(s, d)), Some(variantOracle)),
     Q("q113_approx_quantiles",

@@ -108,4 +108,31 @@ class PlanSpec extends SparkSpec {
     val firstAgg = p.indexOf("HashAggregate")
     assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > firstAgg)
   }
+
+  test("q110: as-of range probe broadcasts the intervalized dimension") {
+    val p = plan("q110_asof_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the fact side must probe a broadcast interval list, never shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q112: top-k tokens is a TakeOrdered, not a global sort") {
+    val p = plan("q112_zipf_curve")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${p.take(1200)}")
+  }
+
+  test("q122: semi join is broadcast and ships only the key column") {
+    val p = plan("q122_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("c_mktsegment], Batched") || p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      "dim scan should read only the key + filter columns")
+  }
+
+  test("q103: levenshtein probe side is spread by an explicit repartition") {
+    val p = plan("q103_edit_distance_pairs")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"probe repartition must pin partition count (AQE would coalesce):\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }
