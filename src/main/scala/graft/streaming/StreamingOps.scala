@@ -284,6 +284,39 @@ object StreamingOps extends QueryModule {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * a key in state only until the watermark passes it, where q72's plain
+    * `dropDuplicates` retains every key forever — the difference between
+    * O(in-flight window) and O(all keys ever) state at 100 TB (redelivery
+    * in real systems is near-time, so the watermark bound is the correct
+    * contract). The corpus redelivers every event (self-union); all
+    * duplicates land inside the delay window here, so the result still
+    * equals the batch distinct and shares q72's oracle shape.
+    */
+  def streamingDedupWatermark(spark: SparkSession, sfDir: String): DataFrame =
+    withStatePartitions(spark, 8) {
+      val name = s"graft_stream_dedup_wm_${System.nanoTime()}"
+      val twice = eventStream(spark, sfDir).union(eventStream(spark, sfDir))
+      val q = twice
+        .withWatermark("ts", "10 minutes")
+        .select("event_id", "ts", "event_type", "value")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import graft.Num._
+      val res = spark.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint()
+      spark.catalog.dropTempView(name)
+      res
+    }
+
   /** Sessionization on the transformWithState API (Spark 4's arbitrary
     * stateful operator, successor to flatMapGroupsWithState): the open
     * session lives in a typed ValueState on the RocksDB state store —
@@ -550,6 +583,8 @@ object StreamingOps extends QueryModule {
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
     Q("q72_streaming_dedup",
       (s, d) => streamingDedup(s, d), Some(streamingDedupOracle)),
+    Q("q124_dedup_within_watermark",
+      (s, d) => streamingDedupWatermark(s, d), Some(streamingDedupOracle)),
     Q("q45_stateful_sessionize",
       (s, d) => sessionizeStateful(s, d), Some(sessionStatefulOracle)),
     Q("q69_stream_stream_join",

@@ -401,8 +401,11 @@ object Dedup extends QueryModule {
     d.repartition(probeParts, col("doc_id")).as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("lev", levenshtein(col("a.prefix"), col("b.prefix")).cast("long"))
-      .filter(col("lev") <= maxDist)
+      // threshold overload: the DP runs banded (O(len·maxDist), not
+      // O(len²)) and returns -1 past the threshold — pairs we drop anyway
+      .withColumn("lev",
+        levenshtein(col("a.prefix"), col("b.prefix"), maxDist).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
       .orderBy("doc_a", "doc_b")
   }
