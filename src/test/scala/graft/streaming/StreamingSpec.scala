@@ -142,4 +142,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(2) == 2L) // first session has 2 events
     assert(rows(1).getLong(2) == 1L)
   }
+
+  test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import StreamingOps.Ev
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val us = 1000000L
+    val ms = MemoryStream[Ev]
+    val name = s"graft_dedup_wm_${System.nanoTime()}"
+    val q = ms.toDF()
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: same key twice inside the delay window -> one survivor
+      ms.addData(Ev(1, 0, 7, 1.0), Ev(1, 60 * us, 7, 1.0))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far past the key's expiry (60s+10m)
+      ms.addData(Ev(2, 3600 * us, 7, 2.0))
+      q.processAllAvailable()
+      // batch 3: the SAME key re-arrives with a fresh event time — its
+      // state was evicted, so it is emitted AGAIN. q72's plain
+      // dropDuplicates would suppress it forever (and keep the state).
+      ms.addData(Ev(1, 3700 * us, 7, 3.0))
+      q.processAllAvailable()
+      val n = spark.table(name).filter(col("event_id") === 1).count()
+      assert(n == 2, s"evicted key must be re-admitted, got $n emissions")
+      assert(spark.table(name).count() == 3)
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
 }
