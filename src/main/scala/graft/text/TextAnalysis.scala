@@ -603,7 +603,68 @@ object TextAnalysis extends QueryModule {
       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
     FROM walk GROUP BY lang, bin_id ORDER BY lang, bin_id"""
 
+  /** BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query term set —
+    * the classical relevance ranker a curation stack uses to mine
+    * topic-relevant documents at corpus scale. Every input is an exact
+    * integer aggregate (tf, df, doc length, N); the floating score is one
+    * deterministic expression per (doc, term), summed per doc through an
+    * exact decimal to stay order-independent, then top-k by
+    * TakeOrderedAndProject. Plan: one token explode + three shuffle aggs
+    * (tf rows exist only for query terms — the scan filter prunes the
+    * explosion to |query| terms per doc) and a tiny broadcast of
+    * df/corpus stats.
+    */
+  def bm25TopK(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("spark", "table", "query"),
+      k: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(dec(col("score_t"), 12)).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val bm25Oracle = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs,
+      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+      WHERE term IN ('spark', 'table', 'query') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score_t
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+    SELECT doc_id,
+      ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,12))) AS DOUBLE), 6) AS bm25,
+      COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q125_bm25_topk",
+      (s, d) => bm25TopK(documents(s, d)), Some(bm25Oracle)),
     Q("q116_sequence_packing",
       (s, d) => sequencePacking(s, documents(s, d)), Some(sequencePackingOracle)),
     Q("q112_zipf_curve",
