@@ -507,7 +507,151 @@ object Dedup extends QueryModule {
     SELECT node AS doc_id, MIN(r) AS component_id
     FROM reach GROUP BY node ORDER BY doc_id"""
 
+  /** Survivorship: pick each near-dup cluster's canonical representative
+    * (richest first: max n_chars, ties to the lowest doc_id) plus member
+    * stats — the step after clustering that decides which copy a training
+    * set keeps. One window over the component id and one aggregate, both
+    * on the component table (|pair-participating docs| rows, tiny next to
+    * the corpus at any scale).
+    */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = dupComponents(docs, threshold)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .localCheckpoint() // feeds the window AND the aggregate below
+    val byRichness = Window.partitionBy("component_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = members
+      .withColumn("rk", row_number().over(byRichness))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("canonical_doc"),
+        col("n_chars").as("canonical_chars"))
+    val stats = members.groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("total_chars"))
+    canon.join(stats, "component_id").orderBy("component_id")
+  }
+
+  private val canonicalOracle = s"""
+    WITH RECURSIVE sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    good AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM good
+      UNION ALL SELECT doc_b, doc_a FROM good),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component_id
+      FROM reach GROUP BY node),
+    m AS (SELECT comp.doc_id, component_id, n_chars
+      FROM comp JOIN documents USING (doc_id)),
+    canon AS (
+      SELECT component_id, doc_id AS canonical_doc, n_chars AS canonical_chars
+      FROM m
+      QUALIFY row_number() OVER (PARTITION BY component_id
+        ORDER BY n_chars DESC, doc_id) = 1),
+    stats AS (SELECT component_id, COUNT(*) AS n_members,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM m GROUP BY component_id)
+    SELECT component_id, canonical_doc, canonical_chars, n_members, total_chars
+    FROM canon JOIN stats USING (component_id) ORDER BY component_id"""
+
+  /** Sketch-quality audit: MinHash-LSH candidate pairs scored against the
+    * exact n-gram Jaccard truth set — precision/recall of the approximate
+    * detector, the number a curation team watches when tuning bands×rows.
+    * Both legs are the engine's own oracle-checked operators; the audit is
+    * a full outer join of two tiny pair sets plus one counting pass.
+    */
+  def lshQualityAudit(docs: DataFrame): DataFrame = {
+    val exact = jaccardPairs(docs).select(col("doc_a"), col("doc_b"))
+      .withColumn("e", lit(1))
+    val cand = minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+      .withColumn("c", lit(1))
+    exact.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("e")).as("n_exact"),
+        count(col("c")).as("n_lsh"),
+        count(when(col("e").isNotNull && col("c").isNotNull, 1)).as("tp"),
+        count(when(col("e").isNull, 1)).as("fp"),
+        count(when(col("c").isNull, 1)).as("fn"))
+      .select(col("n_exact"), col("n_lsh"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / col("n_lsh"), 6).as("precision"),
+        round(col("tp").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
+  private val lshQualityOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6),
+    hs0 AS (
+      SELECT doc_id,
+        list_transform(list_transform(shs, s -> md5(s)), m -> struct_pack(
+          h1 := ('0x' || substr(m, 1, 15))::BIGINT % 1000000007,
+          h2 := ('0x' || substr(m, 16, 15))::BIGINT % 1000000007)) AS hs
+      FROM sh0),
+    sigs AS (
+      SELECT doc_id,
+        list_transform(range(0, 12), j ->
+          list_min(list_transform(hs, p -> (p.h1 + j * p.h2) % 1000000007))) AS sig
+      FROM hs0),
+    bands0 AS (
+      SELECT doc_id, sig, unnest(list_transform(range(0, 4), b -> struct_pack(
+        band_idx := b,
+        band_val := CAST(sig[3*b+1] AS VARCHAR) || '_' || CAST(sig[3*b+2] AS VARCHAR)
+          || '_' || CAST(sig[3*b+3] AS VARCHAR)))) AS bd
+      FROM sigs),
+    bands AS (
+      SELECT doc_id, sig, bd.band_idx AS band_idx, bd.band_val AS band_val
+      FROM bands0),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    lsh AS (
+      SELECT doc_a, doc_b FROM cand0
+      WHERE CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j]))
+            AS DOUBLE) / 12.0 >= 0.5),
+    j AS (
+      SELECT e.doc_a AS ea, c.doc_a AS ca
+      FROM exact e FULL OUTER JOIN lsh c
+        ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT
+      CAST(COUNT(ea) AS BIGINT) AS n_exact,
+      CAST(COUNT(ca) AS BIGINT) AS n_lsh,
+      CAST(COUNT(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+      CAST(COUNT(CASE WHEN ea IS NULL THEN 1 END) AS BIGINT) AS fp,
+      CAST(COUNT(CASE WHEN ca IS NULL THEN 1 END) AS BIGINT) AS fn,
+      ROUND(CAST(COUNT(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL THEN 1 END) AS DOUBLE)
+        / COUNT(ca), 6) AS precision,
+      ROUND(CAST(COUNT(CASE WHEN ea IS NOT NULL AND ca IS NOT NULL THEN 1 END) AS DOUBLE)
+        / COUNT(ea), 6) AS recall
+    FROM j"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q126_canonical_docs",
+      (s, d) => canonicalDocs(documents(s, d)), Some(canonicalOracle)),
+    Q("q127_lsh_quality",
+      (s, d) => lshQualityAudit(documents(s, d)), Some(lshQualityOracle)),
     Q("q25_exact_dedup",
       (s, d) => exactDedup(documents(s, d)), Some(exactDedupOracle)),
     Q("q96_dup_components",
