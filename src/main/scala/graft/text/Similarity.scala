@@ -374,7 +374,66 @@ object Similarity extends QueryModule {
     SELECT label, c_label AS predicted, COUNT(*) AS n_vectors
     FROM p GROUP BY label, c_label ORDER BY label, predicted"""
 
+  /** Random-projection (JL) dimensionality reduction with a recall audit:
+    * embeddings project 64 -> 16 dims through a FIXED deterministic ±1
+    * sign matrix (a keyed parity hash — solver-free, so the whole
+    * operator is oracle-checkable, unlike trained reductions), then the
+    * q30 query runs in the reduced space and each reduced-space hit is
+    * flagged against the exact top-k. At 100 TB the projection is a
+    * narrow 4× data reduction applied scan-side before any index build;
+    * the audit is the recall number that justifies (or vetoes) it.
+    */
+  def randomProjectionKnn(emb: DataFrame, outDims: Int = 16, k: Int = 10): DataFrame = {
+    val proj = expr(s"""transform(sequence(0, ${outDims - 1}), j ->
+      aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
+        (acc, i) -> acc + cast(element_at(embedding, i + 1) as double)
+          * (case when (i + 1) * (j + 7) * 2654435761 % 1000000007 % 2 = 0
+             then 1.0 else -1.0 end)))""")
+    val projected = emb.withColumn("p", proj)
+    val q = projected.filter(col("vec_id") === 0)
+      .select(col("p").as("qp"))
+    val top = projected.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("pcos", round(cosine_sim(col("p"), col("qp")), 6))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(k)
+    val exact = knnBruteForce(emb, k).select(col("vec_id"))
+      .withColumn("x", lit(1L))
+    top.join(exact, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pcos"),
+        coalesce(col("x"), lit(0L)).as("in_exact_topk"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+  }
+
+  private val randomProjectionOracle = s"""
+    WITH pr AS (
+      SELECT vec_id, label,
+        list_transform(range(0, 16), j ->
+          list_sum(list_transform(range(0, len(embedding)),
+            i -> CAST(embedding[i + 1] AS DOUBLE)
+              * (CASE WHEN (i + 1) * (j + 7) * 2654435761 % 1000000007 % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)))) AS p
+      FROM embeddings),
+    q AS (SELECT p AS qp FROM pr WHERE vec_id = 0),
+    top AS (
+      SELECT pr.vec_id, pr.label, ROUND(${cosSql("p", "qp")}, 6) AS pcos
+      FROM pr, q WHERE pr.vec_id <> 0
+      ORDER BY pcos DESC, pr.vec_id LIMIT 10),
+    ex AS (
+      SELECT e.vec_id,
+        ${cosSql("e.embedding", "qe.qv")} AS cos
+      FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) qe
+      WHERE e.vec_id <> 0
+      ORDER BY ROUND(cos, 6) DESC, e.vec_id LIMIT 10)
+    SELECT top.vec_id, top.label, top.pcos,
+      CAST(CASE WHEN ex.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        AS in_exact_topk
+    FROM top LEFT JOIN ex ON top.vec_id = ex.vec_id
+    ORDER BY pcos DESC, top.vec_id"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q128_random_projection",
+      (s, d) => randomProjectionKnn(embeddings(s, d)), Some(randomProjectionOracle)),
     Q("q114_centroid_classify",
       (s, d) => centroidClassify(embeddings(s, d)), Some(centroidClassifyOracle)),
     Q("q105_embedding_quantize",
