@@ -24,6 +24,7 @@ object Bench {
       // write cost is corpus preparation, not q88/q95 operator cost
       graft.streaming.StreamingOps.prepareSplitSource(spark, sfDir)
       graft.ops.Scale.preparePartitionedEvents(spark, sfDir)
+      graft.ops.Scale.prepareBucketedTables(spark, sfDir)
       graft.ops.Extended.prepareTextCopies(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen

@@ -16,6 +16,8 @@ object SparkEntry {
     ops.Funcs,
     ops.Scale,
     ops.Extended,
+    ops.Layout,
+    ops.Analytics,
     text.TextAnalysis,
     text.Dedup,
     text.Similarity,

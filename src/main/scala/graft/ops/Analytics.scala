@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num._
+
+/** Dataset-diagnostics operators a curation pipeline runs between ingest
+  * and training (SURVEY.md §2.9): robust outlier detection, a declarative
+  * data-quality expectation suite, per-entity activity islands, and an
+  * iterative graph rank over an aggregated edge list. None exist in the
+  * reference (its only audit is the split groupBy/count,
+  * `03a_Model Training.py:93-94`); all four are standard curation
+  * machinery for a 100 TB corpus.
+  *
+  * Scale notes:
+  *  - MAD needs two exact medians per group — each is one sort-based
+  *    aggregation; group medians are per-key, so the shuffle is on the
+  *    group key and skew-bounded by the largest group, not the table.
+  *  - The expectation suite is a union of independent aggregates; each
+  *    leg scans with its own pushed filter and the legs run in parallel
+  *    (one job, separate stages). Violation COUNTS travel, rows never do.
+  *  - Islands shuffle once on user_id; the island assignment is a
+  *    row_number against distinct days — pure window arithmetic.
+  *  - PageRank: the expensive part is building the weighted edge list
+  *    (fact⋈fact⋈dims, shuffled on its join keys once); iterations then
+  *    run over the aggregated edge table, which is |nations|² at most —
+  *    the classic "aggregate first, iterate on the small projection"
+  *    shape. Decimal-cast sums make every iteration order-independent,
+  *    so ranks are bit-identical across any partitioning.
+  */
+object Analytics extends QueryModule {
+
+  /** Per-type robust outliers: median, MAD (median absolute deviation),
+    * and the count of |x - median| > 3·MAD rows. Exact interpolated
+    * medians (`percentile`), not approximations — deterministic given
+    * the value multiset in both engines.
+    */
+  def outlierMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dec(max("med"), 6).cast("double").as("med"),
+        dec(max("mad"), 6).cast("double").as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val outlierMadOracle = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, COUNT(*) AS n,
+           CAST(CAST(MAX(d.med) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+           CAST(CAST(MAX(m.mad) AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type"""
+
+  /** Declarative data-quality expectation suite: each expectation is an
+    * independent aggregate emitting (check, n_violations); the suite is
+    * their union. Referential integrity via anti-join, uniqueness via
+    * grouped HAVING, domain checks via pushed-down predicates.
+    */
+  def dqExpectations(orders: DataFrame, li: DataFrame,
+      customer: DataFrame): DataFrame = {
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val nullCust = leg("null_custkey", orders.filter(col("o_custkey").isNull))
+    val orphans = leg("orphan_orders",
+      orders.join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti"))
+    val negPrice = leg("nonpositive_price",
+      li.filter(col("l_extendedprice") <= 0))
+    val badDisc = leg("discount_out_of_range",
+      li.filter(col("l_discount") < 0 || col("l_discount") > 0.5))
+    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+      .select(lit("duplicate_pk").as("check_name"), col("n_violations"))
+    val shipBeforeOrder = leg("ship_before_order",
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")))
+    Seq(nullCust, orphans, negPrice, badDisc, dupPk, shipBeforeOrder)
+      .reduce(_.union(_))
+      .orderBy("check_name")
+  }
+
+  private val dqOracle = """
+    SELECT 'null_custkey' AS check_name, COUNT(*) AS n_violations
+      FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orphan_orders', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'nonpositive_price', COUNT(*) FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'discount_out_of_range', COUNT(*) FROM lineitem
+      WHERE l_discount < 0 OR l_discount > 0.5
+    UNION ALL
+    SELECT 'duplicate_pk', COUNT(*) FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'ship_before_order', COUNT(*) FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate < o.o_orderdate
+    ORDER BY check_name"""
+
+  /** Gaps-and-islands per user: collapse each user's distinct active
+    * days into maximal consecutive-day runs via the day-minus-row_number
+    * constant-per-island trick, then report island count, longest run,
+    * and first active day.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val rn = row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    val grouped = days.withColumn("grp", date_sub(col("d"), rn))
+    val islands = grouped.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("d").as("start_d"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"), max("len").as("max_len"),
+        min("start_d").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  private val islandsOracle = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grouped AS (
+      SELECT user_id, d, d - CAST(row_number() OVER (
+        PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      FROM days),
+    islands AS (
+      SELECT user_id, grp, COUNT(*) AS len, MIN(d) AS start_d
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id, COUNT(*) AS n_islands, MAX(len) AS max_len,
+           MIN(start_d) AS first_day
+    FROM islands GROUP BY user_id ORDER BY user_id"""
+
+  /** PageRank (damping 0.85, 3 iterations, unrolled) over the
+    * supplier-nation → customer-nation trade graph. Edge weights are
+    * lineitem counts; contributions are weight-proportional. Dangling
+    * nodes (nations with no outbound trade) leak their mass — the
+    * drop-dangling variant, chosen so each step is a pure join+agg with
+    * no global scalar redistribution. Per-node in-mass is summed as a
+    * src-ordered double fold, so iteration results are exact and
+    * partitioning-independent (the oracle unrolls the same three steps
+    * as CTEs with the same ordered fold).
+    */
+  def tradePageRank(spark: SparkSession, li: DataFrame, orders: DataFrame,
+      supplier: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val edges = li.select(col("l_suppkey"), col("l_orderkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey").as("src"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey").as("dst"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val e = edges.join(outw, "src").localCheckpoint() // iterate on the small projection
+    val n = 25L // nation table is fixed at 25 rows (TPC-H spec / TESTDATA.md)
+    val nodes = nation.select(col("n_nationkey").as("node"))
+    var r = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, col("src") === col("node"))
+        .select(col("dst"), col("src"),
+          (col("pr") * col("w") / col("ow")).as("c"))
+      // per-node in-mass as a src-ordered double fold: each node has at
+      // most |nations| contributions, and summing them in one pinned
+      // order sidesteps engine-specific double->decimal rounding of
+      // intermediates (both engines add IDENTICAL doubles in IDENTICAL
+      // order => identical sums)
+      val mass = contrib.groupBy("dst")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src").as("s"), col("c").as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("m"))
+      r = nodes.join(mass, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    r.select(col("node"), dec(col("pr"), 12).cast("double").as("pr"))
+      .orderBy("node")
+  }
+
+  private def prStep(i: Int): String = s"""
+    c$i AS (
+      SELECT e.dst, e.src, r${i - 1}.pr * e.w / e.ow AS c
+      FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node),
+    m$i AS (
+      SELECT dst, list_reduce(
+        list_prepend(CAST(0 AS DOUBLE), list(c ORDER BY src)),
+        (a, b) -> a + b) AS m
+      FROM c$i GROUP BY dst),
+    r$i AS (
+      SELECT node, CAST(0.15 AS DOUBLE) / 25 +
+             CAST(0.85 AS DOUBLE) * COALESCE(m, CAST(0 AS DOUBLE)) AS pr
+      FROM r${i - 1} LEFT JOIN m$i ON node = dst)"""
+
+  private val pageRankOracle = s"""
+    WITH edges AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+    e AS (SELECT edges.*, outw.ow FROM edges JOIN outw USING (src)),
+    r0 AS (SELECT n_nationkey AS node, CAST(1.0 AS DOUBLE) / 25 AS pr FROM nation),
+    ${prStep(1)},
+    ${prStep(2)},
+    ${prStep(3)}
+    SELECT node, CAST(CAST(pr AS DECIMAL(18,12)) AS DOUBLE) AS pr
+    FROM r3 ORDER BY node"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q132_outlier_mad",
+      (s, d) => outlierMad(events(s, d)), Some(outlierMadOracle)),
+    Q("q139_dq_expectations",
+      (s, d) => dqExpectations(orders(s, d), lineitem(s, d), customer(s, d)),
+      Some(dqOracle)),
+    Q("q134_activity_islands",
+      (s, d) => activityIslands(events(s, d)), Some(islandsOracle)),
+    Q("q133_trade_pagerank",
+      (s, d) => tradePageRank(s, lineitem(s, d), orders(s, d),
+        supplier(s, d), customer(s, d), nation(s, d)), Some(pageRankOracle)),
+  )
+}

@@ -156,7 +156,102 @@ object Scale extends QueryModule {
     FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
     GROUP BY event_type ORDER BY event_type"""
 
+  /** Deterministic per-group sample: order each (lang, source) stratum
+    * by a content-independent hash (md5 of the key string) and keep the
+    * first k. Unlike seeded Bernoulli sampling this is reproducible
+    * across engines AND across re-runs on re-partitioned data — the
+    * property a training-data pipeline needs so a re-ingested corpus
+    * yields the same eval split. The md5 order is uniform-ish, so the
+    * sample is unbiased within each stratum; per-group top-k by hash
+    * shuffles only on the group key.
+    */
+  def groupSample(docs: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("doc_id"), col("lang"), col("source"),
+      md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+    val w = Window.partitionBy("lang", "source").orderBy("hk", "doc_id")
+    h.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("lang", "source", "rn", "doc_id", "hk")
+      .orderBy("lang", "source", "rn")
+  }
+
+  private val groupSampleOracle = """
+    WITH h AS (SELECT doc_id, lang, source,
+        md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang, source ORDER BY hk, doc_id) AS BIGINT) AS rn FROM h)
+    SELECT lang, source, rn, doc_id, hk FROM r WHERE rn <= 4
+    ORDER BY lang, source, rn"""
+
+  /** Bucketed co-located join as a graded query: both fact tables are
+    * written ONCE per corpus bucketed+sorted on the join key (fixture
+    * setup, cached per sfDir and prepared in bench warmup — the layout
+    * write is table maintenance, not query cost); the join then reads
+    * bucket-aligned files with NO Exchange on either side (asserted in
+    * ScaleSpec). The oracle is the plain join — bucketing changes the
+    * plan, never the result.
+    */
+  def bucketedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Num._
+    val p = bucketedTradeTables(spark, sfDir)
+    spark.table(s"${p}_l")
+      .join(spark.table(s"${p}_o"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bench warmup hook: materialize the bucketed tables outside timings. */
+  def prepareBucketedTables(spark: SparkSession, sfDir: String): Unit = {
+    bucketedTradeTables(spark, sfDir); ()
+  }
+
+  /** Bucketed catalog tables live at an EXTERNAL temp-dir location (one
+    * per sfDir per JVM, cleaned up on exit): a default warehouse location
+    * would collide with leftovers of a previous JVM — bucketing metadata
+    * is in the in-memory catalog, so stale data dirs are unusable anyway.
+    */
+  private val bktTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bucketedTradeTables(spark: SparkSession, sfDir: String): String =
+    bktTables.computeIfAbsent(sfDir, _ => {
+      val tag = sfDir.replaceAll("[^0-9a-zA-Z]", "")
+      val p = s"graft_bkt_$tag"
+      val dir = java.nio.file.Files.createTempDirectory("graft_bkt")
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_o`")
+      spark.sql(s"DROP TABLE IF EXISTS `${p}_l`")
+      // pre-shuffle each table onto its bucket key with numPartitions =
+      // numBuckets (same murmur3 hash): every writer task then owns
+      // exactly one bucket => ONE file per bucket (not one per task per
+      // bucket), and a single sorted file per bucket lets the scan report
+      // sorted output so the join skips the re-sort too
+      graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+        .repartition(16, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$dir/o").bucketBy(16, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(s"${p}_o")
+      graft.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(16, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$dir/l").bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(s"${p}_l")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(f => f.toFile.deleteOnExit()) finally walk.close()
+      p
+    })
+
+  private val bucketedRevenueOracle = """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q130_group_sample",
+      (s, d) => groupSample(documents(s, d)), Some(groupSampleOracle)),
+    Q("q137_bucketed_join",
+      (s, d) => bucketedRevenue(s, d), Some(bucketedRevenueOracle)),
     Q("q108_partition_prune",
       (s, d) => partitionPrunedCounts(s, d), Some(partitionPrunedOracle)),
     // salted two-phase aggregation provably equals the direct groupBy —

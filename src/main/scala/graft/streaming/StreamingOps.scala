@@ -578,7 +578,44 @@ object StreamingOps extends QueryModule {
     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     ORDER BY user_id"""
 
+  /** Stream-static enrichment join: each micro-batch of the event stream
+    * probes a STATIC dimension (customer segments) via broadcast hash
+    * join — the standard streaming-enrichment shape (no state store, no
+    * watermark: the static side is re-resolvable per batch, so this
+    * composes with any downstream stateful op). Complete-mode windowless
+    * aggregation over AvailableNow equals the batch join+groupBy, which
+    * is the oracle.
+    */
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+    import graft.Num._
+    val name = s"graft_stream_enrich_${System.nanoTime()}"
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val res = spark.table(name)
+      .orderBy("c_mktsegment", "event_type").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    res
+  }
+
+  private val streamEnrichOracle = """
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q131_stream_enrich",
+      (s, d) => streamEnrich(s, d), Some(streamEnrichOracle)),
     Q("q44_streaming_window",
       (s, d) => streamingWindow(s, d), Some(streamingWindowOracle)),
     Q("q72_streaming_dedup",

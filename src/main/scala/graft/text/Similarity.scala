@@ -431,7 +431,39 @@ object Similarity extends QueryModule {
     FROM top LEFT JOIN ex ON top.vec_id = ex.vec_id
     ORDER BY pcos DESC, top.vec_id"""
 
+  /** Per-dimension robust scaling statistics (median + IQR) for an
+    * embedding column — the normalization a feature pipeline fits before
+    * serving. One posexplode (narrow: rows × dims, no shuffle until the
+    * per-dim aggregation, which has exactly `dims` groups) then exact
+    * interpolated percentiles per dimension. At 100 TB the per-dim
+    * groups are huge but only `dims` of them exist — sort-based
+    * aggregation per group key is the right plan, and the result (64
+    * rows) broadcasts back for the apply step.
+    */
+  def robustScale(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"), // 1-based like the oracle's generate_subscripts
+        col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        dec(expr("percentile(v, 0.5)"), 6).cast("double").as("med"),
+        dec(expr("percentile(v, 0.75) - percentile(v, 0.25)"), 6)
+          .cast("double").as("iqr"))
+      .orderBy("dim")
+
+  private val robustScaleOracle = """
+    WITH ex AS (SELECT unnest(embedding) AS v,
+        generate_subscripts(embedding, 1) AS dim FROM embeddings)
+    SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+      CAST(CAST(quantile_cont(CAST(v AS DOUBLE), 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med,
+      CAST(CAST(quantile_cont(CAST(v AS DOUBLE), 0.75)
+        - quantile_cont(CAST(v AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS iqr
+    FROM ex GROUP BY dim ORDER BY dim"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q136_robust_scale",
+      (s, d) => robustScale(embeddings(s, d)), Some(robustScaleOracle)),
     Q("q128_random_projection",
       (s, d) => randomProjectionKnn(embeddings(s, d)), Some(randomProjectionOracle)),
     Q("q114_centroid_classify",

@@ -662,7 +662,39 @@ object TextAnalysis extends QueryModule {
     FROM scored GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
+  /** Heavy hitters via sketch-then-recount: a Misra-Gries pass (bounded
+    * O(k) state per partition, map-side combined, one-row shuffle) yields
+    * a candidate superset of every token above the frequency threshold
+    * (guaranteed for thresholds > n/(k+1) — see
+    * [[graft.functions.MisraGries]]); a second pass recounts ONLY the
+    * <= k candidates exactly and keeps those above n/`denom`. Output is
+    * exact (= plain GROUP BY + HAVING oracle) while never shuffling the
+    * full token multiset — the pattern that still works when the
+    * vocabulary itself doesn't fit in memory.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 255, denom: Long = 200L): DataFrame = {
+    require(denom < k + 1,
+      s"threshold n/$denom must exceed the MG guarantee n/${k + 1}")
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+    val mg = udaf(graft.functions.MisraGries.sketch(k))
+    val row = toks.agg(mg(col("tok")).as("cands"), count(lit(1)).as("n")).head()
+    val cands = row.getSeq[String](0)
+    val n = row.getLong(1)
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") * lit(denom) > lit(n))
+      .orderBy(col("c").desc, col("tok"))
+  }
+
+  private val heavyHittersOracle = """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+    SELECT tok, c FROM cnt, tot WHERE c * 200 > n ORDER BY c DESC, tok"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q138_heavy_hitters",
+      (s, d) => heavyHitters(documents(s, d)), Some(heavyHittersOracle)),
     Q("q125_bm25_topk",
       (s, d) => bm25TopK(documents(s, d)), Some(bm25Oracle)),
     Q("q116_sequence_packing",

@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operator tests: Z-order layout, compaction planning,
+  * Misra-Gries heavy hitters, deterministic group sampling, islands,
+  * PageRank invariants, DQ suite, robust scaling, and the bucketed /
+  * stream-enrich graded twins.
+  */
+class LayoutAnalyticsSpec extends SparkSpec {
+
+  test("zorder2 interleaves bits (known values)") {
+    val df = spark.range(1).select(
+      Layout.zorder2(lit(3L), lit(5L)).as("z35"),
+      Layout.zorder2(lit(0L), lit(255L)).as("zy"),
+      Layout.zorder2(lit(255L), lit(0L)).as("zx"))
+    val r = df.collect()(0)
+    // x=3 (bits 0,1 -> even positions 0,2), y=5 (bits 0,2 -> odd positions 1,5)
+    assert(r.getLong(0) == (1L + 4L) + (2L + 32L))
+    assert(r.getLong(1) == 0xAAAAL) // all odd positions
+    assert(r.getLong(2) == 0x5555L) // all even positions
+  }
+
+  test("zorder layout files tile the table and bound both dimensions") {
+    val audit = Layout.zorderLayout(Tables.lineitem(spark, sf("sf0.001"))).collect()
+    assert(audit.length == 32)
+    val li = Tables.lineitem(spark, sf("sf0.001")).count()
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == li)
+    // Z-ordered files must be materially more selective than full-range
+    // boxes on average (256*256 = 65536 is the no-clustering worst case)
+    val avgArea = audit.map(_.getAs[Long]("bbox_area")).sum / audit.length
+    assert(avgArea < 65536 / 2, s"avg bbox $avgArea not clustered")
+  }
+
+  test("compaction plan covers every file once with contiguous key ranges") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val plan = Layout.compactionPlan(li).collect()
+    val nFiles = li.select("l_partkey").distinct().count()
+    assert(plan.map(_.getAs[Long]("n_files")).sum == nFiles)
+    // key ranges are disjoint and ordered: each bin's min exceeds the
+    // previous bin's max
+    plan.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_key") < b.getAs[Long]("min_key"))
+      case _ =>
+    }
+  }
+
+  test("misra-gries never loses an item above the n/(k+1) guarantee") {
+    // skewed synthetic stream: token i appears i^2 times
+    val items = (1 to 40).flatMap(i => Seq.fill(i * i)(s"t$i"))
+    val n = items.size
+    val k = 15
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(items)
+    import spark.implicits._
+    val mg = udaf(graft.functions.MisraGries.sketch(k))
+    val cands = shuffled.toDF("tok").repartition(8)
+      .agg(mg(col("tok"))).collect()(0).getSeq[String](0).toSet
+    val exact = items.groupBy(identity).view.mapValues(_.size)
+    val mustKeep = exact.collect { case (t, c) if c > n / (k + 1) => t }
+    mustKeep.foreach(t => assert(cands.contains(t), s"$t lost by sketch"))
+    assert(cands.size <= k)
+  }
+
+  test("heavy hitters equals exact group-by + threshold") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val hh = graft.text.TextAnalysis.heavyHitters(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 200L > n)
+      .orderBy(col("c").desc, col("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == exact.toSeq)
+    assert(hh.nonEmpty)
+  }
+
+  test("group sample is deterministic and bounded per stratum") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = Scale.groupSample(docs).collect().map(_.toSeq)
+    val b = Scale.groupSample(docs.repartition(7)).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq) // partitioning-independent
+    val perGroup = Scale.groupSample(docs).groupBy("lang", "source").count()
+    assert(perGroup.agg(max("count")).collect()(0).getLong(0) <= 4)
+  }
+
+  test("activity islands: consecutive days collapse, gaps split") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"),
+      (2L, "2024-02-10")
+    ).toDF("user_id", "day")
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"))
+    val r = Analytics.activityIslands(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("pagerank ranks are bounded and nodes with inflow exceed the base") {
+    val d = sf("sf0.001")
+    val pr = Analytics.tradePageRank(spark, Tables.lineitem(spark, d),
+      Tables.orders(spark, d), Tables.supplier(spark, d),
+      Tables.customer(spark, d), Tables.nation(spark, d)).collect()
+    assert(pr.length == 25)
+    val base = 0.15 / 25
+    pr.foreach(r => assert(r.getDouble(1) >= base - 1e-12))
+    // drop-dangling semantics: total mass is <= 1 (dangling mass vanishes
+    // each step) and > the pure-teleport floor
+    val total = pr.map(_.getDouble(1)).sum
+    assert(total <= 1.0 + 1e-9 && total > 0.15 - 1e-9, s"rank mass $total")
+    // at least one nation receives trade inflow above the base rank
+    assert(pr.map(_.getDouble(1)).max > base + 1e-9)
+  }
+
+  test("dq expectation suite emits every check with sane counts") {
+    val d = sf("sf0.001")
+    val r = Analytics.dqExpectations(Tables.orders(spark, d),
+      Tables.lineitem(spark, d), Tables.customer(spark, d)).collect()
+    val byName = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byName.keySet == Set("null_custkey", "orphan_orders",
+      "nonpositive_price", "discount_out_of_range", "duplicate_pk",
+      "ship_before_order"))
+    assert(byName.values.forall(_ >= 0L))
+    // the synthetic corpus genuinely contains duplicate (orderkey,
+    // linenumber) pairs — the check must agree with a direct recount
+    val dupes = Tables.lineitem(spark, d)
+      .groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).count()
+    assert(byName("duplicate_pk") == dupes)
+  }
+
+  test("robust scale emits one row per dimension with non-negative IQR") {
+    val r = graft.text.Similarity.robustScale(
+      Tables.embeddings(spark, sf("sf0.001"))).collect()
+    assert(r.length == 64)
+    assert(r.map(_.getAs[Long]("dim")).toSeq == (1L to 64L))
+    r.foreach { row =>
+      assert(row.getAs[Double]("iqr") >= 0.0)
+      assert(row.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("bucketed revenue query plan reads both sides without exchange") {
+    val df = Scale.bucketedRevenue(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.treeString
+    // the final single-partition orderBy exchanges AFTER the aggregation;
+    // the join itself must not: no hashpartitioning exchange on the keys
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join shuffled:\n${plan.take(2000)}")
+    assert(df.count() > 0)
+  }
+
+  test("stream-static enrichment equals its batch twin") {
+    val d = sf("sf0.001")
+    val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
+      .collect().map(_.toSeq)
+    val batch = Tables.events(spark, d)
+      .join(Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("c_mktsegment", "event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
