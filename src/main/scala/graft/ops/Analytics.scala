@@ -233,7 +233,80 @@ object Analytics extends QueryModule {
     SELECT node, CAST(CAST(pr AS DECIMAL(18,12)) AS DOUBLE) AS pr
     FROM r3 ORDER BY node"""
 
+  /** Exact sample covariance/correlation matrix over (quantity, price,
+    * discount) — the `corr`/`covar_samp` aggregate family, computed from
+    * unscaled-integer decimal power sums (the q90 trick: all inputs have
+    * <= 2 decimal digits, so scaled values are exact integers and every
+    * cross-product sum is an exact DECIMAL(38,0) — no rounding anywhere
+    * until the final double division/sqrt, which both engines evaluate
+    * on identical exact operands). Correlation is scale-invariant so the
+    * x100 scaling cancels; covariance unscales by the known factor.
+    * One single-pass aggregation (9 sums), any partitioning.
+    */
+  def corrMatrix(li: DataFrame): DataFrame = {
+    val aq = round(col("l_quantity")).cast("decimal(18,0)")
+    val ap = round(col("l_extendedprice") * lit(100.0)).cast("decimal(18,0)")
+    val ad = round(col("l_discount") * lit(100.0)).cast("decimal(18,0)")
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      sum(aq).as("sq"), sum(ap).as("sp"), sum(ad).as("sd"),
+      sum(aq * aq).as("sqq"), sum(ap * ap).as("spp"), sum(ad * ad).as("sdd"),
+      sum(aq * ap).as("sqp"), sum(aq * ad).as("sqd"), sum(ap * ad).as("spd"))
+      .localCheckpoint() // one row: don't rescan the fact table per pair branch
+    def pair(name: String, sxy: String, sx: String, sy: String,
+        sxx: String, syy: String, unscale: Double) =
+      sums.select(
+        lit(name).as("pair"), col("n"),
+        (expr(s"cast(n * $sxy - $sx * $sy as double)") /
+          sqrt(expr(s"cast(n * $sxx - $sx * $sx as double)") *
+            expr(s"cast(n * $syy - $sy * $sy as double)"))).as("corr"),
+        (expr(s"cast(n * $sxy - $sx * $sy as double)") /
+          expr(s"cast(n * (n - 1) as double)") / lit(unscale)).as("cov"))
+    pair("price_discount", "spd", "sp", "sd", "spp", "sdd", 10000.0)
+      .union(pair("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd", 100.0))
+      .union(pair("quantity_price", "sqp", "sq", "sp", "sqq", "spp", 100.0))
+  }
+
+  private val corrOracle = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0))) AS sq,
+        SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS DECIMAL(18,0))) AS sp,
+        SUM(CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS sd,
+        SUM(CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0))) AS sqq,
+        SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_extendedprice * 100.0, 0) AS DECIMAL(18,0))) AS spp,
+        SUM(CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS sdd,
+        SUM(CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_extendedprice * 100.0, 0) AS DECIMAL(18,0))) AS sqp,
+        SUM(CAST(ROUND(l_quantity, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS sqd,
+        SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS spd
+      FROM lineitem)
+    SELECT 'price_discount' AS pair, n,
+      CAST(n * spd - sp * sd AS DOUBLE) /
+        sqrt(CAST(n * spp - sp * sp AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)) AS corr,
+      CAST(n * spd - sp * sd AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS cov
+    FROM s
+    UNION ALL
+    SELECT 'quantity_discount', n,
+      CAST(n * sqd - sq * sd AS DOUBLE) /
+        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)),
+      CAST(n * sqd - sq * sd AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
+    FROM s
+    UNION ALL
+    SELECT 'quantity_price', n,
+      CAST(n * sqp - sq * sp AS DOUBLE) /
+        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * spp - sp * sp AS DOUBLE)),
+      CAST(n * sqp - sq * sp AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
+    FROM s"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q140_corr_matrix",
+      (s, d) => corrMatrix(lineitem(s, d)), Some(corrOracle)),
     Q("q132_outlier_mad",
       (s, d) => outlierMad(events(s, d)), Some(outlierMadOracle)),
     Q("q139_dq_expectations",

@@ -127,7 +127,96 @@ object Layout extends QueryModule {
            MIN(l_partkey) AS min_key, MAX(l_partkey) AS max_key
     FROM withbin GROUP BY bin ORDER BY bin"""
 
+  /** Merkle-style table reconciliation: compare two table versions by
+    * RANGE CHECKSUM, not row-by-row. Each row folds to a portable
+    * integer hash (ascii fold over its md5, q24's cross-engine recipe —
+    * doubles enter as exact scaled integers, never as formatted
+    * strings); rows roll up into orderkey-range buckets as (count,
+    * sum-of-hashes); the two bucket manifests full-outer join and only
+    * buckets whose checksums disagree are reported. At 100 TB the
+    * manifests are ~10^5 rows each side while the tables never move —
+    * the anti-entropy pattern replication/backup verification uses.
+    * The "remote" side here is a deterministic in-plan mutation of the
+    * local table (dropped rows + price edits), so the disagreement set
+    * is known and oracle-checkable.
+    */
+  def tableDiff(li: DataFrame, bucketSpan: Long = 1000L): DataFrame = {
+    def rowHash(df: DataFrame): DataFrame = df.select(
+      expr(s"l_orderkey div $bucketSpan").as("bucket"),
+      expr(
+        "aggregate(transform(split(md5(cast(concat_ws('|', l_orderkey, l_linenumber, " +
+          "cast(round(l_quantity) as bigint), " +
+          "cast(round(l_extendedprice * 100) as bigint)) as binary)), ''), " +
+          "c -> cast(ascii(c) as bigint)), " +
+          "cast(-1 as bigint), " +
+          "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))").as("h"))
+    def manifest(df: DataFrame): DataFrame =
+      rowHash(df).groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("h").as("checksum"))
+    val a = manifest(li)
+    val b = manifest(
+      li.filter(pmod(col("l_orderkey"), lit(971L)) =!= 3) // "lost" rows
+        .withColumn("l_extendedprice", // "corrupted" rows
+          when(pmod(col("l_orderkey"), lit(977L)) === 5,
+            col("l_extendedprice") + 1.0).otherwise(col("l_extendedprice"))))
+    a.select(col("bucket"), col("n").as("n_a"), col("checksum").as("ck_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b"), col("checksum").as("ck_b")),
+        Seq("bucket"), "full_outer")
+      .withColumn("status",
+        when(col("n_b").isNull, "only_in_a")
+          .when(col("n_a").isNull, "only_in_b")
+          .when(col("n_a") =!= col("n_b"), "count_drift")
+          .when(col("ck_a") =!= col("ck_b"), "content_drift")
+          .otherwise("match"))
+      .filter(col("status") =!= "match")
+      .select(col("bucket"), col("status"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .orderBy("bucket")
+  }
+
+  private val tableDiffOracle = """
+    WITH hashed AS (
+      SELECT l_orderkey // 1000 AS bucket, l_orderkey, l_linenumber,
+        list_reduce(list_transform(
+          string_split_regex(md5(
+            CONCAT_WS('|', l_orderkey, l_linenumber,
+              CAST(ROUND(l_quantity, 0) AS BIGINT),
+              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS h,
+        l_orderkey % 971 AS m
+      FROM lineitem),
+    hashed_b AS (
+      SELECT l_orderkey // 1000 AS bucket,
+        list_reduce(list_transform(
+          string_split_regex(md5(
+            CONCAT_WS('|', l_orderkey, l_linenumber,
+              CAST(ROUND(l_quantity, 0) AS BIGINT),
+              CAST(ROUND((CASE WHEN l_orderkey % 977 = 5
+                THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0)
+                AS BIGINT))), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS h
+      FROM lineitem WHERE l_orderkey % 971 <> 3),
+    ma AS (SELECT bucket, COUNT(*) AS n_a, CAST(SUM(h) AS BIGINT) AS ck_a
+      FROM hashed GROUP BY bucket),
+    mb AS (SELECT bucket, COUNT(*) AS n_b, CAST(SUM(h) AS BIGINT) AS ck_b
+      FROM hashed_b GROUP BY bucket),
+    joined AS (
+      SELECT COALESCE(ma.bucket, mb.bucket) AS bucket, n_a, ck_a, n_b, ck_b,
+        CASE WHEN n_b IS NULL THEN 'only_in_a'
+             WHEN n_a IS NULL THEN 'only_in_b'
+             WHEN n_a <> n_b THEN 'count_drift'
+             WHEN ck_a <> ck_b THEN 'content_drift'
+             ELSE 'match' END AS status
+      FROM ma FULL OUTER JOIN mb ON ma.bucket = mb.bucket)
+    SELECT bucket, status, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+    FROM joined WHERE status <> 'match' ORDER BY bucket"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q142_table_diff",
+      (s, d) => tableDiff(lineitem(s, d)), Some(tableDiffOracle)),
     Q("q129_zorder_layout",
       (s, d) => zorderLayout(lineitem(s, d)), Some(zorderOracle)),
     Q("q135_compaction_plan",

@@ -247,7 +247,42 @@ object Scale extends QueryModule {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY 1"""
 
+  /** Deterministic k-fold cross-validation assignment + balance audit:
+    * fold = portable hash of vec_id (ascii fold over md5, the q24
+    * recipe) mod k — reproducible across engines, partitionings, and
+    * re-ingests (unlike seeded `rand()`), and hash-based so clustered id
+    * ranges don't land in one fold. The audit reports per-(fold, label)
+    * counts and within-fold label shares — the class-balance check run
+    * before training on each fold.
+    */
+  def kfoldAudit(emb: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fold = expr(
+      "pmod(aggregate(transform(split(md5(cast(cast(vec_id as string) as binary)), ''), " +
+        "c -> cast(ascii(c) as bigint)), cast(-1 as bigint), " +
+        s"(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L))), $k)").as("fold")
+    emb.select(fold, col("label"))
+      .groupBy("fold", "label").agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum("n").over(Window.partitionBy("fold")))
+      .orderBy("fold", "label")
+  }
+
+  private val kfoldOracle = """
+    WITH assigned AS (
+      SELECT list_reduce(list_transform(
+          string_split_regex(md5(CAST(vec_id AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+        (h, a) -> (h * 31 + a) % 1000000007) % 5 AS fold, label
+      FROM embeddings),
+    cnt AS (SELECT fold, label, COUNT(*) AS n FROM assigned GROUP BY fold, label)
+    SELECT fold, label, n,
+      CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY fold) AS share
+    FROM cnt ORDER BY fold, label"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q143_kfold_splits",
+      (s, d) => kfoldAudit(embeddings(s, d)), Some(kfoldOracle)),
     Q("q130_group_sample",
       (s, d) => groupSample(documents(s, d)), Some(groupSampleOracle)),
     Q("q137_bucketed_join",

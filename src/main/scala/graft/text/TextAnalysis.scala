@@ -692,7 +692,67 @@ object TextAnalysis extends QueryModule {
     cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
     SELECT tok, c FROM cnt, tot WHERE c * 200 > n ORDER BY c DESC, tok"""
 
+  /** Distribution drift per source: KL(source ‖ corpus) over the
+    * top-200 corpus tokens (deterministic vocabulary: count desc, token
+    * asc), both distributions renormalized within that vocabulary.
+    * KL terms are p·ln(p/q) doubles from exact integer counts — both
+    * engines divide/log identical values — summed with a token-ordered
+    * fold (partitioning-independent), final value rounded to 6 decimals.
+    * The drift monitor a curation pipeline runs between ingest batches;
+    * at 100 TB the vocabulary cap keeps state at `sources × 200` rows
+    * regardless of corpus size.
+    */
+  def tokenDrift(docs: DataFrame, topN: Int = 200): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val corpus = toks.groupBy("tok").agg(count(lit(1)).as("c_corpus"))
+    val top = corpus
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c_corpus").desc, col("tok").asc)))
+      .filter(col("r") <= topN).drop("r")
+      .localCheckpoint() // <= topN rows; broadcast probe below
+    val totC = top.agg(sum("c_corpus")).collect()(0).getLong(0)
+    val src = toks.join(broadcast(top), "tok")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c_src"), min(col("c_corpus")).as("c_corpus"))
+    val tot = src.groupBy("source").agg(sum("c_src").as("tot_src"))
+    val terms = src.join(tot, "source").select(col("source"), col("tok"),
+      ((col("c_src").cast("double") / col("tot_src")) *
+        log((col("c_src").cast("double") / col("tot_src")) /
+          (col("c_corpus").cast("double") / lit(totC.toDouble)))).as("term"))
+    terms.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("tok").as("t"), col("term").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  private val tokenDriftOracle = """
+    WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    corpus AS (SELECT tok, COUNT(*) AS c_corpus FROM toks GROUP BY tok),
+    top AS (SELECT tok, c_corpus FROM corpus
+      ORDER BY c_corpus DESC, tok ASC LIMIT 200),
+    totc AS (SELECT CAST(SUM(c_corpus) AS BIGINT) AS tot_c FROM top),
+    src AS (SELECT source, t.tok, COUNT(*) AS c_src, MIN(top.c_corpus) AS c_corpus
+      FROM toks t JOIN top USING (tok) GROUP BY source, t.tok),
+    tot AS (SELECT source, CAST(SUM(c_src) AS BIGINT) AS tot_src
+      FROM src GROUP BY source),
+    terms AS (
+      SELECT source, tok,
+        (CAST(c_src AS DOUBLE) / tot_src) *
+          ln((CAST(c_src AS DOUBLE) / tot_src) /
+             (CAST(c_corpus AS DOUBLE) / CAST(tot_c AS DOUBLE))) AS term
+      FROM src JOIN tot USING (source), totc)
+    SELECT source, COUNT(*) AS n_terms,
+      ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY tok)),
+        (a, b) -> a + b), 6) AS kl
+    FROM terms GROUP BY source ORDER BY source"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q141_token_drift",
+      (s, d) => tokenDrift(documents(s, d)), Some(tokenDriftOracle)),
     Q("q138_heavy_hitters",
       (s, d) => heavyHitters(documents(s, d)), Some(heavyHittersOracle)),
     Q("q125_bm25_topk",

@@ -154,6 +154,56 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("corr matrix agrees with the builtin estimator and is bounded") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val exact = Analytics.corrMatrix(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == Set("price_discount", "quantity_discount", "quantity_price"))
+    exact.values.foreach { case (c, _) => assert(c >= -1.0 && c <= 1.0) }
+    // builtin corr/covar_samp run in running-double precision; the exact
+    // decimal-power-sum path must agree to estimator tolerance
+    val b = li.agg(corr(col("l_extendedprice"), col("l_discount")),
+      covar_samp(col("l_extendedprice"), col("l_discount"))).collect()(0)
+    assert(math.abs(exact("price_discount")._1 - b.getDouble(0)) < 1e-9)
+    assert(math.abs(exact("price_discount")._2 - b.getDouble(1)) < 1e-6)
+  }
+
+  test("token drift: KL is non-negative and vocabulary-capped") {
+    val r = graft.text.TextAnalysis.tokenDrift(
+      Tables.documents(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_terms") <= 200)
+      assert(row.getAs[Double]("kl") >= -1e-6, s"KL negative: $row")
+    }
+  }
+
+  test("table diff finds planted drift with consistent counts") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val diff = Layout.tableDiff(li).collect()
+    assert(diff.nonEmpty)
+    diff.foreach { row =>
+      val (st, na, nb) = (row.getString(1), row.getLong(2), row.getLong(3))
+      assert(Set("only_in_a", "only_in_b", "count_drift", "content_drift")(st))
+      if (st == "count_drift") assert(na > nb)   // only deletions planted
+      if (st == "content_drift") assert(na == nb) // edits keep cardinality
+    }
+    // every bucket holding a deleted orderkey must surface
+    val deletedBuckets = li.filter(pmod(col("l_orderkey"), lit(971L)) === 3)
+      .select((col("l_orderkey") / 1000).cast("long")).distinct().count()
+    assert(diff.count(_.getString(1) == "count_drift") == deletedBuckets)
+  }
+
+  test("kfold assignment is balanced-ish and shares sum to one per fold") {
+    val r = Scale.kfoldAudit(Tables.embeddings(spark, sf("sf0.001"))).collect()
+    val folds = r.map(_.getAs[Long]("fold")).distinct.sorted
+    assert(folds.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    folds.foreach { f =>
+      val shares = r.filter(_.getAs[Long]("fold") == f).map(_.getAs[Double]("share"))
+      assert(math.abs(shares.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
