@@ -304,7 +304,132 @@ object Analytics extends QueryModule {
       CAST(n * sqp - sq * sp AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
     FROM s"""
 
+  /** Rolling 7-day distinct users per active day: dedup to user-days,
+    * band-join the (small, broadcast) calendar against user-days, exact
+    * COUNT(DISTINCT) per day. The dedup collapses the corpus to
+    * |users|×|days| rows BEFORE the window fan-out, so the band join's
+    * 7× row multiplication applies to the deduped set — the shape that
+    * survives 100 TB (the alternative, a per-row sliding window with
+    * distinct semantics, doesn't exist as a distributable operator).
+    */
+  def rollingUniques(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cal = events.select(to_date(col("ts")).as("day")).distinct()
+    broadcast(cal).join(days,
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy("day")
+  }
+
+  private val rollingUniquesOracle = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    cal AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_user_days
+    FROM cal JOIN days ON d BETWEEN day - 6 AND day
+    GROUP BY day ORDER BY day"""
+
+  /** Time-weighted average value per user (TWAP): each observation is
+    * weighted by its holding interval (micros until the user's next
+    * event; the open tail is excluded). Numerator = Σ (value·100 as
+    * exact int) × (interval µs) summed in DECIMAL(38,0) — no float until
+    * the final division of two exact integers. One window pass + one
+    * aggregation, both shuffled on user_id only.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = events.select(col("user_id"), col("value"),
+      (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("w_us"))
+    seq.filter(col("w_us").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(round(col("value") * 100).cast("decimal(18,0)") * col("w_us"))
+          .cast("decimal(38,0)").as("num"),
+        sum("w_us").as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        (col("num").cast("double") / col("den").cast("double") / lit(100.0)).as("twap"))
+      .orderBy("user_id")
+  }
+
+  private val twapOracle = """
+    WITH seq AS (
+      SELECT user_id, value,
+        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          - epoch_us(ts) AS w_us
+      FROM events),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_intervals,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0)) * w_us) AS DECIMAL(38,0)) AS num,
+        CAST(SUM(w_us) AS BIGINT) AS den
+      FROM seq WHERE w_us IS NOT NULL
+      GROUP BY user_id HAVING CAST(SUM(w_us) AS BIGINT) > 0)
+    SELECT user_id, n_intervals,
+      CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS twap
+    FROM agg ORDER BY user_id"""
+
+  /** Running z-score anomaly detection: each event scored against the
+    * trailing mean/stddev of its type (all PRIOR events — the current
+    * row never contaminates its own baseline; cold-start rows with <10
+    * priors are unscored). Running count/Σv/Σv² are exact scaled-integer
+    * window sums, so mean/sd/z are identical doubles in both engines.
+    * One window shuffle on event_type, one aggregation — the streaming-
+    * adjacent batch shape of a telemetry anomaly monitor.
+    */
+  def runningZscore(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val framed = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("decimal(18,0)").as("v"))
+      .select(col("event_type"), col("v"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(col("v")).over(w).cast("decimal(38,0)").as("s1"),
+        sum(col("v") * col("v")).over(w).cast("decimal(38,0)").as("s2"))
+    framed.filter(col("cnt") >= 10)
+      .select(col("event_type"),
+        ((col("v").cast("double") - col("s1").cast("double") / col("cnt")) /
+          sqrt(expr("cast(cnt * s2 - s1 * s1 as double)") /
+            expr("cast(cnt * (cnt - 1) as double)"))).as("z"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  private val runningZscoreOracle = """
+    WITH scaled AS (
+      SELECT event_type, ts, event_id,
+        CAST(ROUND(value * 100, 0) AS DECIMAL(18,0)) AS v
+      FROM events),
+    framed AS (
+      SELECT event_type, v,
+        COUNT(*) OVER w AS cnt,
+        CAST(SUM(v) OVER w AS DECIMAL(38,0)) AS s1,
+        CAST(SUM(v * v) OVER w AS DECIMAL(38,0)) AS s2
+      FROM scaled
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_type,
+        (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt) /
+          sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * (cnt - 1) AS DOUBLE)) AS z
+      FROM framed WHERE cnt >= 10)
+    SELECT event_type, COUNT(*) AS n_scored,
+      CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      ROUND(MAX(ABS(z)), 6) AS max_abs_z
+    FROM z GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q145_rolling_uniques",
+      (s, d) => rollingUniques(events(s, d)), Some(rollingUniquesOracle)),
+    Q("q146_twap",
+      (s, d) => twap(events(s, d)), Some(twapOracle)),
+    Q("q148_running_zscore",
+      (s, d) => runningZscore(events(s, d)), Some(runningZscoreOracle)),
     Q("q140_corr_matrix",
       (s, d) => corrMatrix(lineitem(s, d)), Some(corrOracle)),
     Q("q132_outlier_mad",

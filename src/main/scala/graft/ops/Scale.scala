@@ -280,7 +280,36 @@ object Scale extends QueryModule {
       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY fold) AS share
     FROM cnt ORDER BY fold, label"""
 
+  /** Incremental view maintenance (batch): the materialized aggregate is
+    * kept as MERGEABLE PARTIALS (count + exact decimal sum), so folding
+    * in a new data slice is `union partials -> re-combine` — the base
+    * slice's partial is reused, never rescanned. Here both partials are
+    * computed from the corpus split on a date (demonstrating the merge
+    * algebra end-to-end); the oracle is the full recompute, which the
+    * merged result must equal exactly. At 100 TB this is THE pattern for
+    * daily-refresh rollups: O(delta) work per refresh, not O(table).
+    */
+  def ivmMerge(orders: DataFrame): DataFrame = {
+    import graft.Num._
+    val split = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame) = df.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+    val base = partial(orders.filter(col("o_orderdate") < split))
+    val delta = partial(orders.filter(col("o_orderdate") >= split))
+    base.union(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"), sum("total").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val ivmOracle = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q144_ivm_merge",
+      (s, d) => ivmMerge(orders(s, d)), Some(ivmOracle)),
     Q("q143_kfold_splits",
       (s, d) => kfoldAudit(embeddings(s, d)), Some(kfoldOracle)),
     Q("q130_group_sample",

@@ -204,6 +204,62 @@ class LayoutAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ivm partial merge equals the full recompute") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val merged = Scale.ivmMerge(o).collect().map(_.toSeq)
+    val full = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq)
+  }
+
+  test("rolling uniques: window counts dominate single-day counts") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val rolling = Analytics.rollingUniques(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    daily.foreach { case (day, n) =>
+      val (win, userDays) = rolling(day)
+      assert(win >= n, s"$day: 7-day uniques $win < daily $n")
+      assert(userDays >= win) // user-days count at least one row per user
+    }
+  }
+
+  test("twap of a constant-value series is that constant") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, 42.0),
+      (2L, "2024-01-01 00:10:00", 7L, 42.0),
+      (3L, "2024-01-01 01:00:00", 7L, 42.0),
+      (4L, "2024-01-01 02:00:00", 8L, 5.0), // single-event user: excluded
+    ).toDF("event_id", "ts", "user_id", "value")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+    val r = Analytics.twap(ev).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 7L)
+    assert(math.abs(r(0).getDouble(2) - 42.0) < 1e-12)
+    assert(r(0).getLong(1) == 2L) // two closed intervals
+  }
+
+  test("running zscore flags a planted spike after warmup") {
+    import spark.implicits._
+    val base = (1 to 20).map(i =>
+      (i.toLong, f"2024-01-01 00:$i%02d:00", "m",
+        if (i % 2 == 0) 10.0 else 10.2))
+    val spike = Seq((21L, "2024-01-01 00:21:00", "m", 50.0))
+    val ev = (base ++ spike)
+      .toDF("event_id", "ts", "event_type", "value")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val r = Analytics.runningZscore(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 11L) // 21 rows - 10 warmup
+    assert(r(0).getLong(2) >= 1L, "spike not flagged")
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
