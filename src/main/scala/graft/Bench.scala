@@ -26,6 +26,8 @@ object Bench {
       graft.ops.Scale.preparePartitionedEvents(spark, sfDir)
       graft.ops.Scale.prepareBucketedTables(spark, sfDir)
       graft.ops.Extended.prepareTextCopies(spark, sfDir)
+      graft.ops.Extended.prepareOrcText(spark, sfDir)
+      graft.ops.Extended.prepareSchemaEvo(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,

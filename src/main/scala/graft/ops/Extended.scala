@@ -939,7 +939,143 @@ object Extended extends QueryModule {
                         WHERE c_mktsegment = 'BUILDING')
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** ORC + plain-text source round-trip (completes the source-format
+    * family: parquet / csv / jsonl / orc / text / binary / streaming
+    * file). Both copies are fixture writes (cached per sfDir, prepared
+    * in bench warmup); the graded read re-aggregates each format back to
+    * corpus totals the oracle recomputes from parquet.
+    */
+  def orcTextSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = orcTextDir(spark, sfDir)
+    val o = spark.read.orc(s"$dir/orc")
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("total"))
+      .select(lit("orc").as("fmt"), col("n_rows"), col("total"))
+    val t = spark.read.text(s"$dir/text")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("value")).cast("long")).as("total"))
+      .select(lit("text").as("fmt"), col("n_rows"), col("total"))
+    o.union(t).orderBy("fmt")
+  }
+
+  private val orcTextDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcTextDir(spark: SparkSession, sfDir: String): String =
+    orcTextDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_orctext")
+      val docs = documents(spark, sfDir)
+      docs.select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(s"$dir/orc")
+      // documents.text is newline-free by construction (FIXTURES.md), so
+      // one line per document survives the text round-trip losslessly
+      docs.select("text").write.mode("overwrite").text(s"$dir/text")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir.toString
+    })
+
+  /** Bench warmup hook (corpus preparation, not q149 operator cost). */
+  def prepareOrcText(spark: SparkSession, sfDir: String): Unit = {
+    orcTextDir(spark, sfDir); ()
+  }
+
+  private val orcTextOracle = """
+    SELECT 'orc' AS fmt, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS total
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), CAST(SUM(length(text)) AS BIGINT)
+    FROM documents ORDER BY fmt"""
+
+  /** Schema-evolution read: two parquet generations of the same table —
+    * v1 lacks a column that v2 added — unioned by a mergeSchema scan
+    * that null-fills the missing column (the lakehouse add-column
+    * evolution path, no rewrite of old files). The audit groups on the
+    * evolved column with an explicit marker for pre-evolution rows.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Num._
+    spark.read.option("mergeSchema", "true")
+      .parquet(schemaEvoDir(spark, sfDir))
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("prio"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("prio")
+  }
+
+  private val schemaEvoDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def schemaEvoDir(spark: SparkSession, sfDir: String): String =
+    schemaEvoDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orders_evo")
+      val o = orders(spark, sfDir)
+      o.filter(pmod(col("o_orderkey"), lit(2L)) === 0)
+        .select("o_orderkey", "o_totalprice") // generation 1: narrow schema
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      o.filter(pmod(col("o_orderkey"), lit(2L)) === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir.toString
+    })
+
+  /** Bench warmup hook (corpus preparation, not q150 operator cost). */
+  def prepareSchemaEvo(spark: SparkSession, sfDir: String): Unit = {
+    schemaEvoDir(spark, sfDir); ()
+  }
+
+  private val schemaEvoOracle = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                ELSE o_orderpriority END AS prio,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1 ORDER BY prio"""
+
+  /** Row-level change feed between two table versions: generic
+    * full-outer diff on the primary key classifying delete / update /
+    * unchanged rows (insert is symmetric), plus the exact decimal drift
+    * of the updated measure. The engine runs the GENERIC algorithm —
+    * the planted mutation (same recipe as q142's bucket-level
+    * reconciliation) only makes the expected feed closed-form for the
+    * oracle. Key-partitioned shuffle both sides, counts-only output.
+    */
+  def changeFeed(orders: DataFrame): DataFrame = {
+    import graft.Num._
+    val a = orders.select(col("o_orderkey").as("k"), col("o_totalprice").as("va"))
+    val b = orders.filter(pmod(col("o_orderkey"), lit(971L)) =!= 3)
+      .select(col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(977L)) === 5,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")).as("vb"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("vb").isNull, "delete")
+          .when(col("va").isNull, "insert")
+          .when(col("va") =!= col("vb"), "update")
+          .otherwise("unchanged"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(coalesce(col("vb"), lit(0.0)) - coalesce(col("va"), lit(0.0)))
+          .as("value_drift"))
+      .orderBy("op")
+  }
+
+  private val changeFeedOracle = """
+    SELECT 'delete' AS op, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(0.0 - o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value_drift
+    FROM orders WHERE o_orderkey % 971 = 3
+    UNION ALL
+    SELECT 'unchanged', COUNT(*),
+      CAST(SUM(CAST(0.0 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 971 <> 3 AND o_orderkey % 977 <> 5
+    UNION ALL
+    SELECT 'update', COUNT(*),
+      CAST(SUM(CAST((o_totalprice + 1.0) - o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 971 <> 3 AND o_orderkey % 977 = 5
+    ORDER BY op"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q149_orc_text_source",
+      (s, d) => orcTextSource(s, d), Some(orcTextOracle)),
+    Q("q150_schema_evolution",
+      (s, d) => schemaEvolution(s, d), Some(schemaEvoOracle)),
+    Q("q147_change_feed",
+      (s, d) => changeFeed(orders(s, d)), Some(changeFeedOracle)),
     Q("q122_semi_join",
       (s, d) => semiJoinRevenue(orders(s, d), customer(s, d)),
       Some(semiJoinOracle)),

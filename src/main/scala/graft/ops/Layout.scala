@@ -140,16 +140,43 @@ object Layout extends QueryModule {
     * local table (dropped rows + price edits), so the disagreement set
     * is known and oracle-checkable.
     */
+  /** Portable row hash: 31-ary polynomial over the first 8 md5 hex chars
+    * — UNROLLED plain arithmetic (ascii, substring, add, multiply), not a lambda
+    * fold: higher-order functions evaluate interpreted per element,
+    * which cost ~4s over the sf0.1 corpus; the unrolled form stays
+    * inside whole-stage codegen. 32 bits of the digest is plenty for a
+    * range checksum (collisions only mask drift at ~2^-32 per colliding
+    * pair); max value 122·Σ31^i < 2^45, no overflow.
+    */
+  private def rowHashSqlSpark: String =
+    (0 until 8).map { i =>
+      s"cast(ascii(substring(_m, ${i + 1}, 1)) as bigint) * ${math.pow(31, 7 - i).toLong}L"
+    }.mkString(" + ")
+
+  private[ops] def rowHashSqlDuck(mExpr: String): String =
+    (0 until 8).map { i =>
+      s"CAST(ascii(substring($mExpr, ${i + 1}, 1)) AS BIGINT) * ${math.pow(31, 7 - i).toLong}"
+    }.mkString(" + ")
+
   def tableDiff(li: DataFrame, bucketSpan: Long = 1000L): DataFrame = {
-    def rowHash(df: DataFrame): DataFrame = df.select(
-      expr(s"l_orderkey div $bucketSpan").as("bucket"),
-      expr(
-        "aggregate(transform(split(md5(cast(concat_ws('|', l_orderkey, l_linenumber, " +
-          "cast(round(l_quantity) as bigint), " +
-          "cast(round(l_extendedprice * 100) as bigint)) as binary)), ''), " +
-          "c -> cast(ascii(c) as bigint)), " +
-          "cast(-1 as bigint), " +
-          "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))").as("h"))
+    // hash-repartition on bucket BEFORE the md5 projection: the corpus
+    // arrives as one file (one scan partition), so the CPU-bound digest
+    // stage would run single-threaded; the narrow pre-shuffle spreads it
+    // across the cluster AND is the exact partitioning the per-bucket
+    // rollup needs, so the groupBy adds no second exchange
+    def rowHash(df: DataFrame): DataFrame = df
+      .select(
+        expr(s"l_orderkey div $bucketSpan").as("bucket"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(32, col("bucket")) // pinned width: AQE would coalesce an advisory repartition of ~30MB back to 1 partition (the q103 lesson), re-serializing the digest stage
+      .select(
+        col("bucket"),
+        expr(
+          "substring(md5(cast(concat_ws('|', l_orderkey, l_linenumber, " +
+            "cast(round(l_quantity) as bigint), " +
+            "cast(round(l_extendedprice * 100) as bigint)) as binary)), 1, 8)").as("_m"))
+      .select(col("bucket"), expr(rowHashSqlSpark).as("h"))
     def manifest(df: DataFrame): DataFrame =
       rowHash(df).groupBy("bucket")
         .agg(count(lit(1)).as("n"), sum("h").as("checksum"))
@@ -178,26 +205,12 @@ object Layout extends QueryModule {
   private val tableDiffOracle = """
     WITH hashed AS (
       SELECT l_orderkey // 1000 AS bucket, l_orderkey, l_linenumber,
-        list_reduce(list_transform(
-          string_split_regex(md5(
-            CONCAT_WS('|', l_orderkey, l_linenumber,
-              CAST(ROUND(l_quantity, 0) AS BIGINT),
-              CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), ''),
-          c -> CAST(ascii(c) AS BIGINT)),
-          (h, a) -> (h * 31 + a) % 1000000007) AS h,
+        CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 1, 1)) AS BIGINT) * 27512614111 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 2, 1)) AS BIGINT) * 887503681 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 3, 1)) AS BIGINT) * 28629151 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 5, 1)) AS BIGINT) * 29791 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 6, 1)) AS BIGINT) * 961 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 7, 1)) AS BIGINT) * 31 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))), 1, 8), 8, 1)) AS BIGINT) * 1 AS h,
         l_orderkey % 971 AS m
       FROM lineitem),
     hashed_b AS (
       SELECT l_orderkey // 1000 AS bucket,
-        list_reduce(list_transform(
-          string_split_regex(md5(
-            CONCAT_WS('|', l_orderkey, l_linenumber,
-              CAST(ROUND(l_quantity, 0) AS BIGINT),
-              CAST(ROUND((CASE WHEN l_orderkey % 977 = 5
-                THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0)
-                AS BIGINT))), ''),
-          c -> CAST(ascii(c) AS BIGINT)),
-          (h, a) -> (h * 31 + a) % 1000000007) AS h
+        CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 1, 1)) AS BIGINT) * 27512614111 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 2, 1)) AS BIGINT) * 887503681 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 3, 1)) AS BIGINT) * 28629151 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 5, 1)) AS BIGINT) * 29791 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 6, 1)) AS BIGINT) * 961 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 7, 1)) AS BIGINT) * 31 + CAST(ascii(substring(substring(md5(CONCAT_WS('|', l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 0) AS BIGINT), CAST(ROUND((CASE WHEN l_orderkey % 977 = 5 THEN l_extendedprice + 1.0 ELSE l_extendedprice END) * 100, 0) AS BIGINT))), 1, 8), 8, 1)) AS BIGINT) * 1 AS h
       FROM lineitem WHERE l_orderkey % 971 <> 3),
     ma AS (SELECT bucket, COUNT(*) AS n_a, CAST(SUM(h) AS BIGINT) AS ck_a
       FROM hashed GROUP BY bucket),

@@ -260,6 +260,43 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(r(0).getLong(2) >= 1L, "spike not flagged")
   }
 
+  test("change feed classes match the planted mutation closed-form") {
+    val o = Tables.orders(spark, sf("sf0.01"))
+    val feed = Extended.changeFeed(o).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nDel = o.filter(pmod(col("o_orderkey"), lit(971L)) === 3).count()
+    val nUpd = o.filter(pmod(col("o_orderkey"), lit(971L)) =!= 3 &&
+      pmod(col("o_orderkey"), lit(977L)) === 5).count()
+    assert(feed("delete")._1 == nDel)
+    assert(feed("update")._1 == nUpd)
+    assert(feed("unchanged")._1 == o.count() - nDel - nUpd)
+    assert(math.abs(feed("update")._2 - nUpd * 1.0) < 1e-6) // +1.00 per updated row
+    assert(!feed.contains("insert")) // planted mutation only deletes/updates
+  }
+
+  test("schema evolution: pre-evolution rows null-fill into the marker bucket") {
+    val d = sf("sf0.001")
+    val r = Extended.schemaEvolution(spark, d).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val o = Tables.orders(spark, d)
+    assert(r("<pre-evolution>") ==
+      o.filter(pmod(col("o_orderkey"), lit(2L)) === 0).count())
+    assert(r.values.sum == o.count())
+  }
+
+  test("orc and text round-trips preserve corpus totals") {
+    val d = sf("sf0.001")
+    val r = Extended.orcTextSource(spark, d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val docs = Tables.documents(spark, d)
+    val n = docs.count()
+    val chars = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    val textChars = docs.agg(sum(length(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(r("orc") == ((n, chars)))
+    assert(r("text") == ((n, textChars)))
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
