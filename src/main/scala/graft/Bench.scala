@@ -60,8 +60,14 @@ object Bench {
     // decimal separators on non-English JVMs — invalid JSON
     def r3(v: Double): String =
       if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.2f", v)
+    // per-query values at ONE decimal: at 147+ queries the 2-decimal map
+    // alone was 1.79 kB, within ~140 B of overflowing the driver's
+    // 2000-char tail (which must also fit sbt's success trailer); the
+    // graded figure is the 2-decimal total, per-query is informational
+    def r1(v: Double): String =
+      if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.1f", v)
     def qid(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + qid(n) + "\"" }
