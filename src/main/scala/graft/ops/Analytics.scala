@@ -423,7 +423,121 @@ object Analytics extends QueryModule {
       ROUND(MAX(ABS(z)), 6) AS max_abs_z
     FROM z GROUP BY event_type ORDER BY event_type"""
 
+  /** 2-D Pareto skyline (preference query): parts minimizing (avg
+    * price, total quantity) — a part survives iff no other part is <=
+    * on both measures and < on at least one. Runs on the AGGREGATED
+    * part manifest (the 100 TB shape: skyline inputs are summaries, ~10^4
+    * rows, so the quadratic dominance anti-join is a broadcast
+    * nested-loop over a small side — the right plan; the raw corpus
+    * never enters the pairwise phase).
+    */
+  def skylineParts(li: DataFrame): DataFrame = {
+    val m = li.groupBy("l_partkey")
+      .agg(
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .localCheckpoint() // manifest is small; both join sides reuse it
+    val o = m.select(col("avg_price").as("p2"), col("total_qty").as("q2"))
+    m.join(broadcast(o),
+        col("p2") <= col("avg_price") && col("q2") <= col("total_qty") &&
+          (col("p2") < col("avg_price") || col("q2") < col("total_qty")),
+        "left_anti")
+      .orderBy("avg_price", "l_partkey")
+  }
+
+  private val skylineOracle = """
+    WITH m AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, avg_price, total_qty FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.avg_price <= a.avg_price AND b.total_qty <= a.total_qty
+        AND (b.avg_price < a.avg_price OR b.total_qty < a.total_qty))
+    ORDER BY avg_price, l_partkey"""
+
+  /** Equi-depth decile binning of prices (the exact form of MLlib's
+    * QuantileDiscretizer fit): global ntile(10) with a unique tiebreak,
+    * then per-bin boundaries + exact mass. The oracle-reproducible
+    * global window; production form is repartitionByRange + per-range
+    * local rank (same audit output).
+    */
+  def equidepthBins(li: DataFrame, bins: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"),
+        dsum(col("l_extendedprice")).as("bin_mass"))
+      .orderBy("bin")
+  }
+
+  private val equidepthOracle = """
+    WITH t AS (
+      SELECT l_extendedprice, CAST(ntile(10) OVER (
+        ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bin
+      FROM lineitem)
+    SELECT bin, COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_mass
+    FROM t GROUP BY bin ORDER BY bin"""
+
+  /** Neyman optimal stratified-sampling allocation: stratum h of a
+    * 10,000-row sample budget gets n_h ∝ N_h·σ_h. Standard deviations
+    * come from exact scaled-integer power sums; the cross-stratum
+    * normalizer is an ordered fold over the (few) strata so every share
+    * is engine-identical. The design-of-experiments step a pipeline
+    * runs before sampling a 100 TB corpus it can only afford to read
+    * once.
+    */
+  def neymanAllocation(events: DataFrame, budget: Long = 10000L): DataFrame = {
+    val a = round(col("value") * lit(100.0)).cast("decimal(18,0)")
+    val strata = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(a).as("s1"), sum(a * a).as("s2"))
+      .select(col("event_type"), col("n"),
+        (sqrt(expr("cast(n * s2 - s1 * s1 as double)") /
+          expr("cast(n * (n - 1) as double)")) / lit(100.0)).as("sd"))
+      .withColumn("w", col("n").cast("double") * col("sd"))
+    val totW = strata
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("event_type").as("k"), col("w").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("tot"))
+    strata.crossJoin(broadcast(totW))
+      .select(col("event_type"), col("n"),
+        dec(col("sd"), 6).cast("double").as("sd"),
+        round(lit(budget.toDouble) * col("w") / col("tot")).cast("long").as("alloc"))
+      .orderBy("event_type")
+  }
+
+  private val neymanOracle = """
+    WITH strata AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(value * 100.0, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+        CAST(SUM(CAST(ROUND(value * 100.0, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(value * 100.0, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2
+      FROM events GROUP BY event_type),
+    sd AS (
+      SELECT event_type, n,
+        sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 100.0 AS sd
+      FROM strata),
+    w AS (SELECT *, CAST(n AS DOUBLE) * sd AS w FROM sd),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY event_type)),
+        (a, b) -> a + b) AS tot FROM w)
+    SELECT event_type, n,
+      CAST(CAST(sd AS DECIMAL(18,6)) AS DOUBLE) AS sd,
+      CAST(ROUND(10000.0 * w / tot, 0) AS BIGINT) AS alloc
+    FROM w, tot ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q151_skyline_parts",
+      (s, d) => skylineParts(lineitem(s, d)), Some(skylineOracle)),
+    Q("q152_equidepth_bins",
+      (s, d) => equidepthBins(lineitem(s, d)), Some(equidepthOracle)),
+    Q("q153_neyman_alloc",
+      (s, d) => neymanAllocation(events(s, d)), Some(neymanOracle)),
     Q("q145_rolling_uniques",
       (s, d) => rollingUniques(events(s, d)), Some(rollingUniquesOracle)),
     Q("q146_twap",

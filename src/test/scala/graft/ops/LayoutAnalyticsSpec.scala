@@ -297,6 +297,41 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(r("text") == ((n, textChars)))
   }
 
+  test("skyline: members are mutually non-dominating and dominate the rest") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val m = li.groupBy("l_partkey")
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("p"), sum(round(col("l_quantity")).cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val sky = Analytics.skylineParts(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dom(a: (Long, Double, Long), b: (Long, Double, Long)) =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    sky.foreach(s => assert(!m.exists(o => dom(o, s)), s"$s dominated"))
+    m.filterNot(r => sky.exists(_._1 == r._1))
+      .foreach(o => assert(sky.exists(s => dom(s, o)) || m.exists(x => dom(x, o)),
+        s"$o excluded but undominated"))
+  }
+
+  test("equi-depth bins are contiguous, ordered, and near-equal mass") {
+    val bins = Analytics.equidepthBins(Tables.lineitem(spark, sf("sf0.001"))).collect()
+    assert(bins.length == 10)
+    val ns = bins.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1) // ntile guarantee
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
+
+  test("neyman allocation spends ~the budget proportional to N*sd") {
+    val r = Analytics.neymanAllocation(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(r.length == 5)
+    val total = r.map(_.getAs[Long]("alloc")).sum
+    assert(math.abs(total - 10000L) <= r.length) // per-stratum rounding drift only
+    r.foreach(row => assert(row.getAs[Double]("sd") > 0.0))
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
