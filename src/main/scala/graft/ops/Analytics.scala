@@ -531,7 +531,124 @@ object Analytics extends QueryModule {
       CAST(ROUND(10000.0 * w / tot, 0) AS BIGINT) AS alloc
     FROM w, tot ORDER BY event_type"""
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): key =
+    * -ln(u)/w with u a PORTABLE hash-derived uniform (ascii fold of the
+    * doc id's md5 → (0,1]), weight = document length; the k smallest
+    * keys are the sample. Hash uniforms instead of seeded rand() make
+    * the draw reproducible across engines, partitionings, and
+    * re-ingests — and the top-k by key is a TakeOrdered, no global
+    * sort. The length-weighted doc sample a curation pipeline draws
+    * when token budget, not doc count, is the constraint.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    val h = expr(
+      "aggregate(transform(split(md5(cast(cast(doc_id as string) as binary)), ''), " +
+        "c -> cast(ascii(c) as bigint)), cast(-1 as bigint), " +
+        "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        ((h + lit(1L)).cast("double") / lit(1000000008.0)).as("u"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (-log(col("u")) / col("n_chars")).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        dec(col("es_key"), 12).cast("double").as("es_key"))
+  }
+
+  private val weightedSampleOracle = """
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+        list_reduce(list_transform(string_split_regex(md5(CAST(doc_id AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS hv
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, n_chars,
+        -ln(CAST(hv + 1 AS DOUBLE) / 1000000008.0) / n_chars AS es_key
+      FROM h)
+    SELECT doc_id, lang, n_chars,
+      CAST(CAST(es_key AS DECIMAL(18,12)) AS DOUBLE) AS es_key
+    FROM keyed ORDER BY es_key, doc_id LIMIT 20"""
+
+  /** Per-group 5% trimmed mean: drop the k = n div 20 smallest and
+    * largest values (pinned rank order), exact decimal mean of the
+    * middle — the robust location estimate that, unlike the median,
+    * still averages 90% of the mass. One window shuffle on the group
+    * key.
+    */
+  def trimmedMean(events: DataFrame): DataFrame = {
+    val byVal = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val all = Window.partitionBy("event_type")
+    events.select(col("event_type"), col("value"),
+        row_number().over(byVal).cast("long").as("rn"),
+        count(lit(1)).over(all).as("n"))
+      .withColumn("k", expr("n div 20"))
+      .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_total"), count(lit(1)).as("n_kept"),
+        (dsum(col("value")) / count(lit(1))).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  private val trimmedMeanOracle = """
+    WITH ranked AS (
+      SELECT event_type, value,
+        CAST(row_number() OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    kept AS (
+      SELECT *, n // 20 AS k FROM ranked
+      WHERE rn > n // 20 AND rn <= n - n // 20)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_total, COUNT(*) AS n_kept,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS trimmed_mean
+    FROM kept GROUP BY event_type ORDER BY event_type"""
+
+  /** Interval max-concurrency via sweep line: each order holds a
+    * 7-day reservation; +1/-1 boundary events cumsummed in pinned
+    * order (ends release before starts at the same instant — half-open
+    * intervals) give the running concurrency, maxed per priority class.
+    * Two narrow projections + one window shuffle on the partition key —
+    * the distributable form of interval-overlap counting (no pairwise
+    * interval join, which would be quadratic on hot spans).
+    */
+  def maxConcurrency(orders: DataFrame): DataFrame = {
+    val starts = orders.select(col("o_orderpriority").as("prio"),
+      col("o_orderdate").as("ts"), lit(1L).as("delta"), col("o_orderkey").as("k"))
+    val ends = orders.select(col("o_orderpriority").as("prio"),
+      (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("ts"),
+      lit(-1L).as("delta"), col("o_orderkey").as("k"))
+    val w = Window.partitionBy("prio").orderBy("ts", "delta", "k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.union(ends)
+      .withColumn("concurrent", sum("delta").over(w))
+      .groupBy("prio")
+      .agg(max("concurrent").as("max_concurrent"))
+      .orderBy("prio")
+  }
+
+  private val maxConcurrencyOracle = """
+    WITH pts AS (
+      SELECT o_orderpriority AS prio, o_orderdate AS ts,
+        CAST(1 AS BIGINT) AS delta, o_orderkey AS k FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_orderdate + INTERVAL 7 DAY,
+        CAST(-1 AS BIGINT), o_orderkey FROM orders),
+    swept AS (
+      SELECT prio, CAST(SUM(delta) OVER (PARTITION BY prio
+        ORDER BY ts, delta, k
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+      FROM pts)
+    SELECT prio, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY prio ORDER BY prio"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q154_weighted_sample",
+      (s, d) => weightedSample(documents(s, d)), Some(weightedSampleOracle)),
+    Q("q155_trimmed_mean",
+      (s, d) => trimmedMean(events(s, d)), Some(trimmedMeanOracle)),
+    Q("q156_max_concurrency",
+      (s, d) => maxConcurrency(orders(s, d)), Some(maxConcurrencyOracle)),
     Q("q151_skyline_parts",
       (s, d) => skylineParts(lineitem(s, d)), Some(skylineOracle)),
     Q("q152_equidepth_bins",

@@ -332,6 +332,41 @@ class LayoutAnalyticsSpec extends SparkSpec {
     r.foreach(row => assert(row.getAs[Double]("sd") > 0.0))
   }
 
+  test("weighted sample favors long documents and is partition-stable") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = Analytics.weightedSample(docs).collect().map(_.getLong(0))
+    val b = Analytics.weightedSample(docs.repartition(7)).collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+    // ES keys ~ Exp(w): the length-weighted sample's mean length should
+    // exceed the corpus mean materially
+    val sampleMean = docs.filter(col("doc_id").isin(a: _*))
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean, s"sample $sampleMean <= corpus $corpusMean")
+  }
+
+  test("trimmed mean drops exactly n div 20 from each tail") {
+    val r = Analytics.trimmedMean(Tables.events(spark, sf("sf0.001"))).collect()
+    r.foreach { row =>
+      val (n, kept) = (row.getAs[Long]("n_total"), row.getAs[Long]("n_kept"))
+      assert(kept == n - 2 * (n / 20))
+    }
+  }
+
+  test("max concurrency: sweep equals brute-force on a small fixture") {
+    import spark.implicits._
+    val o = Seq( // overlapping 7-day spans: 3 concurrent at day 3
+      (1L, "A", "2024-01-01"), (2L, "A", "2024-01-03"), (3L, "A", "2024-01-04"),
+      (4L, "A", "2024-01-20"), // disjoint
+      (5L, "B", "2024-01-01"), (6L, "B", "2024-01-08") // half-open: no overlap
+    ).toDF("o_orderkey", "o_orderpriority", "d")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("d").cast("timestamp").as("o_orderdate"))
+    val r = Analytics.maxConcurrency(o).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("A" -> 3L, "B" -> 1L))
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
