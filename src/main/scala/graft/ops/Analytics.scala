@@ -642,7 +642,158 @@ object Analytics extends QueryModule {
     SELECT prio, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
     FROM swept GROUP BY prio ORDER BY prio"""
 
+  /** Chi-square test of independence over the (lang × source)
+    * contingency table: observed counts are exact; expected = row·col/n
+    * and the Σ(o−e)²/e statistic are doubles over exact integers,
+    * summed with a cell-ordered fold. Output is the statistic + degrees
+    * of freedom (p-value lookup is a client-side table function, not an
+    * engine op). Contingency aggregation is one shuffle; the fold runs
+    * over |langs|·|sources| cells.
+    */
+  def chi2Independence(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny; reused by three totals below
+    val rows = cells.groupBy("lang").agg(sum("o").as("r"))
+    val cols = cells.groupBy("source").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val terms = cells.join(rows, "lang").join(cols, "source").crossJoin(n)
+      .select(concat_ws("|", col("lang"), col("source")).as("cell"),
+        (pow(col("o").cast("double") -
+          col("r").cast("double") * col("c") / col("n"), 2) /
+          (col("r").cast("double") * col("c") / col("n"))).as("t"))
+    val dof = cells.agg(
+      ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"))
+    terms.agg(
+        round(aggregate(
+          array_sort(collect_list(struct(col("cell").as("k"), col("t").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")), 6).as("chi2"))
+      .crossJoin(dof)
+      .select(col("chi2"), col("dof"))
+  }
+
+  private val chi2Oracle = """
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CONCAT_WS('|', lang, source) AS cell,
+        pow(CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n, 2) /
+          (CAST(r AS DOUBLE) * c / n) AS t
+      FROM cells JOIN r USING (lang) JOIN c USING (source), n)
+    SELECT
+      ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY cell)),
+        (a, b) -> a + b), 6) AS chi2,
+      (SELECT (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+       FROM cells) AS dof
+    FROM terms"""
+
+  /** Optimizer-statistics collection (the ANALYZE TABLE ... FOR COLUMNS
+    * equivalent): per column — row count, null count, exact NDV, and
+    * min/max rendered through exact-representation casts (bigint and
+    * string columns only; doubles are excluded because engines format
+    * them differently). Each column is an independent aggregate leg;
+    * legs union into the stats table that would feed a cost-based
+    * optimizer. At scale NDV collection switches to HLL (q36/q93) —
+    * this is the exact audit form.
+    */
+  def columnStats(li: DataFrame, orders: DataFrame, docs: DataFrame): DataFrame = {
+    def leg(table: String, df: DataFrame, column: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(column).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(column)).as("ndv"),
+        min(col(column)).cast("string").as("min_v"),
+        max(col(column)).cast("string").as("max_v"))
+        .select(lit(table).as("tabl"), lit(column).as("col_name"),
+          col("n"), col("n_null"), col("ndv"), col("min_v"), col("max_v"))
+    Seq(
+      leg("lineitem", li, "l_orderkey"),
+      leg("lineitem", li, "l_returnflag"),
+      leg("orders", orders, "o_orderpriority"),
+      leg("orders", orders, "o_custkey"),
+      leg("documents", docs, "lang"),
+      leg("documents", docs, "source"),
+    ).reduce(_.union(_)).orderBy("tabl", "col_name")
+  }
+
+  private val columnStatsOracle = """
+    SELECT 'lineitem' AS tabl, 'l_orderkey' AS col_name, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      COUNT(DISTINCT l_orderkey) AS ndv,
+      CAST(MIN(l_orderkey) AS VARCHAR) AS min_v, CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', COUNT(*),
+      CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_custkey', COUNT(*),
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT o_custkey),
+      CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'documents', 'lang', COUNT(*),
+      CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'source', COUNT(*),
+      CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      COUNT(DISTINCT source), MIN(source), MAX(source)
+    FROM documents
+    ORDER BY tabl, col_name"""
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: lag-pair counts + exact out-of-state transition
+    * probabilities. One window shuffle on user_id, one aggregation on
+    * the (from, to) pair — sequence analytics without ever
+    * materializing sequences.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(lag(col("event_type"), 1).over(w).as("from_type"),
+        col("event_type").as("to_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+    pairs.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val eventTransitionsOracle = """
+    WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY from_type)
+    SELECT from_type, to_type, n, CAST(n AS DOUBLE) / tot AS prob
+    FROM pairs JOIN tot USING (from_type)
+    ORDER BY from_type, to_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q157_chi2_independence",
+      (s, d) => chi2Independence(documents(s, d)), Some(chi2Oracle)),
+    Q("q158_column_stats",
+      (s, d) => columnStats(lineitem(s, d), orders(s, d), documents(s, d)),
+      Some(columnStatsOracle)),
+    Q("q159_event_transitions",
+      (s, d) => eventTransitions(events(s, d)), Some(eventTransitionsOracle)),
     Q("q154_weighted_sample",
       (s, d) => weightedSample(documents(s, d)), Some(weightedSampleOracle)),
     Q("q155_trimmed_mean",

@@ -367,6 +367,36 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(r == Map("A" -> 3L, "B" -> 1L))
   }
 
+  test("chi2 statistic is non-negative with correct dof") {
+    val r = Analytics.chi2Independence(
+      Tables.documents(spark, sf("sf0.001"))).collect()(0)
+    assert(r.getDouble(0) >= 0.0)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val expDof = (docs.select("lang").distinct().count() - 1) *
+      (docs.select("source").distinct().count() - 1)
+    assert(r.getLong(1) == expDof)
+  }
+
+  test("column stats agree with direct recounts") {
+    val d = sf("sf0.001")
+    val stats = Analytics.columnStats(Tables.lineitem(spark, d),
+      Tables.orders(spark, d), Tables.documents(spark, d)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val li = Tables.lineitem(spark, d)
+    val s = stats(("lineitem", "l_orderkey"))
+    assert(s.getAs[Long]("n") == li.count())
+    assert(s.getAs[Long]("ndv") == li.select("l_orderkey").distinct().count())
+    assert(s.getAs[Long]("n_null") == 0L)
+  }
+
+  test("event transitions: probabilities sum to one per source state") {
+    val r = Analytics.eventTransitions(Tables.events(spark, sf("sf0.001"))).collect()
+    r.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    assert(r.nonEmpty)
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
