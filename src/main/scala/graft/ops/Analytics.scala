@@ -786,7 +786,110 @@ object Analytics extends QueryModule {
     FROM pairs JOIN tot USING (from_type)
     ORDER BY from_type, to_type"""
 
+  /** RFM customer segmentation: per-customer recency (days since last
+    * order, anchored to the corpus max date), frequency, and exact
+    * monetary value, each scored into quintiles by pinned-tiebreak
+    * ntile, rolled up to segment populations. Three windows over the
+    * customer summary (|customers| rows, not |orders|) — the classic
+    * composite the marketing/cohort layer of a warehouse runs.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val maxd = orders.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val cust = orders.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        dsum(col("o_totalprice")).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"), datediff(col("maxd"), col("last_d")).as("rec_days"),
+        col("f"), col("m"))
+    val rW = Window.orderBy(col("rec_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("f").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("m").desc, col("o_custkey"))
+    cust
+      .select(col("o_custkey"), col("m"),
+        ntile(5).over(rW).cast("long").as("r_score"),
+        ntile(5).over(fW).cast("long").as("f_score"),
+        ntile(5).over(mW).cast("long").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(dec(col("m"), 2)).cast("double") / count(lit(1))).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmOracle = """
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    cust AS (
+      SELECT o_custkey,
+        date_diff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT maxd FROM maxd)) AS rec_days,
+        COUNT(*) AS f,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, m,
+        CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY f DESC, o_custkey) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS m_score
+      FROM cust)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(m AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score"""
+
+  /** Join-key skew report: group-size distribution per candidate key —
+    * key cardinality, hottest-key share, average size. The diagnostic
+    * that decides between plain shuffle, AQE skew handling, and manual
+    * salting (q58) BEFORE a 100 TB join runs; each leg is a two-level
+    * aggregation (sizes, then stats over sizes) with map-side combine.
+    */
+  def skewReport(li: DataFrame, orders: DataFrame): DataFrame = {
+    def leg(name: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_keys"), sum("sz").as("n_rows"),
+          max("sz").as("max_size"))
+        .select(lit(name).as("key_name"), col("n_keys"), col("n_rows"),
+          col("max_size"),
+          (col("n_rows").cast("double") / col("n_keys")).as("avg_size"),
+          (col("max_size").cast("double") / col("n_rows")).as("top_share"))
+    Seq(
+      leg("l_orderkey", li, "l_orderkey"),
+      leg("l_partkey", li, "l_partkey"),
+      leg("l_suppkey", li, "l_suppkey"),
+      leg("o_custkey", orders, "o_custkey"),
+    ).reduce(_.union(_)).orderBy("key_name")
+  }
+
+  private val skewOracle = """
+    WITH l1 AS (SELECT COUNT(*) AS sz FROM lineitem GROUP BY l_orderkey),
+    l2 AS (SELECT COUNT(*) AS sz FROM lineitem GROUP BY l_partkey),
+    l3 AS (SELECT COUNT(*) AS sz FROM lineitem GROUP BY l_suppkey),
+    o1 AS (SELECT COUNT(*) AS sz FROM orders GROUP BY o_custkey)
+    SELECT 'l_orderkey' AS key_name, COUNT(*) AS n_keys,
+      CAST(SUM(sz) AS BIGINT) AS n_rows, CAST(MAX(sz) AS BIGINT) AS max_size,
+      CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_size,
+      CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS BIGINT) AS top_share
+    FROM l1
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*), CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT),
+      CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) / COUNT(*),
+      CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS BIGINT)
+    FROM l2
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(*), CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT),
+      CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) / COUNT(*),
+      CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS BIGINT)
+    FROM l3
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), CAST(SUM(sz) AS BIGINT), CAST(MAX(sz) AS BIGINT),
+      CAST(CAST(SUM(sz) AS BIGINT) AS DOUBLE) / COUNT(*),
+      CAST(MAX(sz) AS DOUBLE) / CAST(SUM(sz) AS BIGINT)
+    FROM o1
+    ORDER BY key_name"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q160_rfm_segments",
+      (s, d) => rfmSegments(orders(s, d)), Some(rfmOracle)),
+    Q("q161_skew_report",
+      (s, d) => skewReport(lineitem(s, d), orders(s, d)), Some(skewOracle)),
     Q("q157_chi2_independence",
       (s, d) => chi2Independence(documents(s, d)), Some(chi2Oracle)),
     Q("q158_column_stats",

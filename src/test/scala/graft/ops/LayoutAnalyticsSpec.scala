@@ -397,6 +397,33 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(r.nonEmpty)
   }
 
+  test("rfm segments partition the customer base into balanced quintiles") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val seg = Analytics.rfmSegments(o).collect()
+    val nCust = o.select("o_custkey").distinct().count()
+    assert(seg.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // each axis marginal is an ntile(5): sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { axis =>
+      val marginal = seg.groupBy(_.getAs[Long](axis))
+        .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(marginal.keySet == Set(1L, 2L, 3L, 4L, 5L))
+      assert(marginal.values.max - marginal.values.min <= 1)
+    }
+  }
+
+  test("skew report: hottest key share and sizes recount correctly") {
+    val d = sf("sf0.001")
+    val li = Tables.lineitem(spark, d)
+    val rep = Analytics.skewReport(li, Tables.orders(spark, d)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sizes = li.groupBy("l_suppkey").count().collect().map(_.getLong(1))
+    val row = rep("l_suppkey")
+    assert(row.getAs[Long]("n_keys") == sizes.length)
+    assert(row.getAs[Long]("max_size") == sizes.max)
+    assert(row.getAs[Long]("n_rows") == sizes.sum)
+    assert(row.getAs[Double]("top_share") > 0 && row.getAs[Double]("top_share") <= 1)
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
