@@ -135,4 +135,45 @@ class PlanSpec extends SparkSpec {
       s"probe repartition must pin partition count (AQE would coalesce):\n${p.take(1500)}")
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q142: digest stage is pinned-width and bucket rollup adds no second exchange") {
+    val p = plan("q142_table_diff")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"digest repartition must pin width:\n${p.take(1500)}")
+    // the manifest aggregation must reuse the bucket partitioning: exactly
+    // one hashpartitioning exchange per side (the pinned repartition), none
+    // introduced for the groupBy or the full-outer join
+    val exchanges = "Exchange hashpartitioning\\(bucket".r
+      .findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected only the two pinned repartitions on bucket:\n${p.take(1500)}")
+  }
+
+  test("q129: zorder value is plain shift/mask arithmetic inside codegen") {
+    val p = plan("q129_zorder_layout")
+    assert(p.contains("shiftleft") || p.contains("<<"),
+      "z-value must be computed by builtin bit ops")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("Invoke"),
+      "no UDF/invoke in the z-order path")
+  }
+
+  test("q145: calendar side of the band join is broadcast") {
+    val p = plan("q145_rolling_uniques")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"calendar × user-days band join must broadcast the calendar:\n${p.take(1200)}")
+  }
+
+  test("q151: skyline dominance anti-join broadcasts the manifest") {
+    val p = plan("q151_skyline_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      s"dominance check must be a broadcast anti join:\n${p.take(1200)}")
+  }
+
+  test("q158: each stats leg prunes its scan to the single profiled column") {
+    val p = plan("q158_column_stats")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "l_orderkey leg must read exactly one column")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
+      "l_returnflag leg must read exactly one column")
+  }
 }
