@@ -1069,7 +1069,37 @@ object Extended extends QueryModule {
     FROM orders WHERE o_orderkey % 971 <> 3 AND o_orderkey % 977 = 5
     ORDER BY op"""
 
+  /** Native-operator twin of q110: the same rates workload through the
+    * custom AsofLookup LogicalPlan/Strategy/SparkPlan
+    * ([[graft.plans.AsofLookup]]) instead of the intervalize+range-join
+    * composition — same oracle (DuckDB ASOF JOIN), so the dedicated
+    * operator is equivalence-proven against both the composition and the
+    * reference engine.
+    */
+  def asofNative(spark: SparkSession, orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.plans.AsofLookup.asofLookup
+    val rates = Seq(
+      ("1994-07-01", 1.00), ("1996-01-01", 1.04), ("1997-01-01", 1.09),
+      ("1998-01-01", 1.16), ("1999-01-01", 1.08), ("2000-01-01", 1.12),
+      ("2001-01-01", 1.21),
+    ).toDF("eff", "rate")
+      .select(to_date(col("eff")).as("effective_from"), col("rate"))
+    asofLookup(
+        orders.select(col("o_orderdate"), col("o_totalprice")),
+        rates,
+        to_date(col("o_orderdate")).cast("date"), col("effective_from"))
+      .groupBy(date_format(col("effective_from"), "yyyy-MM-dd").as("era"),
+        col("rate"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice")) * col("rate").cast(DecimalType(4, 2)))
+          .cast("double").as("adj_revenue"))
+      .orderBy("era")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q162_asof_native",
+      (s, d) => asofNative(s, orders(s, d)), Some(asofJoinOracle)),
     Q("q149_orc_text_source",
       (s, d) => orcTextSource(s, d), Some(orcTextOracle)),
     Q("q150_schema_evolution",

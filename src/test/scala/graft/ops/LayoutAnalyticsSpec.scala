@@ -424,6 +424,34 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(row.getAs[Double]("top_share") > 0 && row.getAs[Double]("top_share") <= 1)
   }
 
+  test("native asof operator equals the compositional range-join twin") {
+    val d = sf("sf0.001")
+    val native = Extended.asofNative(spark, Tables.orders(spark, d))
+      .collect().map(_.toSeq)
+    val composed = Extended.asofJoin(spark, Tables.orders(spark, d))
+      .collect().map(_.toSeq)
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("native asof: backward match, inner semantics, null keys dropped") {
+    import spark.implicits._
+    import graft.plans.AsofLookup.asofLookup
+    val facts = Seq(
+      (1L, "2024-03-15"), (2L, "2024-01-05"), (3L, "2023-12-01"), // 3: before all eras
+      (4L, null.asInstanceOf[String]) // null on: dropped
+    ).toDF("id", "d").select(col("id"), col("d").cast("date").as("d"))
+    val dim = Seq(("2024-01-01", 10L), ("2024-03-01", 30L))
+      .toDF("eff", "v").select(col("eff").cast("date").as("eff"), col("v"))
+    val out = asofLookup(facts, dim, col("d"), col("eff"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 30L), (2L, 10L)))
+    val plan = asofLookup(facts, dim, col("d"), col("eff"))
+      .queryExecution.executedPlan.treeString
+    // SparkPlan.nodeName strips the Exec suffix: the custom operator
+    // renders as "AsofLookup" with its bound on-attributes
+    assert(plan.contains("AsofLookup __asof_l"), s"custom exec expected:\n$plan")
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
