@@ -8,29 +8,28 @@ import graft.{Q, QueryModule}
 import graft.Tables._
 import graft.Num._
 
-/** Dataset-diagnostics operators a curation pipeline runs between ingest
-  * and training (SURVEY.md §2.9): robust outlier detection, a declarative
-  * data-quality expectation suite, per-entity activity islands, and an
-  * iterative graph rank over an aggregated edge list. None exist in the
-  * reference (its only audit is the split groupBy/count,
-  * `03a_Model Training.py:93-94`); all four are standard curation
-  * machinery for a 100 TB corpus.
+/** Dataset-diagnostics and statistics operators a curation pipeline runs
+  * between ingest and training (SURVEY.md §2.9): robust location/spread
+  * (MAD outliers, trimmed means), a declarative data-quality expectation
+  * suite, temporal analytics (activity islands, rolling uniques, TWAP,
+  * running z-scores, interval concurrency, Markov transitions), graph
+  * rank over an aggregated edge list, sampling design (Neyman
+  * allocation, weighted A-ES draws), statistical tests (chi-square,
+  * correlation matrix), preference queries (skyline), segmentation
+  * (RFM, equi-depth bins) and engine-infrastructure stats (column
+  * stats, join-key skew). None exist in the reference (its only audit
+  * is the split groupBy/count, `03a_Model Training.py:93-94`).
   *
-  * Scale notes:
-  *  - MAD needs two exact medians per group — each is one sort-based
-  *    aggregation; group medians are per-key, so the shuffle is on the
-  *    group key and skew-bounded by the largest group, not the table.
-  *  - The expectation suite is a union of independent aggregates; each
-  *    leg scans with its own pushed filter and the legs run in parallel
-  *    (one job, separate stages). Violation COUNTS travel, rows never do.
-  *  - Islands shuffle once on user_id; the island assignment is a
-  *    row_number against distinct days — pure window arithmetic.
-  *  - PageRank: the expensive part is building the weighted edge list
-  *    (fact⋈fact⋈dims, shuffled on its join keys once); iterations then
-  *    run over the aggregated edge table, which is |nations|² at most —
-  *    the classic "aggregate first, iterate on the small projection"
-  *    shape. Decimal-cast sums make every iteration order-independent,
-  *    so ranks are bit-identical across any partitioning.
+  * Shared scale discipline:
+  *  - Group-keyed shuffles only; cross-group scalars travel as one-row
+  *    broadcasts. Violation/candidate COUNTS move, rows never do.
+  *  - Every float output derives from exact integer/decimal sums, and
+  *    any small cross-item reduction of doubles is a pinned-order fold
+  *    (see graft-oracle-exactness memory): results are bit-identical
+  *    across partitionings and engines.
+  *  - Iterative/pairwise phases (PageRank, skyline, chi-square) run on
+  *    aggregated projections bounded by key cardinality, never on the
+  *    raw corpus.
   */
 object Analytics extends QueryModule {
 
