@@ -884,7 +884,70 @@ object Analytics extends QueryModule {
     FROM o1
     ORDER BY key_name"""
 
+  /** Weekly retention cohorts: users grouped by first-activity week,
+    * tracked across weeks-since-signup with exact retained-user counts
+    * and rates. Two aggregations (first-seen per user, then cohort ×
+    * offset distinct users) — both shuffle on user/cohort keys only.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weeks = events.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week")).distinct()
+    val first = weeks.groupBy("user_id").agg(min("week").as("cohort"))
+    val joined = weeks.join(first, "user_id")
+      .select(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("long").as("weeks_since"),
+        col("user_id"))
+    val sizes = first.groupBy("cohort").agg(countDistinct("user_id").as("cohort_size"))
+    joined.groupBy("cohort", "weeks_since")
+      .agg(countDistinct("user_id").as("active_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("weeks_since"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort", "weeks_since")
+  }
+
+  private val retentionOracle = """
+    WITH weeks AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    first AS (SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id),
+    sizes AS (SELECT cohort, COUNT(DISTINCT user_id) AS cohort_size
+      FROM first GROUP BY cohort),
+    joined AS (
+      SELECT f.cohort, CAST(date_diff('day', f.cohort, w.week) // 7 AS BIGINT) AS weeks_since,
+        w.user_id
+      FROM weeks w JOIN first f USING (user_id))
+    SELECT cohort, weeks_since, COUNT(DISTINCT user_id) AS active_users,
+      cohort_size,
+      CAST(COUNT(DISTINCT user_id) AS DOUBLE) / cohort_size AS retention
+    FROM joined JOIN sizes USING (cohort)
+    GROUP BY cohort, weeks_since, cohort_size
+    ORDER BY cohort, weeks_since"""
+
+  /** Approximate twin of q145: rolling 7-day uniques via HLL++
+    * (`approx_count_distinct`, 2% target error) — the form that survives
+    * when exact per-window COUNT(DISTINCT) is too expensive (rows-only
+    * check; the error bound vs the exact twin is spec-asserted). At
+    * scale the HLL sketches are additionally MERGEABLE across partial
+    * windows (q93), which exact distinct counts are not.
+    */
+  def rollingUniquesHll(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cal = events.select(to_date(col("ts")).as("day")).distinct()
+    broadcast(cal).join(days,
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy("day")
+      .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"),
+        count(lit(1)).as("n_user_days"))
+      .orderBy("day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q163_retention_cohorts",
+      (s, d) => retentionCohorts(events(s, d)), Some(retentionOracle)),
+    Q("q164_rolling_uniques_hll",
+      (s, d) => rollingUniquesHll(events(s, d)), None),
     Q("q160_rfm_segments",
       (s, d) => rfmSegments(orders(s, d)), Some(rfmOracle)),
     Q("q161_skew_report",

@@ -452,6 +452,27 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(plan.contains("AsofLookup __asof_l"), s"custom exec expected:\n$plan")
   }
 
+  test("retention cohorts: week-0 retention is 1.0 and rates never exceed it") {
+    val r = Analytics.retentionCohorts(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.filter(_.getAs[Long]("weeks_since") == 0L).foreach { row =>
+      assert(math.abs(row.getAs[Double]("retention") - 1.0) < 1e-12)
+    }
+    r.foreach(row => assert(row.getAs[Double]("retention") <= 1.0 + 1e-12))
+  }
+
+  test("hll rolling uniques stay within the 2% target of the exact twin") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val exact = Analytics.rollingUniques(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    Analytics.rollingUniquesHll(ev).collect().foreach { row =>
+      val (day, approx) = (row.getDate(0).toString, row.getLong(1))
+      val e = exact(day).toDouble
+      assert(math.abs(approx - e) / e <= 0.05, // 2% rsd target, 5% assert guard
+        s"$day: approx $approx vs exact $e")
+    }
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
