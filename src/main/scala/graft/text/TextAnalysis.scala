@@ -750,7 +750,161 @@ object TextAnalysis extends QueryModule {
         (a, b) -> a + b), 6) AS kl
     FROM terms GROUP BY source ORDER BY source"""
 
+  /** Sub-document duplication audit: non-overlapping 32-token chunks
+    * signed with md5; a chunk is duplicated when its signature appears
+    * in more than one distinct document. Per-source duplicated-chunk
+    * share — the finer-grained dedup signal that exact doc-level dedup
+    * (q25) misses (boilerplate shared across otherwise-distinct docs).
+    * Chunking is a narrow explode; the signature rollup shuffles
+    * signatures only.
+    */
+  def chunkDedup(docs: DataFrame, win: Int = 32): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"),
+        filter(tokens(col("text")), t => t =!= lit("")).as("toks"))
+      .withColumn("n_chunks",
+        expr(s"greatest((size(toks) + ${win - 1}) div $win, 1)").cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * win + 1).cast("int"), lit(win)))
+          .cast("binary")).as("sig"))
+    val dupSigs = chunks.groupBy("sig")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1)
+      .select(col("sig"))
+    val dupPer = chunks.join(broadcast(dupSigs), Seq("sig"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_chunks"))
+    chunks.groupBy("source").agg(count(lit(1)).as("n_chunks"))
+      .join(dupPer, Seq("source"), "left") // a clean source has no dup row
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("n_dup_chunks"), lit(0L)).cast("double") / col("n_chunks"))
+          .as("dup_share"))
+      .orderBy("source")
+  }
+
+  private val chunkDedupOracle = """
+    WITH d AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    n AS (SELECT doc_id, source, toks,
+        greatest((len(toks) + 31) // 32, 1) AS n_chunks FROM d),
+    c AS (SELECT doc_id, source,
+        md5(array_to_string(list_slice(toks, chunk_id * 32 + 1,
+          chunk_id * 32 + 32), ' ')) AS sig
+      FROM (SELECT doc_id, source, toks,
+        unnest(range(0, n_chunks)) AS chunk_id FROM n)),
+    dup AS (SELECT sig FROM c GROUP BY sig
+      HAVING COUNT(DISTINCT doc_id) > 1),
+    per AS (SELECT source, COUNT(*) AS n_chunks FROM c GROUP BY source),
+    dupper AS (SELECT source, COUNT(*) AS n_dup_chunks FROM c
+      WHERE sig IN (SELECT sig FROM dup) GROUP BY source)
+    SELECT source, n_chunks, COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+      CAST(COALESCE(n_dup_chunks, 0) AS DOUBLE) / n_chunks AS dup_share
+    FROM per LEFT JOIN dupper USING (source) ORDER BY source"""
+
+  /** Unigram log-probability quality score: each document scored by its
+    * average per-token ln p(token) under the corpus unigram
+    * distribution — the zero-parameter proxy for model-based perplexity
+    * filtering. Per-document sums fold in token-position order (exact
+    * given identical doubles), per-document averages round to 9
+    * decimals, and source-level stats aggregate those exactly in
+    * decimal. The vocab join broadcasts; at 100 TB the vocabulary would
+    * be capped to top-K + an OOV bucket (q141's discipline).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(filter(tokens(col("text")), t => t =!= lit(""))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = toks.count()
+    val scored = toks.join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("source"), col("pos"),
+        log(col("c").cast("double") / lit(n.toDouble)).as("lp"))
+    val perDoc = scored.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos").as("p"), col("lp").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("lp_sum"))
+      .select(col("source"),
+        round(col("lp_sum") / col("n_tok"), 9).as("avg_lp"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("avg_lp").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("mean_avg_lp"),
+        min("avg_lp").as("min_avg_lp"), max("avg_lp").as("max_avg_lp"))
+      .orderBy("source")
+  }
+
+  private val unigramLogprobOracle = """
+    WITH t0 AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    toks AS (
+      SELECT doc_id, source, unnest(toks) AS tok,
+        generate_subscripts(toks, 1) AS pos
+      FROM t0),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM toks),
+    scored AS (
+      SELECT doc_id, source, pos,
+        ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS lp
+      FROM toks JOIN vocab USING (tok), n),
+    perdoc AS (
+      SELECT source,
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+          (a, b) -> a + b) / COUNT(*), 9) AS avg_lp
+      FROM scored GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(avg_lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean_avg_lp,
+      MIN(avg_lp) AS min_avg_lp, MAX(avg_lp) AS max_avg_lp
+    FROM perdoc GROUP BY source ORDER BY source"""
+
+  /** One-row dataset card: the corpus summary a curation run publishes —
+    * sizes, diversity, exact duplicate share, length moments. Pure
+    * composition of exact aggregates in a single pass over documents
+    * plus one fingerprint rollup.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      sum("n_chars").as("n_chars"))
+    val dups = docs.groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_dup_docs"))
+    base.crossJoin(dups)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        col("n_chars"), col("n_dup_docs"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"))
+  }
+
+  private val datasetCardOracle = """
+    WITH base AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents),
+    dups AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs FROM (
+        SELECT md5(text) AS fp, COUNT(*) AS c FROM documents
+        GROUP BY md5(text) HAVING COUNT(*) > 1))
+    SELECT n_docs, n_tokens, n_langs, n_sources, n_chars, n_dup_docs,
+      CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+    FROM base, dups"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q165_chunk_dedup",
+      (s, d) => chunkDedup(documents(s, d)), Some(chunkDedupOracle)),
+    Q("q166_unigram_logprob",
+      (s, d) => unigramLogprob(documents(s, d)), Some(unigramLogprobOracle)),
+    Q("q167_dataset_card",
+      (s, d) => datasetCard(documents(s, d)), Some(datasetCardOracle)),
     Q("q141_token_drift",
       (s, d) => tokenDrift(documents(s, d)), Some(tokenDriftOracle)),
     Q("q138_heavy_hitters",

@@ -473,6 +473,43 @@ class LayoutAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup flags a planted boilerplate chunk") {
+    import spark.implicits._
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler unique one two three", "s1"),
+      (2L, s"$boiler other tail here now", "s1"),
+      (3L, "wholly distinct text body", "s2"),
+    ).toDF("doc_id", "text", "source")
+    val r = graft.text.TextAnalysis.chunkDedup(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("s1")._2 == 2L, s"shared 32-token prefix chunk must flag in both docs: $r")
+    assert(r("s2") == ((1L, 0L)))
+  }
+
+  test("unigram logprob: uniform corpus scores ln(1/V) everywhere") {
+    import spark.implicits._
+    val docs = Seq( // 4 distinct tokens, each appearing exactly once
+      (1L, "aa bb", "s"), (2L, "cc dd", "s"),
+    ).toDF("doc_id", "text", "source")
+    val r = graft.text.TextAnalysis.unigramLogprob(docs).collect()(0)
+    val expected = math.log(1.0 / 4.0)
+    assert(math.abs(r.getAs[Double]("mean_avg_lp") - expected) < 1e-8)
+    assert(r.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("dataset card: dup share counts every copy of a duplicated text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "s", 9L), (2L, "same text", "s", 9L),
+      (3L, "other", "s", 5L),
+    ).toDF("doc_id", "text", "source", "n_chars").withColumn("lang", lit("en"))
+    val r = graft.text.TextAnalysis.datasetCard(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_dup_docs") == 2L)
+    assert(r.getAs[Long]("n_langs") == 1L)
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
