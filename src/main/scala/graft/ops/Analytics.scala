@@ -943,7 +943,75 @@ object Analytics extends QueryModule {
       .orderBy("day")
   }
 
+  /** Inter-event dwell-time histogram with logarithmic (power-of-two)
+    * buckets: bucket = bit-length of the gap in microseconds, computed
+    * through binary-string length — an exact INTEGER path in both
+    * engines (floor(log2(x)) via doubles can disagree near powers of
+    * two). Log-binning is the standard shape for latency/inter-arrival
+    * telemetry whose range spans six decades.
+    */
+  def dwellHistogram(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events.select(col("event_type"),
+      (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+    gaps.filter(col("gap_us").isNotNull && col("gap_us") > 0)
+      .withColumn("bucket", length(bin(col("gap_us"))).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"))
+      .orderBy("event_type", "bucket")
+  }
+
+  private val dwellOracle = """
+    WITH gaps AS (
+      SELECT event_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events),
+    b AS (
+      SELECT event_type,
+        CAST(length(format('{:b}', gap_us)) AS BIGINT) AS bucket, gap_us
+      FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0)
+    SELECT event_type, bucket, COUNT(*) AS n,
+      CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket"""
+
+  /** Multi-measure pivot: count AND exact decimal revenue per pivoted
+    * priority class in one pass (q59 pivots a single measure; Spark
+    * suffixes multi-agg pivot columns with the agg alias — pinned here
+    * so both engines emit `urgent_n`/`urgent_rev`-style names).
+    */
+  def multiPivot(orders: DataFrame, customer: DataFrame): DataFrame = {
+    import graft.Num.dec
+    orders.join(broadcast(customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+      .select(col("c_mktsegment"),
+        col("1-URGENT_n").as("urgent_n"), col("1-URGENT_rev").as("urgent_rev"),
+        col("5-LOW_n").as("low_n"), col("5-LOW_rev").as("low_rev"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val multiPivotOracle = """
+    SELECT c_mktsegment,
+      COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_rev,
+      COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+      CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low_rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q168_dwell_histogram",
+      (s, d) => dwellHistogram(events(s, d)), Some(dwellOracle)),
+    Q("q169_multi_pivot",
+      (s, d) => multiPivot(orders(s, d), customer(s, d)), Some(multiPivotOracle)),
     Q("q163_retention_cohorts",
       (s, d) => retentionCohorts(events(s, d)), Some(retentionOracle)),
     Q("q164_rolling_uniques_hll",

@@ -510,6 +510,30 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_langs") == 1L)
   }
 
+  test("dwell histogram buckets hold the power-of-two invariant") {
+    val r = Analytics.dwellHistogram(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (b, lo, hi) = (row.getAs[Long]("bucket"),
+        row.getAs[Long]("min_gap_us"), row.getAs[Long]("max_gap_us"))
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b),
+        s"bucket $b range [$lo,$hi] outside [2^${b - 1}, 2^$b)")
+    }
+  }
+
+  test("multi pivot equals filtered aggregates") {
+    val d = sf("sf0.001")
+    val o = Tables.orders(spark, d); val c = Tables.customer(spark, d)
+    val piv = Analytics.multiPivot(o, c).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val direct = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("u"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("l"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(piv == direct)
+  }
+
   test("stream-static enrichment equals its batch twin") {
     val d = sf("sf0.001")
     val streamed = graft.streaming.StreamingOps.streamEnrich(spark, d)
