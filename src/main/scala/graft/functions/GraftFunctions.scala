@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => {
         val a = GraftFunctions.arity("vec_sum", 1)(es); VectorSumAgg(a.head).toAggregateExpression()
       }))
+    // whole-operator surface: the native AS-OF join planner strategy
+    // (the asofLookup DSL also self-registers on already-built sessions
+    // via experimental.extraStrategies — this is the builder-time path)
+    e.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
   }
 }
