@@ -252,15 +252,22 @@ object Analytics extends QueryModule {
       sum(aq * aq).as("sqq"), sum(ap * ap).as("spp"), sum(ad * ad).as("sdd"),
       sum(aq * ap).as("sqp"), sum(aq * ad).as("sqd"), sum(ap * ad).as("spd"))
       .localCheckpoint() // one row: don't rescan the fact table per pair branch
+    // each exact decimal sum is cast to double BEFORE the n*sxy - sx*sy
+    // products: decimal cross-products of the sums themselves (n*sxy)
+    // overflow DECIMAL(38,0) at ~10 TB of 2-decimal inputs and null out
+    // with ANSI off. Both engines cast identical exact decimals to
+    // identical doubles, and IEEE */- on identical doubles is identical,
+    // so the hash-match is preserved at every scale.
+    def co(c: String) = s"cast($c as double)"
     def pair(name: String, sxy: String, sx: String, sy: String,
         sxx: String, syy: String, unscale: Double) =
       sums.select(
         lit(name).as("pair"), col("n"),
-        (expr(s"cast(n * $sxy - $sx * $sy as double)") /
-          sqrt(expr(s"cast(n * $sxx - $sx * $sx as double)") *
-            expr(s"cast(n * $syy - $sy * $sy as double)"))).as("corr"),
-        (expr(s"cast(n * $sxy - $sx * $sy as double)") /
-          expr(s"cast(n * (n - 1) as double)") / lit(unscale)).as("cov"))
+        (expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
+          sqrt(expr(s"${co("n")} * ${co(sxx)} - ${co(sx)} * ${co(sx)}") *
+            expr(s"${co("n")} * ${co(syy)} - ${co(sy)} * ${co(sy)}"))).as("corr"),
+        (expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
+          expr(s"${co("n")} * ${co("n - 1")}") / lit(unscale)).as("cov"))
     pair("price_discount", "spd", "sp", "sd", "spp", "sdd", 10000.0)
       .union(pair("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd", 100.0))
       .union(pair("quantity_price", "sqp", "sq", "sp", "sqq", "spp", 100.0))
@@ -286,21 +293,27 @@ object Analytics extends QueryModule {
           * CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS spd
       FROM lineitem)
     SELECT 'price_discount' AS pair, n,
-      CAST(n * spd - sp * sd AS DOUBLE) /
-        sqrt(CAST(n * spp - sp * sp AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)) AS corr,
-      CAST(n * spd - sp * sd AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS cov
+      (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr,
+      (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS cov
     FROM s
     UNION ALL
     SELECT 'quantity_discount', n,
-      CAST(n * sqd - sq * sd AS DOUBLE) /
-        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)),
-      CAST(n * sqd - sq * sd AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
+      (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
+      (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0
     FROM s
     UNION ALL
     SELECT 'quantity_price', n,
-      CAST(n * sqp - sq * sp AS DOUBLE) /
-        sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * spp - sp * sp AS DOUBLE)),
-      CAST(n * sqp - sq * sp AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
+      (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
+      (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0
     FROM s"""
 
   /** Rolling 7-day distinct users per active day: dedup to user-days,
@@ -387,7 +400,12 @@ object Analytics extends QueryModule {
         count(lit(1)).over(w).as("cnt"),
         sum(col("v")).over(w).cast("decimal(38,0)").as("s1"),
         sum(col("v") * col("v")).over(w).cast("decimal(38,0)").as("s2"))
-    framed.filter(col("cnt") >= 10)
+    // cnt*s2 - s1*s1 == 0 iff the trailing window is constant: sd = 0
+    // would make z Infinity (or NaN when v == mean), whose double
+    // formatting differs between engines — such rows are unscoreable
+    // and are excluded from n_scored in BOTH the query and the oracle.
+    framed.filter(col("cnt") >= 10 &&
+        expr("cnt * s2 - s1 * s1") > lit(0))
       .select(col("event_type"),
         ((col("v").cast("double") - col("s1").cast("double") / col("cnt")) /
           sqrt(expr("cast(cnt * s2 - s1 * s1 as double)") /
@@ -416,7 +434,7 @@ object Analytics extends QueryModule {
       SELECT event_type,
         (CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt) /
           sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / CAST(cnt * (cnt - 1) AS DOUBLE)) AS z
-      FROM framed WHERE cnt >= 10)
+      FROM framed WHERE cnt >= 10 AND cnt * s2 - s1 * s1 > 0)
     SELECT event_type, COUNT(*) AS n_scored,
       CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
       ROUND(MAX(ABS(z)), 6) AS max_abs_z

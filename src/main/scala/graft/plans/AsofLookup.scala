@@ -60,14 +60,34 @@ final case class AsofLookupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ord = TypeUtils.getInterpretedOrdering(rightOn.dataType)
+      .asInstanceOf[Ordering[Any]]
     val boundRight = BindReferences.bindReference(rightOn, right.output)
-    // point-in-time dimension: collect, drop null-keyed eras, sort by key
-    val eras = right.executeCollect()
-      .map(r => (boundRight.eval(r), r.copy()))
+    // point-in-time dimension: bounded collect (executeTake stops pulling
+    // partitions once the cap is exceeded, so an accidentally-huge right
+    // side fails fast instead of OOMing the driver)
+    val maxRows = conf.getConfString(
+      "graft.asof.maxRightRows", "5000000").toLong
+    val taken = right.executeTake(maxRows.toInt + 1)
+    require(taken.length <= maxRows,
+      s"AsofLookup right side exceeds $maxRows rows; the operator " +
+        "broadcasts the full dimension. Shrink it (pre-aggregate eras) " +
+        "or raise graft.asof.maxRightRows.")
+    // drop null-keyed eras; sort by (key, row bytes): with duplicate
+    // rightOn keys the byte-wise secondary sort makes the surviving era
+    // (the LAST in sort order) identical across partitionings/arrival
+    // orders — partitioning-independence discipline for a general-
+    // purpose operator
+    val toUnsafe = UnsafeProjection.create(right.output, right.output)
+    val eras = taken
+      .map(r => (boundRight.eval(r), toUnsafe(r).copy()))
       .filter(_._1 != null)
-      .sortBy(_._1)(ord.asInstanceOf[Ordering[Any]])
+      .sortWith { case ((k1, r1), (k2, r2)) =>
+        val c = ord.compare(k1, k2)
+        if (c != 0) c < 0
+        else AsofLookup.compareBytes(r1.getBytes, r2.getBytes) < 0
+      }
     val keys = eras.map(_._1)
-    val rows = eras.map(_._2)
+    val rows: Array[InternalRow] = eras.map(x => (x._2: InternalRow))
     val bcKeys = sparkContext.broadcast(keys)
     val bcRows = sparkContext.broadcast(rows)
     val boundLeft = BindReferences.bindReference(leftOn, left.output)
@@ -82,7 +102,7 @@ final case class AsofLookupExec(
         var lo = 0; var hi = ks.length - 1; var res = -1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
-          if (ord.asInstanceOf[Ordering[Any]].compare(ks(mid), k) <= 0) {
+          if (ord.compare(ks(mid), k) <= 0) {
             res = mid; lo = mid + 1
           } else hi = mid - 1
         }
@@ -102,15 +122,39 @@ final case class AsofLookupExec(
 }
 
 object AsofLookup {
+  /** Unsigned byte-wise lexicographic compare (shorter prefix first) —
+    * the deterministic secondary sort key for duplicate-key eras.
+    */
+  private[plans] def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** DataFrame-level entry: `asofLookup(facts, dim, on, dimOn)`.
-    * Registers the planner strategy on the session once (idempotent).
+    * Registers the planner strategy on the session once. The check
+    * inspects the session planner's FULL strategy list (which includes
+    * the copy GraftExtensions injects at builder time), so a session
+    * built withExtensions never gets a second registration; the
+    * check-then-append is synchronized so concurrent first calls on a
+    * bare session cannot race a registration away.
     */
   def asofLookup(leftDf: DataFrame, rightDf: DataFrame,
       leftOn: Column, rightOn: Column): DataFrame = {
     val spark = leftDf.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofStrategy
+    AsofLookup.synchronized {
+      val registered =
+        spark.sessionState.planner.strategies.contains(AsofStrategy) ||
+          spark.experimental.extraStrategies.contains(AsofStrategy)
+      if (!registered) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsofStrategy
+      }
     }
     // materialize the `on` expressions as analyzed columns on each side:
     // the custom node's expressions must be RESOLVED AttributeReferences
