@@ -1025,7 +1025,246 @@ object Analytics extends QueryModule {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Period-over-period growth: monthly revenue with month-over-month
+    * and year-over-year growth ratios. Revenue is an exact decimal sum
+    * (order-independent); the growth divisions run on identical doubles
+    * in both engines. One groupBy(month) shuffle to ~tens of rows, then
+    * a single-partition window over the month series — the post-
+    * aggregation window is bounded by calendar length, never data size.
+    */
+  def momGrowth(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("month")
+    m.select(col("month"), col("n_orders"), col("rev"),
+        ((col("rev") - lag("rev", 1).over(w)) / lag("rev", 1).over(w))
+          .as("mom_growth"),
+        ((col("rev") - lag("rev", 12).over(w)) / lag("rev", 12).over(w))
+          .as("yoy_growth"))
+      .orderBy("month")
+  }
+
+  private val momGrowthOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1)
+    SELECT month, n_orders, rev,
+      (rev - lag(rev, 1) OVER (ORDER BY month)) /
+        lag(rev, 1) OVER (ORDER BY month) AS mom_growth,
+      (rev - lag(rev, 12) OVER (ORDER BY month)) /
+        lag(rev, 12) OVER (ORDER BY month) AS yoy_growth
+    FROM m ORDER BY month"""
+
+  /** Market-basket brand co-occurrence with support and lift. Baskets
+    * collapse to distinct (order, brand) BEFORE the pair phase, the
+    * pair self-join co-partitions on the order key (the natural 100 TB
+    * shuffle), and the pair space is bounded by |brands|² — counts
+    * travel, order rows never do. Dimension joins broadcast.
+    */
+  def basketLift(li: DataFrame, part: DataFrame): DataFrame = {
+    val baskets = li
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val total = baskets.agg(countDistinct("o").as("n_orders"))
+    val freq = baskets.groupBy("b").agg(count(lit(1)).as("n_single"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(freq).select(col("b").as("brand_a"), col("n_single").as("n_a")), "brand_a")
+      .join(broadcast(freq).select(col("b").as("brand_b"), col("n_single").as("n_b")), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_orders").cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  private val basketLiftOracle = """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    total AS (SELECT COUNT(DISTINCT o) AS n_orders FROM baskets),
+    freq AS (SELECT b, COUNT(*) AS n_single FROM baskets GROUP BY b),
+    pairs AS (
+      SELECT x.b AS brand_a, y.b AS brand_b, COUNT(*) AS n_ab
+      FROM baskets x JOIN baskets y ON x.o = y.o AND x.b < y.b
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+      CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+      CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        (CAST(fa.n_single AS DOUBLE) * CAST(fb.n_single AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.b = brand_a
+    JOIN freq fb ON fb.b = brand_b
+    CROSS JOIN total
+    ORDER BY brand_a, brand_b"""
+
+  /** Welch two-sample t-test between every pair of event types (the A/B
+    * experiment readout): t statistic and Welch–Satterthwaite degrees of
+    * freedom from exact scaled-integer power sums. One single-pass
+    * aggregation to |types| rows; the pair phase is a broadcast
+    * self-join over that tiny summary. The scale factor (×100) cancels
+    * in t and df, so no unscaling is needed anywhere.
+    */
+  def welchTtest(events: DataFrame): DataFrame = {
+    val stats = events
+      .select(col("event_type").as("t"),
+        round(col("value") * 100).cast("decimal(18,0)").as("v"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s1"),
+        sum(col("v") * col("v")).cast("decimal(38,0)").as("s2"))
+      .localCheckpoint() // |types| rows: don't rescan events per side
+    val a = stats.select(col("t").as("type_a"), col("n").as("na"),
+      col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = stats.select(col("t").as("type_b"), col("n").as("nb"),
+      col("s1").as("s1b"), col("s2").as("s2b"))
+    // every power sum casts to double BEFORE arithmetic (the q140 rule)
+    val sea = "((cast(na as double) * cast(s2a as double) - cast(s1a as double) * cast(s1a as double)) / (cast(na as double) * cast(na - 1 as double))) / cast(na as double)"
+    val seb = "((cast(nb as double) * cast(s2b as double) - cast(s1b as double) * cast(s1b as double)) / (cast(nb as double) * cast(nb - 1 as double))) / cast(nb as double)"
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        expr(s"(cast(s1a as double) / cast(na as double) - cast(s1b as double) / cast(nb as double)) / sqrt($sea + $seb)").as("t_stat"),
+        expr(s"($sea + $seb) * ($sea + $seb) / (($sea * $sea) / cast(na - 1 as double) + ($seb * $seb) / cast(nb - 1 as double))").as("welch_df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val welchOracle = {
+    val sea = "((CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))) / CAST(na AS DOUBLE)"
+    val seb = "((CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))) / CAST(nb AS DOUBLE)"
+    s"""
+    WITH stats AS (
+      SELECT event_type AS t, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))
+               * CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2
+      FROM events GROUP BY 1),
+    ab AS (
+      SELECT a.t AS type_a, b.t AS type_b, a.n AS na, b.n AS nb,
+        a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+      FROM stats a JOIN stats b ON a.t < b.t)
+    SELECT type_a, type_b, na, nb,
+      (CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt($sea + $seb) AS t_stat,
+      ($sea + $seb) * ($sea + $seb) / (($sea * $sea) / CAST(na - 1 AS DOUBLE) + ($seb * $seb) / CAST(nb - 1 AS DOUBLE)) AS welch_df
+    FROM ab ORDER BY type_a, type_b"""
+  }
+
+  /** Day-of-week seasonality: per (event_type, ISO weekday) exact mean
+    * value and its ratio to the type's overall mean — the baseline table
+    * a seasonal anomaly monitor diffs against. Two single-pass grouped
+    * aggregations (|types|×7 and |types| rows), one broadcast join; the
+    * ratio is a division of identical exact-decimal-derived doubles so
+    * it hash-matches without rounding.
+    */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      (weekday(col("ts")) + lit(1)).cast("long").as("dow"),
+      round(col("value") * 100).cast("decimal(18,0)").as("v"))
+    val byDow = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"))
+    val byType = base.groupBy("event_type")
+      .agg(count(lit(1)).as("tn"), sum(col("v")).as("ts1"))
+    byDow.join(broadcast(byType), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("cast(s1 as double) / cast(n as double) / 100.0").as("dow_avg"),
+        expr("cast(ts1 as double) / cast(tn as double) / 100.0").as("type_avg"),
+        expr("(cast(s1 as double) / cast(n as double)) / (cast(ts1 as double) / cast(tn as double))").as("seasonal_ratio"))
+      .orderBy("event_type", "dow")
+  }
+
+  private val dowOracle = """
+    WITH base AS (
+      SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        CAST(ROUND(value * 100, 0) AS DECIMAL(18,0)) AS v
+      FROM events),
+    by_dow AS (
+      SELECT event_type, dow, COUNT(*) AS n, SUM(v) AS s1
+      FROM base GROUP BY 1, 2),
+    by_type AS (
+      SELECT event_type, COUNT(*) AS tn, SUM(v) AS ts1
+      FROM base GROUP BY 1)
+    SELECT event_type, dow, n,
+      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS dow_avg,
+      CAST(ts1 AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0 AS type_avg,
+      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+        (CAST(ts1 AS DOUBLE) / CAST(tn AS DOUBLE)) AS seasonal_ratio
+    FROM by_dow JOIN by_type USING (event_type)
+    ORDER BY event_type, dow"""
+
+  /** Triangle count over the nation-trade graph: canonical undirected
+    * edges (lo < hi, distinct) from the supplier→customer nation pairs,
+    * then the a<b<c two-hop closure join. The graph is an AGGREGATED
+    * projection (≤ |nations|² edges), so the cubic phase is broadcast
+    * joins over a tiny edge list — the raw corpus contributes one
+    * distinct-edges aggregation and never enters the closure.
+    */
+  def triangleCount(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val edges = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        least(col("s_nationkey"), col("c_nationkey")).as("a"),
+        greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint() // ≤ |nations|² rows; closure reuses it 3×
+    val nodes = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+    val e2 = edges.select(col("a").as("y2"), col("b").as("z"))
+    val e3 = edges.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = e1
+      .join(broadcast(e2), col("y") === col("y2"))
+      .join(broadcast(e3), col("x") === col("x3") && col("z") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+  }
+
+  private val triangleOracle = """
+    WITH edges AS (
+      SELECT DISTINCT LEAST(s_nationkey, c_nationkey) AS a,
+        GREATEST(s_nationkey, c_nationkey) AS b
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey),
+    nodes AS (
+      SELECT COUNT(*) AS n_nodes FROM (
+        SELECT a AS n FROM edges UNION SELECT b FROM edges)),
+    ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q170_mom_growth",
+      (s, d) => momGrowth(orders(s, d)), Some(momGrowthOracle)),
+    Q("q171_basket_lift",
+      (s, d) => basketLift(lineitem(s, d), part(s, d)), Some(basketLiftOracle)),
+    Q("q172_welch_ttest",
+      (s, d) => welchTtest(events(s, d)), Some(welchOracle)),
+    Q("q173_dow_seasonality",
+      (s, d) => dowSeasonality(events(s, d)), Some(dowOracle)),
+    Q("q174_triangle_count",
+      (s, d) => triangleCount(lineitem(s, d), orders(s, d),
+        supplier(s, d), customer(s, d)), Some(triangleOracle)),
     Q("q168_dwell_histogram",
       (s, d) => dwellHistogram(events(s, d)), Some(dwellOracle)),
     Q("q169_multi_pivot",
