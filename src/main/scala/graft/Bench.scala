@@ -28,6 +28,7 @@ object Bench {
       graft.ops.Extended.prepareTextCopies(spark, sfDir)
       graft.ops.Extended.prepareOrcText(spark, sfDir)
       graft.ops.Extended.prepareSchemaEvo(spark, sfDir)
+      graft.ops.Layout.prepareTimeTravel(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,

@@ -1253,7 +1253,111 @@ object Analytics extends QueryModule {
       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
     SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri"""
 
+  /** k-anonymity audit over the (nation, market segment) quasi-
+    * identifier: per-QI-class size, the k=5 violation flag, and whether
+    * generalizing nation→region repairs the class — the privacy gate a
+    * curation pipeline runs before releasing joinable metadata. Two
+    * grouped counts (QI-class and generalized-class cardinality) plus
+    * broadcast dimension joins; class counts travel, rows never do.
+    */
+  def kAnonymity(customer: DataFrame, nation: DataFrame, k: Int = 5): DataFrame = {
+    val withRegion = customer
+      .join(broadcast(nation.select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+    val cls = withRegion
+      .groupBy("c_nationkey", "n_regionkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val gen = withRegion.groupBy("n_regionkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_gen"))
+    cls.join(broadcast(gen), Seq("n_regionkey", "c_mktsegment"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") >= k).cast("long").as("is_anonymous"),
+        col("n_gen"),
+        (col("n") < k && col("n_gen") >= k).cast("long")
+          .as("fixed_by_generalization"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private val kAnonymityOracle = """
+    WITH wr AS (
+      SELECT c_custkey, c_nationkey, n_regionkey, c_mktsegment
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    cls AS (
+      SELECT c_nationkey, n_regionkey, c_mktsegment, COUNT(*) AS n
+      FROM wr GROUP BY 1, 2, 3),
+    gen AS (
+      SELECT n_regionkey, c_mktsegment, COUNT(*) AS n_gen
+      FROM wr GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, n,
+      CAST(n >= 5 AS BIGINT) AS is_anonymous, n_gen,
+      CAST(n < 5 AND n_gen >= 5 AS BIGINT) AS fixed_by_generalization
+    FROM cls JOIN gen USING (n_regionkey, c_mktsegment)
+    ORDER BY c_nationkey, c_mktsegment"""
+
+  /** Per-series OLS trend: slope / intercept / R² of the daily value sum
+    * against the day index, from exact integer power sums (the
+    * regr_slope / regr_intercept / regr_r2 aggregate family, computed
+    * the deterministic way). Two grouped aggregations — corpus → daily
+    * points, points → six sums per series — then closed-form doubles on
+    * identical operands (every sum casts to double BEFORE the products,
+    * the q140 overflow rule).
+    */
+  def olsTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("y"))
+    val sums = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(18,0)").as("sx"),
+      sum(col("x") * col("x")).cast("decimal(18,0)").as("sxx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"),
+      sum(col("x").cast("decimal(18,0)") * col("y")).cast("decimal(38,0)").as("sxy"))
+    def co(c: String) = s"cast($c as double)"
+    val num = s"(${co("n")} * ${co("sxy")} - ${co("sx")} * ${co("sy")})"
+    val denX = s"(${co("n")} * ${co("sxx")} - ${co("sx")} * ${co("sx")})"
+    val denY = s"(${co("n")} * ${co("syy")} - ${co("sy")} * ${co("sy")})"
+    sums.select(col("event_type"), col("n").as("n_days"),
+        expr(s"$num / $denX / 100.0").as("slope"),
+        expr(s"(${co("sy")} / ${co("n")} - $num / $denX * ${co("sx")} / ${co("n")}) / 100.0").as("intercept"),
+        expr(s"$num * $num / ($denX * $denY)").as("r2"))
+      .orderBy("event_type")
+  }
+
+  private val olsOracle = """
+    WITH daily AS (
+      SELECT event_type,
+        CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS y
+      FROM events GROUP BY 1, 2),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(x) AS DECIMAL(18,0)) AS sx,
+        CAST(SUM(x * x) AS DECIMAL(18,0)) AS sxx,
+        CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+        CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM daily GROUP BY 1)
+    SELECT event_type, n AS n_days,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope,
+      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+    FROM sums ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q176_k_anonymity",
+      (s, d) => kAnonymity(customer(s, d), nation(s, d)), Some(kAnonymityOracle)),
+    Q("q179_ols_trend",
+      (s, d) => olsTrend(events(s, d)), Some(olsOracle)),
     Q("q170_mom_growth",
       (s, d) => momGrowth(orders(s, d)), Some(momGrowthOracle)),
     Q("q171_basket_lift",

@@ -1097,7 +1097,130 @@ object Extended extends QueryModule {
       .orderBy("era")
   }
 
+  /** Missing-value repair over a daily series: LOCF (last observation
+    * carried forward) and linear interpolation between anchor
+    * observations. Anchors are the per-(type, day) exact-decimal sums
+    * with ~⅓ of days deterministically dropped (portable md5 coin — the
+    * same days vanish in both engines), so the fill logic is exercised
+    * on real gaps at every SF. All window work partitions by type (the
+    * series key): no global shuffle, frames are IGNORE NULLS running
+    * first/last — the shape that distributes over millions of series.
+    */
+  def locfInterpolate(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("s1"))
+      .withColumn("anchor",
+        ascii(substring(md5(concat(col("event_type"), col("day").cast("string"))), 1, 1)) % 3 =!= 0)
+      .localCheckpoint() // bounds + spine join read this one aggregate
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      .crossJoin(daily.select("event_type").distinct())
+    val anchors = daily.filter(col("anchor"))
+      .select(col("event_type"), col("day"),
+        (col("s1").cast("double") / 100.0).as("v"))
+    val wBack = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(anchors, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        col("v").isNotNull.cast("long").as("is_anchor"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wBack).as("prev_v"),
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wBack).as("prev_d"),
+        first(col("v"), ignoreNulls = true).over(wFwd).as("next_v"),
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wFwd).as("next_d"))
+      .select(col("event_type"), col("day"), col("is_anchor"),
+        col("v").as("anchor_val"),
+        col("prev_v").as("locf_val"),
+        when(col("prev_d").isNotNull && col("next_d").isNotNull,
+          when(col("prev_d") === col("next_d"), col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              datediff(col("day"), col("prev_d")).cast("double") /
+              datediff(col("next_d"), col("prev_d")).cast("double")))
+          .otherwise(coalesce(col("prev_v"), col("next_v"))).as("interp_val"))
+      .orderBy("event_type", "day")
+  }
+
+  private val locfOracle = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS s1,
+        ascii(substr(md5(event_type || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 1)) % 3 <> 0 AS anchor
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    grid AS (
+      SELECT t.event_type, spine.day
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM daily) t),
+    anchors AS (
+      SELECT event_type, day, CAST(s1 AS DOUBLE) / 100.0 AS v
+      FROM daily WHERE anchor),
+    framed AS (
+      SELECT g.event_type, g.day, a.v,
+        last_value(a.v IGNORE NULLS) OVER wb AS prev_v,
+        last_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wb AS prev_d,
+        first_value(a.v IGNORE NULLS) OVER wf AS next_v,
+        first_value(CASE WHEN a.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wf AS next_d
+      FROM grid g LEFT OUTER JOIN anchors a
+        ON g.event_type = a.event_type AND g.day = a.day
+      WINDOW
+        wb AS (PARTITION BY g.event_type ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY g.event_type ORDER BY g.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, day,
+      CAST(v IS NOT NULL AS BIGINT) AS is_anchor,
+      v AS anchor_val,
+      prev_v AS locf_val,
+      CASE WHEN prev_d IS NOT NULL AND next_d IS NOT NULL THEN
+        CASE WHEN prev_d = next_d THEN prev_v
+          ELSE prev_v + (next_v - prev_v) *
+            CAST(date_diff('day', prev_d, day) AS DOUBLE) /
+            CAST(date_diff('day', prev_d, next_d) AS DOUBLE) END
+        ELSE COALESCE(prev_v, next_v) END AS interp_val
+    FROM framed ORDER BY event_type, day"""
+
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiset counterparts of q12's distinct set ops. Multiplicity-aware
+    * semantics matter for reconciliation (N copies on one side vs M on
+    * the other). Spark plans these as grouped-count joins on the
+    * element key — one shuffle each, no global sort.
+    */
+  def bagSetOps(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    val b = orders.filter(col("o_totalprice") > lit(250000.0))
+      .select(col("o_custkey").as("k"))
+    def n(df: DataFrame, op: String) =
+      df.agg(count(lit(1)).as("n")).withColumn("op", lit(op))
+    n(a.intersectAll(b), "intersect_all")
+      .union(n(a.exceptAll(b), "except_all_open_minus_big"))
+      .union(n(b.exceptAll(a), "except_all_big_minus_open"))
+      .select("op", "n").orderBy("op")
+  }
+
+  private val bagSetOpsOracle = """
+    WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000.0)
+    SELECT 'except_all_big_minus_open' AS op, COUNT(*) AS n
+      FROM (SELECT k FROM b EXCEPT ALL SELECT k FROM a)
+    UNION ALL
+    SELECT 'except_all_open_minus_big' AS op, COUNT(*) AS n
+      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, COUNT(*) AS n
+      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    ORDER BY op"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q175_locf_interpolate",
+      (s, d) => locfInterpolate(events(s, d)), Some(locfOracle)),
+    Q("q180_bag_set_ops",
+      (s, d) => bagSetOps(orders(s, d)), Some(bagSetOpsOracle)),
     Q("q162_asof_native",
       (s, d) => asofNative(s, orders(s, d)), Some(asofJoinOracle)),
     Q("q149_orc_text_source",

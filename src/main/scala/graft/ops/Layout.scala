@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
 import graft.Tables._
+import graft.Num._
 
 /** Data-layout operators (the 100 TB posture, SURVEY.md §2.9): multi-
   * dimensional clustering via a Z-order (Morton) sort key, and small-file
@@ -227,7 +228,72 @@ object Layout extends QueryModule {
     SELECT bucket, status, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
     FROM joined WHERE status <> 'match' ORDER BY bucket"""
 
+  /** Snapshot time travel over a version manifest — the lakehouse read
+    * path (Delta/Iceberg-style) rebuilt from first principles: each
+    * commit adds/removes whole files, a snapshot AS OF v is exactly the
+    * files with added ≤ v < removed, and the reader plans a multi-path
+    * parquet scan over just those files. The fixture commits three
+    * versions of the orders table (v1: open orders; v2: + filled and
+    * pending; v3: filled retired); the query reads every version's
+    * snapshot and audits row count + exact revenue — time travel never
+    * rewrites data, only the manifest.
+    *
+    * Scale: the manifest is metadata (one row per file, ~10^5-10^6 rows
+    * at 100 TB) — snapshot planning is a manifest filter, and the data
+    * scan reads only live files (dead files cost nothing).
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = timeTravelDir(spark, sfDir)
+    // manifest: (path, added_v, removed_v); removed_v = MaxValue = live
+    val manifest = Seq(
+      (s"$dir/f_open", 1, Int.MaxValue),
+      (s"$dir/f_filled", 2, 3),
+      (s"$dir/f_pending", 2, Int.MaxValue))
+    val snapshots = (1 to 3).map { v =>
+      val live = manifest.collect {
+        case (p, a, r) if a <= v && v < r => p
+      }
+      spark.read.parquet(live: _*)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("revenue"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("revenue"))
+    }
+    snapshots.reduce(_.union(_)).orderBy("version")
+  }
+
+  private val timeTravelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def timeTravelDir(spark: SparkSession, sfDir: String): String =
+    timeTravelDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_time_travel")
+      val o = orders(spark, sfDir)
+      o.filter(col("o_orderstatus") === "O").write.mode("overwrite").parquet(s"$dir/f_open")
+      o.filter(col("o_orderstatus") === "F").write.mode("overwrite").parquet(s"$dir/f_filled")
+      o.filter(col("o_orderstatus") === "P").write.mode("overwrite").parquet(s"$dir/f_pending")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir.toString
+    })
+
+  /** Bench warmup hook (corpus preparation, not q177 operator cost). */
+  def prepareTimeTravel(spark: SparkSession, sfDir: String): Unit = {
+    timeTravelDir(spark, sfDir); ()
+  }
+
+  // the oracle replays the commit semantics directly against the source
+  // table: v1 = O, v2 = O+F+P, v3 = O+P (f_filled retired at v3)
+  private val timeTravelOracle = """
+    WITH snap AS (
+      SELECT 1 AS version, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 2, o_totalprice FROM orders
+      UNION ALL
+      SELECT 3, o_totalprice FROM orders WHERE o_orderstatus IN ('O', 'P'))
+    SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM snap GROUP BY version ORDER BY version"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q177_time_travel",
+      (s, d) => timeTravel(s, d), Some(timeTravelOracle)),
     Q("q142_table_diff",
       (s, d) => tableDiff(lineitem(s, d)), Some(tableDiffOracle)),
     Q("q129_zorder_layout",

@@ -307,7 +307,52 @@ object Scale extends QueryModule {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Count-min sketch screening → exact recount: the one-pass mergeable
+    * frequency sketch (completes the sketch family: bloom q85, HLL
+    * q93/q164, GK quantiles q113, Misra-Gries q138). A fixed probe set
+    * of keys (partkeys < 200 — known hot SKUs, the monitoring shape) is
+    * screened against a CMS built over the whole fact stream; only keys
+    * the sketch says MIGHT be heavy are recounted exactly. CMS never
+    * underestimates, so the screen provably loses no truly-heavy probe
+    * key and the exact recount makes the output identical to the plain
+    * GROUP BY + HAVING (⇒ plain-SQL oracle). At 100 TB the sketch is a
+    * few KB per partition merged once — the recount join touches only
+    * the screened keys.
+    */
+  def cmsHeavyParts(spark: SparkSession, lineitem: DataFrame,
+      minShare: Double = 0.0001): DataFrame = {
+    import org.apache.spark.sql.functions.{count_min_sketch, lit => flit}
+    val agg = lineitem.agg(
+        count(flit(1)).as("total"),
+        count_min_sketch(col("l_partkey"), flit(0.0001), flit(0.99), flit(42))
+          .as("cms"))
+      .head()
+    val total = agg.getAs[Long]("total")
+    val threshold = math.max(1L, math.ceil(total * minShare).toLong)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+    // fixed probe set: bounded, driver-safe (200 keys, not the key space)
+    val candidates = (0L until 200L).filter(cms.estimateCount(_) >= threshold)
+    lineitem
+      .filter(col("l_partkey") < 200 && col("l_partkey").isin(candidates: _*))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= threshold)
+      .orderBy("l_partkey")
+  }
+
+  // threshold = ceil(total * 0.0001) replayed exactly in SQL
+  private val cmsHeavyOracle = """
+    WITH t AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) * 0.0001) AS BIGINT)) AS thr
+      FROM lineitem)
+    SELECT l_partkey, COUNT(*) AS n_items
+    FROM lineitem, t WHERE l_partkey < 200
+    GROUP BY l_partkey, thr HAVING COUNT(*) >= thr
+    ORDER BY l_partkey"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q181_cms_heavy",
+      (s, d) => cmsHeavyParts(s, lineitem(s, d)), Some(cmsHeavyOracle)),
     Q("q144_ivm_merge",
       (s, d) => ivmMerge(orders(s, d)), Some(ivmOracle)),
     Q("q143_kfold_splits",

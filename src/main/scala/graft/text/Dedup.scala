@@ -647,7 +647,56 @@ object Dedup extends QueryModule {
         / COUNT(ea), 6) AS recall
     FROM j"""
 
+  /** Prefix-filtered set-similarity join (PPJoin-lite): the scale path
+    * for exact Jaccard near-dup that the shared-shingle join (q27)
+    * cannot sustain — a shingle shared by d documents costs O(d²)
+    * candidate rows there, and boilerplate shingles make d huge at
+    * 100 TB. Prefix filtering instead joins documents ONLY on their
+    * rarest π = |s| − ⌈τ·|s|⌉ + 1 shingles under a global
+    * (document-frequency, id) order: J(x,y) ≥ τ ⟹ |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉
+    * ⟹ the π-prefixes intersect, so the candidate set provably loses no
+    * qualifying pair while high-frequency shingles never generate join
+    * fan-out. Candidates then verify with an exact intersection count.
+    * Output ≡ q27 at the same threshold (same oracle — plan, not
+    * semantics, is the difference, like q162 vs q110).
+    */
+  def ppjoinPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val sh = docs
+      .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+      .filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
+      .localCheckpoint() // df-rank, prefix join and verify all read this
+    val freq = sh.groupBy("shid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "shid")
+    val prefix = sh.join(freq, "shid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shid"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cands
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.shid") === col("y.shid"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"),
+        min(col("x.n_sh")).as("n_a"), min(col("y.n_sh")).as("n_b"))
+    common
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q178_ppjoin_pairs",
+      (s, d) => ppjoinPairs(documents(s, d)), Some(jaccardOracle)),
     Q("q126_canonical_docs",
       (s, d) => canonicalDocs(documents(s, d)), Some(canonicalOracle)),
     Q("q127_lsh_quality",

@@ -61,6 +61,93 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("locfInterpolate: anchors self-fill, spine is complete, interpolation is bounded") {
+    val rows = Extended.locfInterpolate(Tables.events(spark, sf("sf0.001"))).collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    val days = rows.map(_.getDate(1)).distinct.length
+    assert(rows.length == types * days, "spine must cover every (type, day)")
+    assert(rows.exists(_.getAs[Long]("is_anchor") == 0L), "fixture must have gaps")
+    rows.filter(_.getAs[Long]("is_anchor") == 1L).foreach { r =>
+      val a = r.getAs[Double]("anchor_val")
+      assert(r.getAs[Double]("locf_val") == a && r.getAs[Double]("interp_val") == a)
+    }
+    // interpolated values on gap days lie within the anchor envelope
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { g =>
+      val anchors = g.filter(_.getAs[Long]("is_anchor") == 1L).map(_.getAs[Double]("anchor_val"))
+      val (lo, hi) = (anchors.min, anchors.max)
+      g.filter(r => !r.isNullAt(r.fieldIndex("interp_val"))).foreach { r =>
+        val v = r.getAs[Double]("interp_val")
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9)
+      }
+    }
+  }
+
+  test("kAnonymity: class masses cover every customer and flags are consistent") {
+    val customer = Tables.customer(spark, sf("sf0.001"))
+    val rows = Analytics.kAnonymity(customer, Tables.nation(spark, sf("sf0.001"))).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == customer.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gen") >= r.getAs[Long]("n"))
+      if (r.getAs[Long]("fixed_by_generalization") == 1L)
+        assert(r.getAs[Long]("is_anonymous") == 0L)
+    }
+  }
+
+  test("timeTravel snapshots reconstruct the commit history") {
+    val d = sf("sf0.001")
+    val r = Layout.timeTravel(spark, d).collect()
+      .map(x => x.getAs[Long]("version") -> x.getAs[Long]("n_rows")).toMap
+    val o = Tables.orders(spark, d)
+    assert(r(1L) == o.filter(col("o_orderstatus") === "O").count())
+    assert(r(2L) == o.count())
+    assert(r(3L) == o.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("ppjoinPairs equals the shared-shingle jaccard twin (prefix filter is lossless)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pp = graft.text.Dedup.ppjoinPairs(docs).collect().map(_.toString).sorted
+    val ex = graft.text.Dedup.jaccardPairs(docs).collect().map(_.toString).sorted
+    assert(pp.nonEmpty && (pp sameElements ex))
+  }
+
+  test("olsTrend recovers a planted linear series exactly (r2 = 1)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // one event per day: value = 2.5 + 0.25*x => daily sum is linear in x
+    val events = (0 until 20).map { x =>
+      ("lin", new java.sql.Timestamp(base.getTime + x * 86400000L), 2.5 + 0.25 * x)
+    }.toDF("event_type", "ts", "value")
+    val r = Analytics.olsTrend(events).collect()(0)
+    assert(math.abs(r.getAs[Double]("slope") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("bagSetOps honors multiset multiplicities") {
+    // A = {1,1,2}, B = {1,2,2,3}: A∩B all = {1,2} (2), A∖B all = {1} (1), B∖A all = {2,3} (2)
+    val orders = Seq(
+      (1L, "O", 0.0), (1L, "O", 0.0), (2L, "O", 0.0),
+      (1L, "F", 999999.0), (2L, "F", 999999.0), (2L, "F", 999999.0), (3L, "F", 999999.0))
+      .toDF("o_custkey", "o_orderstatus", "o_totalprice")
+    val r = Extended.bagSetOps(orders).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("n")).toMap
+    assert(r("intersect_all") == 2L)
+    assert(r("except_all_open_minus_big") == 1L)
+    assert(r("except_all_big_minus_open") == 2L)
+  }
+
+  test("cmsHeavyParts equals the plain GROUP BY + HAVING twin (screen is lossless)") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val got = Scale.cmsHeavyParts(spark, li).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("n_items")).toMap
+    val total = li.count()
+    val thr = math.max(1L, math.ceil(total * 0.0001).toLong)
+    val want = li.filter(col("l_partkey") < 200).groupBy("l_partkey").count()
+      .filter(col("count") >= thr).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("count")).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
