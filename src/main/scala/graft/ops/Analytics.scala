@@ -1065,17 +1065,26 @@ object Analytics extends QueryModule {
     * travel, order rows never do. Dimension joins broadcast.
     */
   def basketLift(li: DataFrame, part: DataFrame): DataFrame = {
-    val baskets = li
+    // ONE corpus shuffle (groupBy order); pairs expand in-task from the
+    // sorted per-order brand set (quadratic only in basket width, the
+    // standard market-basket bound) — no corpus self-join, no second
+    // distinct. The basket list is |orders| rows and feeds total/freq/
+    // pairs from one materialization.
+    val sets = li
       .join(broadcast(part.select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-    val total = baskets.agg(countDistinct("o").as("n_orders"))
-    val freq = baskets.groupBy("b").agg(count(lit(1)).as("n_single"))
-    val pairs = baskets.as("x")
-      .join(baskets.as("y"),
-        col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-      .groupBy(col("x.b").as("brand_a"), col("y.b").as("brand_b"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+      .select("bs")
+      .localCheckpoint()
+    val total = sets.agg(count(lit(1)).as("n_orders"))
+    val freq = sets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n_single"))
+    val pairs = sets
+      .select(posexplode(col("bs")).as(Seq("i", "brand_a")), col("bs"))
+      .select(col("brand_a"),
+        explode(expr("slice(bs, i + 2, size(bs))")).as("brand_b"))
+      .groupBy("brand_a", "brand_b")
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .join(broadcast(freq).select(col("b").as("brand_a"), col("n_single").as("n_a")), "brand_a")
