@@ -29,6 +29,7 @@ object Bench {
       graft.ops.Extended.prepareOrcText(spark, sfDir)
       graft.ops.Extended.prepareSchemaEvo(spark, sfDir)
       graft.ops.Layout.prepareTimeTravel(spark, sfDir)
+      graft.ops.Extended.prepareXml(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,
@@ -76,7 +77,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + qid(n) + "\"" }
     val failedJson = if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // sf prints as the basename: the directory prefix is 15 B of the
+    // 2 kB tail the 181+-entry map needs back
+    val sfId = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfId"}""")
     spark.stop()
   }
 }

@@ -1362,7 +1362,67 @@ object Analytics extends QueryModule {
          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
     FROM sums ORDER BY event_type"""
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) test between two event types —
+    * the nonparametric A/B readout (no normality assumption, unlike
+    * q172's t-test). Everything up to the final z is EXACT integer
+    * arithmetic: ranks come from per-distinct-value counts (tie groups
+    * take the average rank, tracked DOUBLED so it stays integral), so
+    * the statistic is identical across engines and partitionings by
+    * construction. Scale shape: one grouped count per distinct value,
+    * a window over the distinct-value summary (bounded by value
+    * cardinality, not corpus size), one final reduce — the corpus is
+    * scanned once and never sorted row-wise.
+    */
+  def mannWhitney(events: DataFrame, ta: String = "click",
+      tb: String = "error"): DataFrame = {
+    val pool = events.filter(col("event_type").isin(ta, tb))
+      .select(round(col("value") * 100).cast("long").as("v"),
+        (col("event_type") === ta).cast("long").as("is_a"))
+    val byV = pool.groupBy("v")
+      .agg(count(lit(1)).as("cnt"), sum("is_a").as("cnt_a"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      // doubled average rank of a tie group starting after `cum` items
+      .withColumn("avg2", lit(2L) * col("cum") + col("cnt") + lit(1L))
+    val s = ranked.agg(
+      sum(col("cnt_a")).as("n_a"),
+      sum(col("cnt") - col("cnt_a")).as("n_b"),
+      sum(col("cnt_a").cast("decimal(38,0)") * col("avg2")).as("r2_a"))
+    s.select(col("n_a"), col("n_b"),
+        expr("cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0").as("u_a"),
+        expr("cast(n_a as double) * cast(n_b as double) - cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0").as("u_b"),
+        expr("(cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0 - cast(n_a as double) * cast(n_b as double) / 2.0) / sqrt(cast(n_a as double) * cast(n_b as double) * (cast(n_a as double) + cast(n_b as double) + 1.0) / 12.0)").as("z"))
+  }
+
+  private val mannWhitneyOracle = """
+    WITH pool AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+        CAST(event_type = 'click' AS BIGINT) AS is_a
+      FROM events WHERE event_type IN ('click', 'error')),
+    by_v AS (
+      SELECT v, COUNT(*) AS cnt, CAST(SUM(is_a) AS BIGINT) AS cnt_a
+      FROM pool GROUP BY v),
+    ranked AS (
+      SELECT cnt, cnt_a,
+        2 * CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          + cnt + 1 AS avg2
+      FROM by_v),
+    s AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+        CAST(SUM(CAST(cnt_a AS DECIMAL(38,0)) * avg2) AS DECIMAL(38,0)) AS r2_a
+      FROM ranked)
+    SELECT n_a, n_b,
+      CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
+      (CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0) AS z
+    FROM s"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q184_mann_whitney",
+      (s, d) => mannWhitney(events(s, d)), Some(mannWhitneyOracle)),
     Q("q176_k_anonymity",
       (s, d) => kAnonymity(customer(s, d), nation(s, d)), Some(kAnonymityOracle)),
     Q("q179_ols_trend",

@@ -1216,7 +1216,46 @@ object Extended extends QueryModule {
       FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
     ORDER BY op"""
 
+  /** XML source round-trip (completes the format family: parquet, csv,
+    * jsonl, orc, text, binary, xml — Spark 4's built-in XML reader).
+    * Explicit schema: no inference scan, the reader plans exactly the
+    * projected fields. The fixture derives from documents, so the
+    * oracle recomputes from the source table (DuckDB reads no XML).
+    */
+  def xmlSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = xmlFixtureDir(spark, sfDir)
+    val schema = "doc_id LONG, lang STRING, source STRING, n_chars LONG"
+    spark.read.format("xml").option("rowTag", "doc").schema(schema).load(dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val xmlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def xmlFixtureDir(spark: SparkSession, sfDir: String): String =
+    xmlDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_xml").toString
+      documents(spark, sfDir).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "doc").option("rootTag", "docs").save(dir)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      dir
+    })
+
+  /** Bench warmup hook (corpus preparation, not q183 operator cost). */
+  def prepareXml(spark: SparkSession, sfDir: String): Unit = {
+    xmlFixtureDir(spark, sfDir); ()
+  }
+
+  private val xmlOracle = """
+    SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q183_xml_source",
+      (s, d) => xmlSource(s, d), Some(xmlOracle)),
     Q("q175_locf_interpolate",
       (s, d) => locfInterpolate(events(s, d)), Some(locfOracle)),
     Q("q180_bag_set_ops",

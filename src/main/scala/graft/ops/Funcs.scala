@@ -429,7 +429,51 @@ object Funcs extends QueryModule {
       MAX(event_id) AS max_event_id
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Pythagorean mean suite per event type: arithmetic (exact decimal
+    * sum), geometric (exp of the mean log) and harmonic (n over the
+    * reciprocal sum) means. Transcendental addends have no exact-decimal
+    * path, so the log/reciprocal sums are PINNED-ORDER folds over the
+    * per-type value sequence (event_id order — the q133 rule: both
+    * engines fold `0.0 + x₁ + x₂ + …` in the same order, and identical
+    * fold sequences give identical doubles). The oracle-reproducible
+    * form; the production path is a plain double sum whose ±ULP noise a
+    * monitoring use case tolerates. AM ≥ GM ≥ HM by construction.
+    */
+  def meanSuite(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("v100"))
+    base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v100")).cast("double") / count(lit(1)) / 100.0).as("arith_mean"),
+        expr("""exp(aggregate(array_sort(collect_list(named_struct(
+              'i', event_id, 'v', ln(v100 / cast(100.0 as double))))),
+              0d, (s, x) -> s + x.v) / count(1))""").as("geo_mean"),
+        expr("""cast(count(1) as double) / aggregate(array_sort(collect_list(named_struct(
+              'i', event_id, 'v', cast(100.0 as double) / v100))),
+              0d, (s, x) -> s + x.v)""").as("harm_mean"))
+      .select(col("event_type"), col("n"),
+        col("arith_mean"),
+        round(col("geo_mean"), 6).as("geo_mean"),
+        round(col("harm_mean"), 6).as("harm_mean"))
+      .orderBy("event_type")
+  }
+
+  private val meanSuiteOracle = """
+    WITH base AS (
+      SELECT event_type, event_id,
+        CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(v100) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS arith_mean,
+      ROUND(exp(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(ln(v100 / CAST(100.0 AS DOUBLE)) ORDER BY event_id)), (s, x) -> s + x) / COUNT(*)), 6) AS geo_mean,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(CAST(100.0 AS DOUBLE) / v100 ORDER BY event_id)), (s, x) -> s + x), 6) AS harm_mean
+    FROM base GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q185_mean_suite",
+      (s, d) => meanSuite(events(s, d)), Some(meanSuiteOracle)),
     Q("q121_corrupt_json_audit",
       (s, d) => corruptJsonAudit(events(s, d)), Some(corruptJsonOracle)),
     Q("q123_argmax_suite",

@@ -461,7 +461,98 @@ object Similarity extends QueryModule {
         - quantile_cont(CAST(v AS DOUBLE), 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS iqr
     FROM ex GROUP BY dim ORDER BY dim"""
 
+  /** Deterministic Lloyd k-means (2 iterations, k=4) over the embedding
+    * corpus — the clustering primitive behind IVF index build and
+    * diversity-aware curation, spelled so every step is exact or
+    * pinned: seeds are vec_id 1..k (no RNG), assignment minimizes
+    * |c|² − 2·x·c (the |x|² term is argmin-invariant, so it is never
+    * computed) with centroid-id tiebreak, and centroid updates are
+    * exact decimal per-dim sums via the `vec_sum_dec` partial-merge
+    * aggregate (order-independent — identical across partitionings and
+    * engines). Scale shape: centroids broadcast (k rows), assignment is
+    * a narrow map over the corpus, the update shuffles k×width decimal
+    * buffers — two corpus passes total, the textbook distributed Lloyd
+    * step. Output pins the full final membership (exact vec_id sums per
+    * cluster), not just sizes.
+    */
+  def kmeansLite(emb: DataFrame, k: Int = 4): DataFrame = {
+    import graft.functions.VectorSumAgg.vec_sum_dec
+    import org.apache.spark.sql.expressions.Window
+    val x = emb.select(col("vec_id"), expr("cast(embedding as array<double>)").as("x"))
+      .localCheckpoint() // both assignment passes scan it
+    def withNorm(cents: DataFrame): DataFrame = cents.withColumn("cn2",
+      expr("aggregate(zip_with(c, c, (a, b) -> a * b), 0d, (s, v) -> s + v)"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = x.crossJoin(broadcast(withNorm(cents)))
+        .withColumn("d", col("cn2") - lit(2.0) *
+          expr("aggregate(zip_with(x, c, (a, b) -> a * b), 0d, (s, v) -> s + v)"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("x"), col("cid"))
+    }
+    val seeds = x.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").cast("long").as("cid"), col("x").as("c"))
+    val cents1 = assign(seeds).groupBy("cid")
+      .agg(vec_sum_dec(expr("transform(x, v -> cast(v as decimal(18,8)))")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), expr("transform(s, v -> cast(v as double) / n)").as("c"))
+    assign(cents1).groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("member_sum"))
+      .join(cents1.select(col("cid"),
+        round(element_at(col("c"), 1), 6).as("c_dim1")), "cid")
+      .select(col("cid"), col("n_members"), col("member_sum"), col("c_dim1"))
+      .orderBy("cid")
+  }
+
+  // dot products as explicit left folds (list_reduce with a prepended
+  // zero) so the summation order matches Spark's sequential aggregate()
+  private def foldDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s, v) -> s + v)"""
+
+  private val kmeansOracle = s"""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    seeds AS (
+      SELECT CAST(vec_id AS BIGINT) AS cid, x AS c,
+        ${foldDot("x", "x")} AS cn2
+      FROM x WHERE vec_id BETWEEN 1 AND 4),
+    s1 AS (
+      SELECT x.vec_id, x.x, s.cid, s.cn2 - 2.0 * ${foldDot("x.x", "s.c")} AS d
+      FROM x, seeds s),
+    a1 AS (
+      SELECT vec_id, x, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM s1) WHERE rn = 1),
+    dims AS (
+      SELECT cid,
+        unnest(range(1, len(x) + 1)) AS dim,
+        unnest(list_transform(x, v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(18,8)))) AS v
+      FROM a1),
+    c1 AS (
+      SELECT cid, list(CAST(sv AS DOUBLE) / n ORDER BY dim) AS c
+      FROM (SELECT cid, dim, SUM(v) AS sv, COUNT(*) AS n
+            FROM dims GROUP BY cid, dim)
+      GROUP BY cid),
+    c1n AS (SELECT cid, c, ${foldDot("c", "c")} AS cn2 FROM c1),
+    s2 AS (
+      SELECT x.vec_id, x.vec_id AS vid, c.cid, c.cn2 - 2.0 * ${foldDot("x.x", "c.c")} AS d
+      FROM x, c1n c),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM s2) WHERE rn = 1)
+    SELECT a2.cid, COUNT(*) AS n_members,
+      CAST(SUM(a2.vec_id) AS BIGINT) AS member_sum,
+      ROUND(c1.c[1], 6) AS c_dim1
+    FROM a2 JOIN c1 ON a2.cid = c1.cid
+    GROUP BY a2.cid, c1.c ORDER BY a2.cid"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q182_kmeans_lite",
+      (s, d) => kmeansLite(embeddings(s, d)), Some(kmeansOracle)),
     Q("q136_robust_scale",
       (s, d) => robustScale(embeddings(s, d)), Some(robustScaleOracle)),
     Q("q128_random_projection",

@@ -148,6 +148,56 @@ class StatsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("kmeansLite partitions the corpus exactly (membership masses)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val rows = graft.text.Similarity.kmeansLite(emb).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == emb.count())
+    val wantSum = emb.agg(sum("vec_id")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("member_sum")).sum == wantSum)
+    assert(rows.map(_.getAs[Long]("cid")).forall(c => c >= 1 && c <= 4))
+  }
+
+  test("xmlSource round-trip equals the direct documents aggregate") {
+    val d = sf("sf0.001")
+    val got = Extended.xmlSource(spark, d).collect().map(_.toString).sorted
+    val want = Tables.documents(spark, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source").collect().map(_.toString).sorted
+    assert(got.nonEmpty && (got sameElements want))
+  }
+
+  test("mannWhitney: U laws hold and a fully-shifted sample gives U_a = 0") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // every 'click' value below every 'error' value => A ranks lowest
+    val events = ((1 to 15).map(i => ("click", base, i.toDouble)) ++
+        (1 to 10).map(i => ("error", base, 100.0 + i)))
+      .zipWithIndex.map { case ((t, ts, v), i) => (i.toLong, t, ts, v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val r = Analytics.mannWhitney(events).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na == 15L && nb == 10L)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(r.getAs[Double]("u_a") + r.getAs[Double]("u_b") == na.toDouble * nb)
+    assert(r.getAs[Double]("z") < -4.0)
+  }
+
+  test("meanSuite obeys AM >= GM >= HM; constant series collapses all three") {
+    val rows = Funcs.meanSuite(Tables.events(spark, sf("sf0.001"))).collect()
+    rows.foreach { r =>
+      val (am, gm, hm) = (r.getAs[Double]("arith_mean"),
+        r.getAs[Double]("geo_mean"), r.getAs[Double]("harm_mean"))
+      assert(am >= gm - 1e-9 && gm >= hm - 1e-9, s"AM/GM/HM violated: $am $gm $hm")
+    }
+    val const = (1 to 10).map(i =>
+      (i.toLong, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val c = Funcs.meanSuite(const).collect()(0)
+    assert(c.getAs[Double]("arith_mean") == 7.0)
+    assert(math.abs(c.getAs[Double]("geo_mean") - 7.0) < 1e-6)
+    assert(math.abs(c.getAs[Double]("harm_mean") - 7.0) < 1e-6)
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
