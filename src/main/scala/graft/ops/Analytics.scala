@@ -258,16 +258,20 @@ object Analytics extends QueryModule {
     // with ANSI off. Both engines cast identical exact decimals to
     // identical doubles, and IEEE */- on identical doubles is identical,
     // so the hash-match is preserved at every scale.
+    // final statistics round to 6: past ~2^53 the decimal→double cast of
+    // a power sum is correctly-rounded in BOTH engines but the two
+    // implementations can disagree by 1 ulp, and corr/cov magnitudes
+    // (≤1 / data-unit-sized) are fully masked by a 1e-6 grid
     def co(c: String) = s"cast($c as double)"
     def pair(name: String, sxy: String, sx: String, sy: String,
         sxx: String, syy: String, unscale: Double) =
       sums.select(
         lit(name).as("pair"), col("n"),
-        (expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
+        round(expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
           sqrt(expr(s"${co("n")} * ${co(sxx)} - ${co(sx)} * ${co(sx)}") *
-            expr(s"${co("n")} * ${co(syy)} - ${co(sy)} * ${co(sy)}"))).as("corr"),
-        (expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
-          expr(s"${co("n")} * ${co("n - 1")}") / lit(unscale)).as("cov"))
+            expr(s"${co("n")} * ${co(syy)} - ${co(sy)} * ${co(sy)}")), 6).as("corr"),
+        round(expr(s"${co("n")} * ${co(sxy)} - ${co(sx)} * ${co(sy)}") /
+          expr(s"${co("n")} * ${co("n - 1")}") / lit(unscale), 6).as("cov"))
     pair("price_discount", "spd", "sp", "sd", "spp", "sdd", 10000.0)
       .union(pair("quantity_discount", "sqd", "sq", "sd", "sqq", "sdd", 100.0))
       .union(pair("quantity_price", "sqp", "sq", "sp", "sqq", "spp", 100.0))
@@ -293,27 +297,27 @@ object Analytics extends QueryModule {
           * CAST(ROUND(l_discount * 100.0, 0) AS DECIMAL(18,0))) AS spd
       FROM lineitem)
     SELECT 'price_discount' AS pair, n,
-      (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+      ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
         sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
-           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) AS corr,
-      (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
-        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS cov
+           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr,
+      ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0, 6) AS cov
     FROM s
     UNION ALL
     SELECT 'quantity_discount', n,
-      (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+      ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
         sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))),
-      (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
-        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0
+           * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6),
+      ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0, 6)
     FROM s
     UNION ALL
     SELECT 'quantity_price', n,
-      (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+      ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
         sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-           * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))),
-      (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
-        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0
+           * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6),
+      ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 100.0, 6)
     FROM s"""
 
   /** Rolling 7-day distinct users per active day: dedup to user-days,
@@ -1143,8 +1147,8 @@ object Analytics extends QueryModule {
     val seb = "((cast(nb as double) * cast(s2b as double) - cast(s1b as double) * cast(s1b as double)) / (cast(nb as double) * cast(nb - 1 as double))) / cast(nb as double)"
     a.join(broadcast(b), col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"), col("na"), col("nb"),
-        expr(s"(cast(s1a as double) / cast(na as double) - cast(s1b as double) / cast(nb as double)) / sqrt($sea + $seb)").as("t_stat"),
-        expr(s"($sea + $seb) * ($sea + $seb) / (($sea * $sea) / cast(na - 1 as double) + ($seb * $seb) / cast(nb - 1 as double))").as("welch_df"))
+        round(expr(s"(cast(s1a as double) / cast(na as double) - cast(s1b as double) / cast(nb as double)) / sqrt($sea + $seb)"), 6).as("t_stat"),
+        round(expr(s"($sea + $seb) * ($sea + $seb) / (($sea * $sea) / cast(na - 1 as double) + ($seb * $seb) / cast(nb - 1 as double))"), 6).as("welch_df"))
       .orderBy("type_a", "type_b")
   }
 
@@ -1163,8 +1167,8 @@ object Analytics extends QueryModule {
         a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
       FROM stats a JOIN stats b ON a.t < b.t)
     SELECT type_a, type_b, na, nb,
-      (CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt($sea + $seb) AS t_stat,
-      ($sea + $seb) * ($sea + $seb) / (($sea * $sea) / CAST(na - 1 AS DOUBLE) + ($seb * $seb) / CAST(nb - 1 AS DOUBLE)) AS welch_df
+      ROUND((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt($sea + $seb), 6) AS t_stat,
+      ROUND(($sea + $seb) * ($sea + $seb) / (($sea * $sea) / CAST(na - 1 AS DOUBLE) + ($seb * $seb) / CAST(nb - 1 AS DOUBLE)), 6) AS welch_df
     FROM ab ORDER BY type_a, type_b"""
   }
 
@@ -1329,9 +1333,9 @@ object Analytics extends QueryModule {
     val denX = s"(${co("n")} * ${co("sxx")} - ${co("sx")} * ${co("sx")})"
     val denY = s"(${co("n")} * ${co("syy")} - ${co("sy")} * ${co("sy")})"
     sums.select(col("event_type"), col("n").as("n_days"),
-        expr(s"$num / $denX / 100.0").as("slope"),
-        expr(s"(${co("sy")} / ${co("n")} - $num / $denX * ${co("sx")} / ${co("n")}) / 100.0").as("intercept"),
-        expr(s"$num * $num / ($denX * $denY)").as("r2"))
+        round(expr(s"$num / $denX / 100.0"), 6).as("slope"),
+        round(expr(s"(${co("sy")} / ${co("n")} - $num / $denX * ${co("sx")} / ${co("n")}) / 100.0"), 6).as("intercept"),
+        round(expr(s"$num * $num / ($denX * $denY)"), 6).as("r2"))
       .orderBy("event_type")
   }
 
@@ -1350,16 +1354,16 @@ object Analytics extends QueryModule {
         CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sxy
       FROM daily GROUP BY 1)
     SELECT event_type, n AS n_days,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope,
-      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+      ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6) AS slope,
+      ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept,
+      ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
     FROM sums ORDER BY event_type"""
 
   /** Mann-Whitney U (Wilcoxon rank-sum) test between two event types —
@@ -1392,7 +1396,7 @@ object Analytics extends QueryModule {
     s.select(col("n_a"), col("n_b"),
         expr("cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0").as("u_a"),
         expr("cast(n_a as double) * cast(n_b as double) - cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0").as("u_b"),
-        expr("(cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0 - cast(n_a as double) * cast(n_b as double) / 2.0) / sqrt(cast(n_a as double) * cast(n_b as double) * (cast(n_a as double) + cast(n_b as double) + 1.0) / 12.0)").as("z"))
+        round(expr("(cast(r2_a - cast(n_a as decimal(38,0)) * (n_a + 1) as double) / 2.0 - cast(n_a as double) * cast(n_b as double) / 2.0) / sqrt(cast(n_a as double) * cast(n_b as double) * (cast(n_a as double) + cast(n_b as double) + 1.0) / 12.0)"), 6).as("z"))
   }
 
   private val mannWhitneyOracle = """
@@ -1417,7 +1421,7 @@ object Analytics extends QueryModule {
     SELECT n_a, n_b,
       CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
       CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
-      (CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0) AS z
+      ROUND((CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0), 6) AS z
     FROM s"""
 
   override def queries: Seq[Q] = Seq(

@@ -440,8 +440,12 @@ object Funcs extends QueryModule {
     * monitoring use case tolerates. AM ≥ GM ≥ HM by construction.
     */
   def meanSuite(events: DataFrame): DataFrame = {
+    // values that round to zero at the working scale have no log or
+    // reciprocal — excluded from all three means in BOTH engines (and
+    // ANSI mode would otherwise fault the 100/v division)
     val base = events.select(col("event_type"), col("event_id"),
-      round(col("value") * 100).cast("long").as("v100"))
+        round(col("value") * 100).cast("long").as("v100"))
+      .filter(col("v100") > 0)
     base.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         (sum(col("v100")).cast("double") / count(lit(1)) / 100.0).as("arith_mean"),
@@ -463,13 +467,14 @@ object Funcs extends QueryModule {
       SELECT event_type, event_id,
         CAST(ROUND(value * 100, 0) AS BIGINT) AS v100
       FROM events)
+    , pos AS (SELECT * FROM base WHERE v100 > 0)
     SELECT event_type, COUNT(*) AS n,
       CAST(CAST(SUM(v100) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS arith_mean,
       ROUND(exp(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list(ln(v100 / CAST(100.0 AS DOUBLE)) ORDER BY event_id)), (s, x) -> s + x) / COUNT(*)), 6) AS geo_mean,
       ROUND(CAST(COUNT(*) AS DOUBLE) / list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list(CAST(100.0 AS DOUBLE) / v100 ORDER BY event_id)), (s, x) -> s + x), 6) AS harm_mean
-    FROM base GROUP BY event_type ORDER BY event_type"""
+    FROM pos GROUP BY event_type ORDER BY event_type"""
 
   override def queries: Seq[Q] = Seq(
     Q("q185_mean_suite",
