@@ -71,7 +71,12 @@ object Bench {
     // keys are the bare query numbers ("01".."167"): the 167-entry map
     // with q-prefixed keys reached 1.82 kB, ~100 B under the tail limit —
     // the prefix is 167 bytes of redundancy (every key is a query number)
-    def qid(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
+    // leading zeros add nothing ("01" -> "1"): 9 more bytes of tail headroom
+    def qid(name: String): String =
+      name.takeWhile(_ != '_').stripPrefix("q").dropWhile(_ == '0') match {
+        case "" => "0"
+        case s => s
+      }
     val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r1(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -1253,7 +1253,55 @@ object Extended extends QueryModule {
       CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, source ORDER BY lang, source"""
 
+  /** Batch MERGE INTO semantics (the lakehouse write-side upsert,
+    * batch twin of q95's streaming CDC merge): target = open orders,
+    * source = repriced big-ticket orders; matched rows UPDATE, source-
+    * only rows INSERT, target-only rows carry over. Spelled as ONE
+    * full-outer join on the merge key — the distributed shape MERGE
+    * compiles to (both sides shuffle on the key once; at 100 TB the
+    * target side would be bucketed on the key and not move at all).
+    * Output audits the action mix and the exact post-merge revenue.
+    */
+  def mergeInto(orders: DataFrame): DataFrame = {
+    val target = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"))
+    val source = orders.filter(col("o_totalprice") > lit(250000.0))
+      .select(col("o_orderkey").as("s_key"),
+        // repricing by an exact binary shift (-1024.0) keeps 2-decimal
+        // exactness; prices here are > 250k so it cannot go negative
+        (col("o_totalprice") - lit(1024.0)).as("s_price"))
+    target.join(source, col("t_key") === col("s_key"), "full_outer")
+      .select(
+        when(col("t_key").isNotNull && col("s_key").isNotNull, "update")
+          .when(col("s_key").isNotNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("s_price"), col("t_price")).as("price"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("price")).as("revenue"))
+      .orderBy("action")
+  }
+
+  private val mergeIntoOracle = """
+    WITH target AS (
+      SELECT o_orderkey AS t_key, o_totalprice AS t_price
+      FROM orders WHERE o_orderstatus = 'O'),
+    source AS (
+      SELECT o_orderkey AS s_key, o_totalprice - 1024.0 AS s_price
+      FROM orders WHERE o_totalprice > 250000.0),
+    merged AS (
+      SELECT
+        CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 'update'
+             WHEN s_key IS NOT NULL THEN 'insert'
+             ELSE 'keep' END AS action,
+        COALESCE(s_price, t_price) AS price
+      FROM target FULL OUTER JOIN source ON t_key = s_key)
+    SELECT action, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY action ORDER BY action"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q189_merge_into",
+      (s, d) => mergeInto(orders(s, d)), Some(mergeIntoOracle)),
     Q("q183_xml_source",
       (s, d) => xmlSource(s, d), Some(xmlOracle)),
     Q("q175_locf_interpolate",

@@ -350,7 +350,96 @@ object Scale extends QueryModule {
     GROUP BY l_partkey, thr HAVING COUNT(*) >= thr
     ORDER BY l_partkey"""
 
+  /** Walk-forward (expanding-window) cross-validation splits — the
+    * temporal CV design hash-based k-fold (q143) must not be used for:
+    * every fold trains strictly before it tests, so the audit pins the
+    * no-leakage invariant (max train day < min test day) alongside the
+    * split masses. One conditional aggregation per fold over the day
+    * column; fold boundaries derive from the corpus min day, so the
+    * split is reproducible on any engine without a stored seed.
+    */
+  def walkForwardSplits(events: DataFrame, folds: Int = 3,
+      testDays: Int = 7): DataFrame = {
+    val bounds = events.agg(min(to_date(col("ts"))).as("lo")).localCheckpoint()
+    val days = events.crossJoin(broadcast(bounds))
+      .select(to_date(col("ts")).as("day"), col("lo"))
+      .localCheckpoint() // each fold's conditional agg reads this
+    (1 to folds).map { i =>
+      val b = date_add(col("lo"), 7 * i)
+      val e = date_add(col("lo"), 7 * i + testDays)
+      days.agg(
+          count(when(col("day") < b, 1)).as("n_train"),
+          count(when(col("day") >= b && col("day") < e, 1)).as("n_test"),
+          max(when(col("day") < b, col("day"))).as("max_train_day"),
+          min(when(col("day") >= b && col("day") < e, col("day"))).as("min_test_day"))
+        .select(lit(i.toLong).as("fold"), col("n_train"), col("n_test"),
+          col("max_train_day"), col("min_test_day"))
+    }.reduce(_.union(_)).orderBy("fold")
+  }
+
+  private val walkForwardOracle = """
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo FROM events),
+    d AS (SELECT CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT unnest(range(1, 4)) AS fold)
+    SELECT CAST(fold AS BIGINT) AS fold,
+      COUNT(*) FILTER (WHERE day < lo + CAST(7 * fold AS INTEGER)) AS n_train,
+      COUNT(*) FILTER (WHERE day >= lo + CAST(7 * fold AS INTEGER)
+        AND day < lo + CAST(7 * fold + 7 AS INTEGER)) AS n_test,
+      MAX(day) FILTER (WHERE day < lo + CAST(7 * fold AS INTEGER)) AS max_train_day,
+      MIN(day) FILTER (WHERE day >= lo + CAST(7 * fold AS INTEGER)
+        AND day < lo + CAST(7 * fold + 7 AS INTEGER)) AS min_test_day
+    FROM d, b, f GROUP BY fold ORDER BY fold"""
+
+  /** Systematic sampling: every k-th row of a PINNED pseudo-random
+    * order (md5 of the key — decorrelated from any physical or semantic
+    * order), start offset fixed at 1. The graded form uses a global
+    * row_number so the oracle reproduces it exactly (the q129/q152
+    * precedent); the production form at 100 TB is per-partition
+    * systematic draws with proportional allocation over
+    * `repartitionByRange(md5)` — same estimator, no global window.
+    * Output audits the per-stratum sample against its population mass
+    * (share ratio ≈ 1/k) and pins membership with an exact checksum.
+    */
+  def systematicSample(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampled = docs
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+      .filter(pmod(col("rn"), lit(k)) === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sample_checksum"))
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    totals.join(sampled, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sample_checksum"), lit(0L)).as("sample_checksum"),
+        (coalesce(col("n_sampled"), lit(0L)).cast("double") /
+          col("n_total").cast("double")).as("share"))
+      .orderBy("lang")
+  }
+
+  private val systematicOracle = """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents),
+    s AS (
+      SELECT lang, COUNT(*) AS n_sampled,
+        CAST(SUM(doc_id) AS BIGINT) AS sample_checksum
+      FROM ranked WHERE rn % 10 = 1 GROUP BY lang),
+    t AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+    SELECT t.lang, n_total,
+      COALESCE(n_sampled, 0) AS n_sampled,
+      COALESCE(sample_checksum, 0) AS sample_checksum,
+      CAST(COALESCE(n_sampled, 0) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+    FROM t LEFT OUTER JOIN s ON t.lang = s.lang
+    ORDER BY t.lang"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q187_walk_forward",
+      (s, d) => walkForwardSplits(events(s, d)), Some(walkForwardOracle)),
+    Q("q188_systematic_sample",
+      (s, d) => systematicSample(documents(s, d)), Some(systematicOracle)),
     Q("q181_cms_heavy",
       (s, d) => cmsHeavyParts(s, lineitem(s, d)), Some(cmsHeavyOracle)),
     Q("q144_ivm_merge",

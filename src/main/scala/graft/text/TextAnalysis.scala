@@ -898,7 +898,38 @@ object TextAnalysis extends QueryModule {
       CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
     FROM base, dups"""
 
+  /** Inverted-index build (token → postings): per token the document
+    * frequency, total term frequency, max per-doc tf, and an exact
+    * integer postings checksum (Σ doc_id·tf — pins the complete
+    * postings multiset, not just its size). One (token, doc) grouped
+    * count then one token-keyed aggregation: the index shuffles
+    * postings-sized rows exactly once, never the corpus text — the
+    * build shape of a search/retrieval index at 100 TB.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("tf_total"),
+        max("tf").as("max_tf"),
+        sum(col("doc_id") * col("tf")).as("posting_checksum"))
+      .orderBy("token")
+
+  private val invertedIndexOracle = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tfs AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT token, COUNT(*) AS df,
+      CAST(SUM(tf) AS BIGINT) AS tf_total,
+      CAST(MAX(tf) AS BIGINT) AS max_tf,
+      CAST(SUM(doc_id * tf) AS BIGINT) AS posting_checksum
+    FROM tfs GROUP BY token ORDER BY token"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q186_inverted_index",
+      (s, d) => invertedIndex(documents(s, d)), Some(invertedIndexOracle)),
     Q("q165_chunk_dedup",
       (s, d) => chunkDedup(documents(s, d)), Some(chunkDedupOracle)),
     Q("q166_unigram_logprob",

@@ -198,6 +198,52 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(c.getAs[Double]("harm_mean") - 7.0) < 1e-6)
   }
 
+  test("invertedIndex masses: tf totals recombine to the corpus token count") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val rows = graft.text.TextAnalysis.invertedIndex(docs).collect()
+    val totalTokens = docs.select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("tf_total")).sum == totalTokens)
+    val nDocs = docs.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Long]("max_tf") * r.getAs[Long]("df") >= r.getAs[Long]("tf_total"))
+    }
+  }
+
+  test("walkForwardSplits never leaks: every fold trains strictly before it tests") {
+    val rows = Scale.walkForwardSplits(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getDate(r.fieldIndex("max_train_day"))
+        .before(r.getDate(r.fieldIndex("min_test_day"))))
+      assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
+    }
+    val trains = rows.sortBy(_.getAs[Long]("fold")).map(_.getAs[Long]("n_train"))
+    assert(trains.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+  }
+
+  test("systematicSample draws ceil(N/k) rows and is partitioning-independent") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val rows = Scale.systematicSample(docs).collect()
+    val n = docs.count()
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum == (n + 9) / 10)
+    assert(rows.map(_.getAs[Long]("n_total")).sum == n)
+    val again = Scale.systematicSample(docs.repartition(7)).collect()
+    assert(rows.map(_.toString).sorted sameElements again.map(_.toString).sorted)
+  }
+
+  test("mergeInto action masses reconstruct target and source cardinalities") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val r = Extended.mergeInto(orders).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("n_rows")).toMap
+    val target = orders.filter(col("o_orderstatus") === "O")
+    val source = orders.filter(col("o_totalprice") > 250000.0)
+    assert(r("update") + r("keep") == target.count())
+    val inserts = source.join(target.select(col("o_orderkey").as("k")),
+      col("o_orderkey") === col("k"), "left_anti").count()
+    assert(r("insert") == inserts)
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
