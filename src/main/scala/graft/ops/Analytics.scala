@@ -1424,7 +1424,134 @@ object Analytics extends QueryModule {
       ROUND((CAST(r2_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) / 12.0), 6) AS z
     FROM s"""
 
+  /** Population Stability Index — the ML-monitoring drift metric
+    * (companion to q141's KL token drift, but over a numeric feature):
+    * decile bins fit on a reference window (first half of the stream),
+    * the current window is scored against them, PSI = Σ(p−q)·ln(p/q)
+    * with add-one smoothing. Bin boundaries are DISCRETE quantiles
+    * derived by pure integer arithmetic (min v with 10·cum ≥ i·total —
+    * the q102 inverse-CDF pin), so the binning is exact in both engines;
+    * only the final ln/products are doubles on identical operands.
+    * Scale shape: one grouped count per distinct value, a window over
+    * the distinct-value summary, one broadcast of 9 boundaries, one
+    * grouped count per bin.
+    */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val scaled = events.select((col("ts") < cut).as("is_ref"),
+      round(col("value") * 100).cast("long").as("v"))
+    val ref = scaled.filter(col("is_ref"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = ref.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("total"))))
+    val boundCols = (1 to 9).map(i =>
+      min(when(col("cum") * 10 >= col("total") * i, col("v"))).as(s"b$i"))
+    val bounds = cums.agg(boundCols.head, boundCols.tail: _*)
+    val binned = scaled.crossJoin(broadcast(bounds))
+      .select(col("is_ref"),
+        (1 to 9).map(i => (col("v") > col(s"b$i")).cast("long"))
+          .reduce(_ + _).as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("is_ref"), 1)).as("n_ref"),
+        count(when(!col("is_ref"), 1)).as("n_cur"))
+    val totals = binned.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+    binned.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(expr("((cast(n_ref + 1 as double) / cast(tr + 10 as double)) - (cast(n_cur + 1 as double) / cast(tc + 10 as double))) * ln((cast(n_ref + 1 as double) / cast(tr + 10 as double)) / (cast(n_cur + 1 as double) / cast(tc + 10 as double)))"), 6)
+          .as("psi_contribution"))
+      .orderBy("bin")
+  }
+
+  private val psiOracle = """
+    WITH scaled AS (
+      SELECT ts < TIMESTAMP '2024-01-16' AS is_ref,
+        CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events),
+    cums AS (
+      SELECT v, CAST(SUM(COUNT(*)) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM scaled WHERE is_ref GROUP BY v),
+    t AS (SELECT COUNT(*) AS total FROM scaled WHERE is_ref),
+    bounds AS (
+      SELECT
+        MIN(CASE WHEN cum * 10 >= total * 1 THEN v END) AS b1,
+        MIN(CASE WHEN cum * 10 >= total * 2 THEN v END) AS b2,
+        MIN(CASE WHEN cum * 10 >= total * 3 THEN v END) AS b3,
+        MIN(CASE WHEN cum * 10 >= total * 4 THEN v END) AS b4,
+        MIN(CASE WHEN cum * 10 >= total * 5 THEN v END) AS b5,
+        MIN(CASE WHEN cum * 10 >= total * 6 THEN v END) AS b6,
+        MIN(CASE WHEN cum * 10 >= total * 7 THEN v END) AS b7,
+        MIN(CASE WHEN cum * 10 >= total * 8 THEN v END) AS b8,
+        MIN(CASE WHEN cum * 10 >= total * 9 THEN v END) AS b9
+      FROM cums, t),
+    binned AS (
+      SELECT CAST(v > b1 AS BIGINT) + CAST(v > b2 AS BIGINT)
+           + CAST(v > b3 AS BIGINT) + CAST(v > b4 AS BIGINT)
+           + CAST(v > b5 AS BIGINT) + CAST(v > b6 AS BIGINT)
+           + CAST(v > b7 AS BIGINT) + CAST(v > b8 AS BIGINT)
+           + CAST(v > b9 AS BIGINT) AS bin,
+        is_ref
+      FROM scaled, bounds),
+    counts AS (
+      SELECT bin,
+        COUNT(*) FILTER (WHERE is_ref) AS n_ref,
+        COUNT(*) FILTER (WHERE NOT is_ref) AS n_cur
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      CAST(SUM(n_cur) AS BIGINT) AS tc FROM counts)
+    SELECT bin, n_ref, n_cur,
+      ROUND(((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)) - (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))) * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)) / (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))), 6) AS psi_contribution
+    FROM counts, tot ORDER BY bin"""
+
+  /** Join-cardinality estimation from per-key histograms — the planner
+    * statistic an optimizer uses to choose join strategies, computed as
+    * a first-class query: |A ⋈ B| = Σ_k cntA(k)·cntB(k) over the two
+    * key histograms, WITHOUT executing the join. The audit also runs
+    * the real join: the estimate from exact histograms is provably
+    * equal (the law the spec pins), and at 100 TB the histograms are
+    * the sketchable object (q181's CMS) while the join itself is not.
+    * Also reports the hottest key's contribution — the skew signal that
+    * decides salting (q58) vs broadcast.
+    */
+  def joinSizeEstimate(li: DataFrame, orders: DataFrame): DataFrame = {
+    val hl = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+    val ho = orders.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+    val prod = hl.join(ho, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("contrib"))
+    val est = prod.agg(
+      sum("contrib").as("estimated_rows"),
+      count(lit(1)).as("n_join_keys"),
+      max("contrib").as("max_key_contribution"))
+    val actual = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(col("estimated_rows"), col("actual_rows"),
+        col("n_join_keys"), col("max_key_contribution"))
+  }
+
+  private val joinSizeOracle = """
+    WITH hl AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+    ho AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+    prod AS (SELECT k, ca * cb AS contrib FROM hl JOIN ho USING (k)),
+    est AS (
+      SELECT CAST(SUM(contrib) AS BIGINT) AS estimated_rows,
+        COUNT(*) AS n_join_keys,
+        CAST(MAX(contrib) AS BIGINT) AS max_key_contribution
+      FROM prod),
+    act AS (
+      SELECT COUNT(*) AS actual_rows
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT estimated_rows, actual_rows, n_join_keys, max_key_contribution
+    FROM est, act"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q190_psi_drift",
+      (s, d) => psiDrift(events(s, d)), Some(psiOracle)),
+    Q("q191_join_size_estimate",
+      (s, d) => joinSizeEstimate(lineitem(s, d), orders(s, d)),
+      Some(joinSizeOracle)),
     Q("q184_mann_whitney",
       (s, d) => mannWhitney(events(s, d)), Some(mannWhitneyOracle)),
     Q("q176_k_anonymity",

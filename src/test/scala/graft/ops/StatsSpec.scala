@@ -244,6 +244,31 @@ class StatsSpec extends SparkSpec {
     assert(r("insert") == inserts)
   }
 
+  test("psiDrift: ten bins, masses recombine, identical windows score zero") {
+    val rows = Analytics.psiDrift(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    // identical ref/current distributions => every contribution is 0
+    val ref = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val cur = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val same = (1 to 200).flatMap(i =>
+      Seq(("x", ref, i.toDouble), ("x", cur, i.toDouble)))
+      .toDF("event_type", "ts", "value")
+    val zero = Analytics.psiDrift(same).collect()
+    assert(zero.forall(_.getAs[Double]("psi_contribution") == 0.0))
+    assert(zero.map(_.getAs[Long]("n_ref")).sum == 200L)
+    assert(zero.map(_.getAs[Long]("n_cur")).sum == 200L)
+  }
+
+  test("joinSizeEstimate from exact histograms equals the executed join") {
+    val d = sf("sf0.001")
+    val r = Analytics.joinSizeEstimate(
+      Tables.lineitem(spark, d), Tables.orders(spark, d)).collect()(0)
+    assert(r.getAs[Long]("estimated_rows") == r.getAs[Long]("actual_rows"))
+    assert(r.getAs[Long]("n_join_keys") > 0)
+    assert(r.getAs[Long]("max_key_contribution") >= 1L)
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
