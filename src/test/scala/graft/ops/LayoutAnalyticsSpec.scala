@@ -161,11 +161,13 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(exact.keySet == Set("price_discount", "quantity_discount", "quantity_price"))
     exact.values.foreach { case (c, _) => assert(c >= -1.0 && c <= 1.0) }
     // builtin corr/covar_samp run in running-double precision; the exact
-    // decimal-power-sum path must agree to estimator tolerance
+    // decimal-power-sum path must agree to estimator tolerance PLUS the
+    // 6-decimal output grid (q140 rounds final statistics — the 2^53
+    // decimal→double conversion hardening, see ADVICE_RESPONSES r6)
     val b = li.agg(corr(col("l_extendedprice"), col("l_discount")),
       covar_samp(col("l_extendedprice"), col("l_discount"))).collect()(0)
-    assert(math.abs(exact("price_discount")._1 - b.getDouble(0)) < 1e-9)
-    assert(math.abs(exact("price_discount")._2 - b.getDouble(1)) < 1e-6)
+    assert(math.abs(exact("price_discount")._1 - b.getDouble(0)) < 5.1e-7)
+    assert(math.abs(exact("price_discount")._2 - b.getDouble(1)) < 1e-5)
   }
 
   test("token drift: KL is non-negative and vocabulary-capped") {
