@@ -62,12 +62,15 @@ object Bench {
     // decimal separators on non-English JVMs — invalid JSON
     def r3(v: Double): String =
       if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.2f", v)
-    // per-query values at ONE decimal: at 147+ queries the 2-decimal map
-    // alone was 1.79 kB, within ~140 B of overflowing the driver's
-    // 2000-char tail (which must also fit sbt's success trailer); the
-    // graded figure is the 2-decimal total, per-query is informational
-    def r1(v: Double): String =
-      if (v < 0) "-1.0" else String.format(java.util.Locale.ROOT, "%.1f", v)
+    // per-query values are INTEGER DECISECONDS (flagged by "qunit":"ds"
+    // in the line, documented in BASELINE.md): the 1-decimal seconds map
+    // hit 1.87 kB at 191 queries, ~5 queries from overflowing the
+    // driver's 2000-char tail (which must also fit sbt's success
+    // trailer). Integer ds ("0.2"→2, "1.2"→12) buys ~300 B back —
+    // ~40-query headroom. The GRADED figure is unchanged: "value" stays
+    // total seconds at 2 decimals. Failures stay -1.
+    def ds(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 10).toString
     // keys are the bare query numbers ("01".."167"): the 167-entry map
     // with q-prefixed keys reached 1.82 kB, ~100 B under the tail limit —
     // the prefix is 167 bytes of redundancy (every key is a query number)
@@ -77,7 +80,7 @@ object Bench {
         case "" => "0"
         case s => s
       }
-    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + r1(v) }
+    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + qid(n) + "\"" }
@@ -85,7 +88,7 @@ object Bench {
     // sf prints as the basename: the directory prefix is 15 B of the
     // 2 kB tail the 181+-entry map needs back
     val sfId = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfId"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ds","queries":$qs$failedJson,"sf":"$sfId"}""")
     spark.stop()
   }
 }
