@@ -176,4 +176,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_returnflag:string>"),
       "l_returnflag leg must read exactly one column")
   }
+
+  test("q171: basket pairs expand in-task — exactly one corpus aggregate, no self-join") {
+    val p = plan("q171_basket_lift")
+    // the only Join nodes are the tiny freq/total enrichments (broadcast);
+    // the corpus itself is never self-joined
+    assert(!p.contains("SortMergeJoin"),
+      s"pair expansion must not shuffle-join the corpus:\n${p.take(1500)}")
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"),
+      "pairs must come from in-array expansion")
+  }
+
+  test("q181: the CMS recount scan pushes the probe-set filter down") {
+    val p = plan("q181_cms_heavy")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), LessThan(l_partkey"),
+      s"probe-set bound must reach the parquet scan:\n${p.take(1500)}")
+  }
+
+  test("q177: a snapshot scan reads only that version's live files") {
+    // v1 = one file set (f_open): the first union leg's scan must list
+    // exactly one path root; the retired f_filled path must not appear
+    // anywhere after v2 (it is removed at v3, and v1 predates it)
+    val li = SparkEntry.queries("q177_time_travel")(spark, sf("sf0.001"))
+    val p = li.queryExecution.executedPlan.treeString
+    assert(!p.contains("f_filled") ||
+      "f_filled".r.findAllIn(p).length == 1,
+      "the retired file may appear in at most the v2 snapshot leg")
+  }
+
+  test("q188: the sampled side aggregates partially before the final combine") {
+    val p = plan("q188_systematic_sample")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > firstAgg,
+      "per-stratum sample audit must two-phase aggregate")
+  }
 }
