@@ -1546,7 +1546,250 @@ object Analytics extends QueryModule {
     SELECT estimated_rows, actual_rows, n_join_keys, max_key_contribution
     FROM est, act"""
 
+  /** Winsorization audit: per-type p1/p99 caps from integer inverse-CDF
+    * quantiles (the q190 pin — no float boundary anywhere), values
+    * clamped into [p1, p99], exact decimal mean before/after and the
+    * clip counts. The outlier treatment that PRESERVES row count,
+    * complementing the trimmed mean (q155) which drops rows. One
+    * grouped count per distinct value, one bounded window, one pass to
+    * clamp and aggregate.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val scaled = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val caps = scaled.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(scaled.groupBy("event_type")
+        .agg(count(lit(1)).as("total")).withColumnRenamed("event_type", "et")))
+      .filter(col("event_type") === col("et"))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 100 >= col("total") * 1, col("v"))).as("p1"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("v"))).as("p99"))
+    scaled.join(broadcast(caps), "event_type")
+      .select(col("event_type"), col("v"), col("p1"), col("p99"),
+        greatest(col("p1"), least(col("p99"), col("v"))).as("clamped"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v")).cast("double") / count(lit(1)) / 100.0).as("raw_mean"),
+        (sum(col("clamped")).cast("double") / count(lit(1)) / 100.0).as("winsor_mean"),
+        sum(when(col("v") < col("p1"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("v") > col("p99"), 1L).otherwise(0L)).as("n_clipped_high"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeOracle = """
+    WITH scaled AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS v FROM events),
+    cums AS (
+      SELECT event_type, v, CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM scaled GROUP BY event_type, v),
+    t AS (SELECT event_type, COUNT(*) AS total FROM scaled GROUP BY 1),
+    caps AS (
+      SELECT event_type,
+        MIN(CASE WHEN cum * 100 >= total * 1 THEN v END) AS p1,
+        MIN(CASE WHEN cum * 100 >= total * 99 THEN v END) AS p99
+      FROM cums JOIN t USING (event_type) GROUP BY event_type),
+    clamped AS (
+      SELECT s.event_type, v, p1, p99,
+        GREATEST(p1, LEAST(p99, v)) AS c
+      FROM scaled s JOIN caps USING (event_type))
+    SELECT event_type, COUNT(*) AS n,
+      CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS raw_mean,
+      CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) / 100.0 AS winsor_mean,
+      CAST(SUM(CASE WHEN v < p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      CAST(SUM(CASE WHEN v > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM clamped GROUP BY event_type ORDER BY event_type"""
+
+  /** Benford first-digit audit over order totals — the forensic
+    * data-quality screen for fabricated or truncated numeric columns.
+    * The first significant digit comes from the INTEGER cents via
+    * string length (no float log10 anywhere, so the digit assignment is
+    * exact in both engines); observed shares compare against the
+    * Benford expectation ln(1+1/d)/ln(10) with the absolute deviation
+    * reported per digit. One grouped count; everything else is
+    * constant-space arithmetic on the 9-row digit table.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val cents = orders.filter(col("o_totalprice") > 0)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+    val digits = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum("n").as("total"))))
+      .select(col("digit"), col("n"),
+        round(expr("cast(n as double) / cast(total as double)"), 6).as("observed"),
+        round(expr("ln(1.0 + 1.0 / cast(digit as double)) / ln(10.0)"), 6).as("expected"),
+        round(expr("abs(cast(n as double) / cast(total as double) - ln(1.0 + 1.0 / cast(digit as double)) / ln(10.0))"), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  private val benfordOracle = """
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        COUNT(*) AS n
+      FROM cents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+    SELECT digit, n,
+      ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed,
+      ROUND(ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE)), 6) AS expected,
+      ROUND(ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE))), 6) AS abs_dev
+    FROM digits, t ORDER BY digit"""
+
+  /** Weighted median (lower) per return flag: price weighted by integer
+    * quantity, the 50% point located by pure integer cumulative-weight
+    * arithmetic (2·cumw ≥ totw — no float percentile machinery). The
+    * estimator inventory's weighted complement of q132's unweighted
+    * median. One grouped sum per distinct value, one bounded window.
+    */
+  def weightedMedian(li: DataFrame): DataFrame = {
+    val scaled = li.select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"),
+      round(col("l_quantity")).cast("long").as("wt"))
+    val w = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled.groupBy("flag", "v").agg(sum("wt").as("wv"))
+      .withColumn("cumw", sum("wv").over(w))
+      .crossJoin(broadcast(scaled.groupBy("flag")
+        .agg(sum("wt").as("totw")).withColumnRenamed("flag", "f")))
+      .filter(col("flag") === col("f"))
+      .groupBy("flag")
+      .agg(max("totw").as("total_weight"),
+        (min(when(col("cumw") * 2 >= col("totw"), col("v"))).cast("double") / 100.0)
+          .as("weighted_median"))
+      .orderBy("flag")
+  }
+
+  private val weightedMedianOracle = """
+    WITH scaled AS (
+      SELECT l_returnflag AS flag,
+        CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        CAST(ROUND(l_quantity, 0) AS BIGINT) AS wt
+      FROM lineitem),
+    cums AS (
+      SELECT flag, v, CAST(SUM(SUM(wt)) OVER (PARTITION BY flag ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+      FROM scaled GROUP BY flag, v),
+    t AS (SELECT flag, CAST(SUM(wt) AS BIGINT) AS totw FROM scaled GROUP BY 1)
+    SELECT flag, MAX(totw) AS total_weight,
+      CAST(MIN(CASE WHEN cumw * 2 >= totw THEN v END) AS DOUBLE) / 100.0 AS weighted_median
+    FROM cums JOIN t USING (flag) GROUP BY flag ORDER BY flag"""
+
+  /** Spearman rank correlation between quantity and price — the
+    * nonparametric complement of q140's Pearson matrix, and the q184
+    * machinery generalized: tie-averaged ranks (tracked doubled, so
+    * integral) come from per-distinct-value counts, then Pearson runs
+    * over the exact integer rank pairs. Everything before the final
+    * division is integer/decimal-exact; no row-wise sort at any point.
+    */
+  def spearmanCorr(li: DataFrame): DataFrame = {
+    val base = li.select(round(col("l_quantity")).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def ranks(c: String) = {
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col(c), (lit(2L) * col("cum") + col("cnt") + 1L).as(s"r$c"))
+    }
+    val ranked = base
+      .join(ranks("x"), "x")
+      .join(ranks("y"), "y")
+      .select(col("rx").cast("decimal(38,0)").as("rx"),
+        col("ry").cast("decimal(38,0)").as("ry"))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("rx")).cast("decimal(38,0)").as("sxx"),
+      sum(col("ry") * col("ry")).cast("decimal(38,0)").as("syy"),
+      sum(col("rx") * col("ry")).cast("decimal(38,0)").as("sxy"))
+    def co(c: String) = s"cast($c as double)"
+    s.select(col("n"),
+      round(expr(s"(${co("n")} * ${co("sxy")} - ${co("sx")} * ${co("sy")}) / sqrt((${co("n")} * ${co("sxx")} - ${co("sx")} * ${co("sx")}) * (${co("n")} * ${co("syy")} - ${co("sy")} * ${co("sy")}))"), 6)
+        .as("spearman_rho"))
+  }
+
+  private val spearmanOracle = """
+    WITH base AS (
+      SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+        CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem),
+    rxs AS (
+      SELECT x, 2 * CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        + COUNT(*) + 1 AS rx
+      FROM base GROUP BY x),
+    rys AS (
+      SELECT y, 2 * CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        + COUNT(*) + 1 AS ry
+      FROM base GROUP BY y),
+    ranked AS (
+      SELECT CAST(rx AS DECIMAL(38,0)) AS rx, CAST(ry AS DECIMAL(38,0)) AS ry
+      FROM base JOIN rxs USING (x) JOIN rys USING (y)),
+    s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(rx) AS DECIMAL(38,0)) AS sx, CAST(SUM(ry) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS sxx,
+        CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS syy,
+        CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS sxy
+      FROM ranked)
+    SELECT n,
+      ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+    FROM s"""
+
+  /** User-journey path mining: top-20 event-type 3-grams over each
+    * user's time-ordered event sequence — the navigation-pattern
+    * summary a funnel analysis starts from. Sequences assemble with ONE
+    * user-keyed shuffle (collect ordered per user), 3-grams expand
+    * in-task from the ordered array, and only gram counts shuffle after
+    * that. Tie-broken top-k is fully pinned (count desc, gram asc).
+    */
+  def journeyPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val seqs = events
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(named_struct(
+        lit("ts"), col("ts"), lit("id"), col("event_id"),
+        lit("t"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, e -> e.t)").as("ts"))
+      .filter(size(col("ts")) >= 3)
+    seqs
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat(ts[i - 1], '>', ts[i], '>', ts[i + 1]))"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  private val journeyOracle = """
+    WITH seqs AS (
+      SELECT list(event_type ORDER BY ts, event_id) AS ts
+      FROM events GROUP BY user_id),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(ts) - 1),
+        i -> ts[i] || '>' || ts[i + 1] || '>' || ts[i + 2])) AS path
+      FROM seqs WHERE len(ts) >= 3)
+    SELECT path, COUNT(*) AS n FROM grams GROUP BY path
+    ORDER BY n DESC, path LIMIT 20"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q193_winsorize",
+      (s, d) => winsorize(events(s, d)), Some(winsorizeOracle)),
+    Q("q194_benford",
+      (s, d) => benfordAudit(orders(s, d)), Some(benfordOracle)),
+    Q("q195_weighted_median",
+      (s, d) => weightedMedian(lineitem(s, d)), Some(weightedMedianOracle)),
+    Q("q196_spearman",
+      (s, d) => spearmanCorr(lineitem(s, d)), Some(spearmanOracle)),
+    Q("q197_journey_paths",
+      (s, d) => journeyPaths(events(s, d)), Some(journeyOracle)),
     Q("q190_psi_drift",
       (s, d) => psiDrift(events(s, d)), Some(psiOracle)),
     Q("q191_join_size_estimate",

@@ -694,7 +694,64 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Record linkage (entity resolution) over the customer dimension:
+    * blocked fuzzy self-match — block on the (nation, segment) quasi-
+    * identifier, score in-block pairs by normalized edit similarity of
+    * names plus an account-balance band, report per-block match audits
+    * (pair counts, match counts at the threshold, best score, exact
+    * id-sum checksum of matched pairs). The Fellegi-Sunter shape at
+    * 100 TB: blocking bounds the quadratic phase to block² ≪ corpus²
+    * and the output is block-aggregated — matched-pair ROWS never leave
+    * the block stage, only audit counts do.
+    */
+  def recordLinkage(customer: DataFrame, threshold: Double = 0.85): DataFrame = {
+    val side = customer.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    val pairs = side.as("a")
+      .join(side.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_nationkey").as("nation"),
+        col("a.c_mktsegment").as("segment"),
+        col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        // exact integers → identical doubles: lev and lengths are ints
+        (lit(1.0) - levenshtein(col("a.c_name"), col("b.c_name")).cast("double") /
+          greatest(length(col("a.c_name")), length(col("b.c_name"))).cast("double"))
+          .as("name_sim"),
+        (abs(round(col("a.c_acctbal") * 100) - round(col("b.c_acctbal") * 100)) <
+          lit(10000L)).cast("double").as("bal_close"))
+      .withColumn("score", round(lit(0.8) * col("name_sim") + lit(0.2) * col("bal_close"), 6))
+    pairs.groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("score") >= threshold, 1L).otherwise(0L)).as("n_matches"),
+        round(max(col("score")), 6).as("best_score"),
+        sum(when(col("score") >= threshold, col("id_a") + col("id_b"))
+          .otherwise(0L)).as("match_checksum"))
+      .orderBy("nation", "segment")
+  }
+
+  private val recordLinkageOracle = """
+    WITH pairs AS (
+      SELECT a.c_nationkey AS nation, a.c_mktsegment AS segment,
+        a.c_custkey AS id_a, b.c_custkey AS id_b,
+        ROUND(0.8 * (1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) /
+            CAST(GREATEST(length(a.c_name), length(b.c_name)) AS DOUBLE))
+          + 0.2 * CAST(ABS(ROUND(a.c_acctbal * 100, 0) - ROUND(b.c_acctbal * 100, 0)) < 10000
+              AS DOUBLE), 6) AS score
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+        AND a.c_mktsegment = b.c_mktsegment
+        AND a.c_custkey < b.c_custkey)
+    SELECT nation, segment, COUNT(*) AS n_pairs,
+      CAST(SUM(CASE WHEN score >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+      ROUND(MAX(score), 6) AS best_score,
+      CAST(SUM(CASE WHEN score >= 0.85 THEN id_a + id_b ELSE 0 END) AS BIGINT) AS match_checksum
+    FROM pairs GROUP BY nation, segment ORDER BY nation, segment"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q192_record_linkage",
+      (s, d) => recordLinkage(customer(s, d)), Some(recordLinkageOracle)),
     Q("q178_ppjoin_pairs",
       (s, d) => ppjoinPairs(documents(s, d)), Some(jaccardOracle)),
     Q("q126_canonical_docs",

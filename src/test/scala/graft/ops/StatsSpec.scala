@@ -269,6 +269,73 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_key_contribution") >= 1L)
   }
 
+  test("recordLinkage matches a planted near-duplicate and respects blocking") {
+    val customer = Seq(
+      (1L, "Customer#000000001", 1, 100.0, "AUTO"),
+      (2L, "Customer#000000002", 1, 120.0, "AUTO"),   // lev=1 to #1, close bal
+      (3L, "Customer#000000002", 2, 120.0, "AUTO"),   // same name, other block
+      (4L, "Xylophone Warehouse", 1, 99999.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val rows = graft.text.Dedup.recordLinkage(customer).collect()
+    val b1 = rows.find(r => r.getInt(0) == 1).get
+    assert(b1.getAs[Long]("n_matches") == 1L)        // only the (1,2) pair
+    assert(b1.getAs[Long]("match_checksum") == 3L)   // 1 + 2
+    // blocking: the same-name customer in nation 2 is a singleton block —
+    // it never pairs, so no audit row exists for that block at all
+    assert(!rows.exists(r => r.getInt(0) == 2))
+  }
+
+  test("winsorize clips at most ~1% per tail and keeps the mean in the cap range") {
+    val rows = Analytics.winsorize(Tables.events(spark, sf("sf0.001"))).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_clipped_low") * 100 <= n)
+      assert(r.getAs[Long]("n_clipped_high") * 100 <= n)
+      // winsorization pulls the mean toward the center, never past the raw extremes
+      assert(r.getAs[Double]("winsor_mean") > 0.0)
+    }
+  }
+
+  test("benford shares sum to one over digits 1..9") {
+    val rows = Analytics.benfordAudit(Tables.orders(spark, sf("sf0.001"))).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_.getAs[Double]("observed")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - 1.0) < 1e-4)
+  }
+
+  test("weightedMedian finds the 50% weight point (planted weights)") {
+    val li = Seq(("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0))
+      .map { case (f, p, q) => (f, p, q) }
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val r = Analytics.weightedMedian(li).collect()(0)
+    assert(r.getAs[Long]("total_weight") == 12L)
+    assert(r.getAs[Double]("weighted_median") == 3.0)
+  }
+
+  test("spearman is +1 on a monotone relation and -1 on its reversal") {
+    val up = (1 to 100).map(i => (i.toDouble, i * 2.0))
+      .toDF("l_quantity", "l_extendedprice")
+    assert(Analytics.spearmanCorr(up).collect()(0).getAs[Double]("spearman_rho") == 1.0)
+    val down = (1 to 100).map(i => (i.toDouble, (200 - i).toDouble))
+      .toDF("l_quantity", "l_extendedprice")
+    assert(Analytics.spearmanCorr(down).collect()(0).getAs[Double]("spearman_rho") == -1.0)
+  }
+
+  test("journeyPaths surfaces a planted dominant 3-gram first") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 30 users walk view>click>purchase; 1 user walks error>error>error
+    val events = (1 to 30).flatMap(u => Seq("view", "click", "purchase").zipWithIndex.map {
+      case (t, i) => (u.toLong * 100 + i, u.toLong, new java.sql.Timestamp(base + i * 1000), t)
+    }) ++ Seq("error", "error", "error").zipWithIndex.map {
+      case (t, i) => (9000L + i, 999L, new java.sql.Timestamp(base + i * 1000), t)
+    }
+    val df = events.toDF("event_id", "user_id", "ts", "event_type")
+    val top = Analytics.journeyPaths(df).collect()
+    assert(top.head.getString(0) == "view>click>purchase")
+    assert(top.head.getAs[Long]("n") == 30L)
+    assert(top.map(_.getString(0)).contains("error>error>error"))
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
