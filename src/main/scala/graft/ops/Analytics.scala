@@ -1651,10 +1651,23 @@ object Analytics extends QueryModule {
     val scaled = li.select(col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("long").as("v"),
       round(col("l_quantity")).cast("long").as("wt"))
-    val w = Window.partitionBy("flag").orderBy("v")
+    // two-level cumulative weights: the distinct-value table can be
+    // corpus-sized (prices are near-unique), so a single per-flag window
+    // would serialize on one partition at scale. Instead: per-bucket
+    // weight totals prefix-sum in a TINY window (one row per bucket),
+    // and the within-bucket window partitions by (flag, bucket) — both
+    // levels distribute; cumw is identical to the flat form.
+    val byV = scaled.groupBy("flag", "v").agg(sum("wt").as("wv"))
+      .withColumn("bkt", (col("v") / 100000L).cast("long"))
+    val wIn = Window.partitionBy("flag", "bkt").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scaled.groupBy("flag", "v").agg(sum("wt").as("wv"))
-      .withColumn("cumw", sum("wv").over(w))
+    val wBkt = Window.partitionBy("flag").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPrefix = byV.groupBy("flag", "bkt").agg(sum("wv").as("bw"))
+      .withColumn("prefix", coalesce(sum("bw").over(wBkt), lit(0L)))
+      .select("flag", "bkt", "prefix")
+    byV.join(bktPrefix, Seq("flag", "bkt"))
+      .withColumn("cumw", col("prefix") + sum("wv").over(wIn))
       .crossJoin(broadcast(scaled.groupBy("flag")
         .agg(sum("wt").as("totw")).withColumnRenamed("flag", "f")))
       .filter(col("flag") === col("f"))
@@ -1690,11 +1703,23 @@ object Analytics extends QueryModule {
   def spearmanCorr(li: DataFrame): DataFrame = {
     val base = li.select(round(col("l_quantity")).cast("long").as("x"),
       round(col("l_extendedprice") * 100).cast("long").as("y"))
+    // two-level ranking (same trick as weightedMedian): bucket prefix
+    // counts in a tiny window + within-bucket windows partitioned by
+    // bucket — the distinct-price table is corpus-sized, so a flat
+    // global window would serialize on one partition at scale. cum is
+    // identical to the flat form.
     def ranks(c: String) = {
-      val w = Window.orderBy(col(c))
+      val byV = base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("bkt", (col(c) / 100000L).cast("long"))
+      val wIn = Window.partitionBy("bkt").orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, -1)
-      base.groupBy(c).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+      val wBkt = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bktPrefix = byV.groupBy("bkt").agg(sum("cnt").as("bc"))
+        .withColumn("prefix", coalesce(sum("bc").over(wBkt), lit(0L)))
+        .select("bkt", "prefix")
+      byV.join(broadcast(bktPrefix), "bkt")
+        .withColumn("cum", col("prefix") + coalesce(sum("cnt").over(wIn), lit(0L)))
         .select(col(c), (lit(2L) * col("cum") + col("cnt") + 1L).as(s"r$c"))
     }
     val ranked = base
