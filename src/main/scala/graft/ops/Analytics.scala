@@ -1804,7 +1804,210 @@ object Analytics extends QueryModule {
     SELECT path, COUNT(*) AS n FROM grams GROUP BY path
     ORDER BY n DESC, path LIMIT 20"""
 
+  /** Exponentially weighted moving average per event type (α = 0.3)
+    * over the daily exact-decimal series — the smoothing primitive of
+    * every monitoring dashboard. EWMA is inherently sequential, so it
+    * runs as a PINNED-ORDER fold over each series' day-ordered value
+    * array (both engines fold left with the first value as seed —
+    * identical doubles); series are keyed by type, so folds distribute
+    * across series and each is bounded by calendar length, not corpus
+    * size.
+    */
+  def ewmaSmooth(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 100).cast("decimal(18,0)")).cast("double") / 100.0).as("v"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("""aggregate(
+            slice(array_sort(collect_list(named_struct('d', day, 'v', v))), 2, count(1) - 1),
+            array_sort(collect_list(named_struct('d', day, 'v', v)))[0].v,
+            (s, x) -> cast(0.3 as double) * x.v + cast(0.7 as double) * s)""").as("ewma_raw"),
+        max_by(col("v"), col("day")).as("last_raw"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ewma_raw"), 6).as("ewma_last"), col("last_raw"))
+      .orderBy("event_type")
+  }
+
+  private val ewmaOracle = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, COUNT(*) AS n_days,
+      ROUND(list_reduce(list(v ORDER BY day),
+        (s, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * s), 6) AS ewma_last,
+      arg_max(v, day) AS last_raw
+    FROM daily GROUP BY event_type ORDER BY event_type"""
+
+  /** Lag-k autocorrelation (k = 1..3) of each type's daily series —
+    * the seasonality/persistence diagnostic: sample Pearson correlation
+    * of (xₜ, xₜ₊ₖ) pairs via the q140 exact-power-sum machinery. The
+    * paired table is |series|×|days| rows (bounded by calendar), the
+    * lag join is an equi-join on (type, day+k), and everything up to
+    * the final division is exact integer/decimal.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("x"))
+      .localCheckpoint() // both sides of every lag join read this
+    val lags = (1 to maxLag).map { k =>
+      val a = daily.select(col("event_type"), col("day"), col("x").as("xa"))
+      val b = daily.select(col("event_type"),
+        date_sub(col("day"), k).as("day"), col("x").as("xb"))
+      a.join(b, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xa")).cast("decimal(38,0)").as("sa"),
+          sum(col("xb")).cast("decimal(38,0)").as("sb"),
+          sum(col("xa") * col("xa")).cast("decimal(38,0)").as("saa"),
+          sum(col("xb") * col("xb")).cast("decimal(38,0)").as("sbb"),
+          sum(col("xa") * col("xb")).cast("decimal(38,0)").as("sab"))
+        .select(col("event_type"), lit(k.toLong).as("lag"), col("n").as("n_pairs"),
+          round(expr("(cast(n as double) * cast(sab as double) - cast(sa as double) * cast(sb as double)) / sqrt((cast(n as double) * cast(saa as double) - cast(sa as double) * cast(sa as double)) * (cast(n as double) * cast(sbb as double) - cast(sb as double) * cast(sb as double)))"), 6)
+            .as("acf"))
+    }
+    lags.reduce(_.union(_)).orderBy("event_type", "lag")
+  }
+
+  private def acfLagSql(k: Int) = s"""
+    SELECT event_type, CAST($k AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+      ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(xa * xb) AS DECIMAL(38,0)) AS DOUBLE)
+          - CAST(CAST(SUM(xa) AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(SUM(xb) AS DECIMAL(38,0)) AS DOUBLE))
+        / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(xa * xa) AS DECIMAL(38,0)) AS DOUBLE)
+          - CAST(CAST(SUM(xa) AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(SUM(xa) AS DECIMAL(38,0)) AS DOUBLE))
+          * (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(xb * xb) AS DECIMAL(38,0)) AS DOUBLE)
+          - CAST(CAST(SUM(xb) AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(SUM(xb) AS DECIMAL(38,0)) AS DOUBLE))), 6) AS acf
+    FROM (SELECT a.event_type, a.x AS xa, b.x AS xb
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND b.day = a.day + $k)
+    GROUP BY event_type"""
+
+  private val acfOracle = s"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS x
+      FROM events GROUP BY 1, 2)
+    ${acfLagSql(1)} UNION ALL ${acfLagSql(2)} UNION ALL ${acfLagSql(3)}
+    ORDER BY event_type, lag"""
+
+  /** Model-free missing-value imputation by group statistics (the
+    * cross-sectional complement of q175's temporal LOCF): ~20% of
+    * values go missing under a deterministic md5 coin (same rows vanish
+    * in both engines), then each type's missing values impute from the
+    * observed discrete median (integer inverse-CDF — no float
+    * percentile). The audit reports observed/imputed means from exact
+    * decimal sums — imputation never touches observed rows.
+    */
+  def groupImpute(events: DataFrame): DataFrame = {
+    val coined = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("v"))
+      .withColumn("missing",
+        ascii(substring(md5(concat(col("event_type"), col("event_id"))), 1, 1)) % 5 === 0)
+    val obs = coined.filter(!col("missing"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = obs.groupBy("event_type", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(obs.groupBy("event_type")
+        .agg(count(lit(1)).as("tot")).withColumnRenamed("event_type", "et")))
+      .filter(col("event_type") === col("et"))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("v"))).as("median_v"))
+    coined.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("missing").cast("long")).as("n_missing"),
+        (max("median_v").cast("double") / 100.0).as("imputed_value"),
+        (sum(when(!col("missing"), col("v"))).cast("double") /
+          sum((!col("missing")).cast("long")) / 100.0).as("observed_mean"),
+        ((sum(when(!col("missing"), col("v"))) +
+          sum(col("missing").cast("long")) * max("median_v")).cast("double") /
+          count(lit(1)) / 100.0).as("imputed_mean"))
+      .orderBy("event_type")
+  }
+
+  private val groupImputeOracle = """
+    WITH coined AS (
+      SELECT event_type, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+        ascii(substr(md5(event_type || CAST(event_id AS VARCHAR)), 1, 1)) % 5 = 0 AS missing
+      FROM events),
+    obs AS (SELECT * FROM coined WHERE NOT missing),
+    cums AS (
+      SELECT event_type, v, CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM obs GROUP BY event_type, v),
+    t AS (SELECT event_type, COUNT(*) AS tot FROM obs GROUP BY 1),
+    med AS (
+      SELECT event_type, MIN(CASE WHEN cum * 2 >= tot THEN v END) AS median_v
+      FROM cums JOIN t USING (event_type) GROUP BY event_type)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      CAST(MAX(median_v) AS DOUBLE) / 100.0 AS imputed_value,
+      CAST(CAST(SUM(CASE WHEN NOT missing THEN v END) AS BIGINT) AS DOUBLE) /
+        CAST(SUM(CASE WHEN NOT missing THEN 1 ELSE 0 END) AS BIGINT) / 100.0 AS observed_mean,
+      CAST(CAST(SUM(CASE WHEN NOT missing THEN v END)
+        + SUM(CASE WHEN missing THEN 1 ELSE 0 END) * MAX(median_v) AS BIGINT) AS DOUBLE) /
+        COUNT(*) / 100.0 AS imputed_mean
+    FROM coined JOIN med USING (event_type)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Smoothed target encoding (m-estimate, m = 10) of the market
+    * segment by per-customer total spend — the leakage-aware
+    * categorical feature-engineering primitive: segment means shrink
+    * toward the global prior in proportion to segment support. Spend
+    * aggregates per customer first (exact decimal cents), so the
+    * encoding table is |segments| rows from two grouped sums; customers
+    * without orders contribute zero spend, not nothing.
+    */
+  def targetEncoding(customer: DataFrame, orders: DataFrame, m: Int = 10): DataFrame = {
+    val spend = customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders.groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("cents"), lit(0).cast("decimal(18,0)")).as("cents"))
+    val bySeg = spend.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").cast("decimal(38,0)").as("s"))
+    val global = bySeg.agg(sum("n").as("gn"),
+      sum("s").cast("decimal(38,0)").as("gs"))
+    bySeg.crossJoin(broadcast(global))
+      .select(col("c_mktsegment"), col("n").as("n_customers"),
+        round(expr("cast(s as double) / cast(n as double) / 100.0"), 6).as("raw_mean"),
+        round(expr("(cast(s as double) + 10.0 * (cast(gs as double) / cast(gn as double))) / (cast(n as double) + 10.0) / 100.0"), 6).as("encoded"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val targetEncodingOracle = """
+    WITH spend AS (
+      SELECT c_mktsegment,
+        COALESCE(cents, CAST(0 AS DECIMAL(18,0))) AS cents
+      FROM customer LEFT OUTER JOIN (
+        SELECT o_custkey,
+          SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS cents
+        FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+    by_seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+      FROM spend GROUP BY 1),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn,
+      CAST(SUM(s) AS DECIMAL(38,0)) AS gs FROM by_seg)
+    SELECT c_mktsegment, n AS n_customers,
+      ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS raw_mean,
+      ROUND((CAST(s AS DOUBLE) + 10.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) / (CAST(n AS DOUBLE) + 10.0) / 100.0, 6) AS encoded
+    FROM by_seg, g ORDER BY c_mktsegment"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q198_ewma",
+      (s, d) => ewmaSmooth(events(s, d)), Some(ewmaOracle)),
+    Q("q199_autocorrelation",
+      (s, d) => autocorrelation(events(s, d)), Some(acfOracle)),
+    Q("q200_group_impute",
+      (s, d) => groupImpute(events(s, d)), Some(groupImputeOracle)),
+    Q("q201_target_encoding",
+      (s, d) => targetEncoding(customer(s, d), orders(s, d)),
+      Some(targetEncodingOracle)),
     Q("q193_winsorize",
       (s, d) => winsorize(events(s, d)), Some(winsorizeOracle)),
     Q("q194_benford",

@@ -336,6 +336,59 @@ class StatsSpec extends SparkSpec {
     assert(top.map(_.getString(0)).contains("error>error>error"))
   }
 
+  test("ewma of a constant series is that constant") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 10).map(d =>
+      (d.toLong, "k", new java.sql.Timestamp(base + d * 86400000L), 5.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val r = Analytics.ewmaSmooth(events).collect()(0)
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("ewma_last") == 5.0)
+    assert(r.getAs[Double]("last_raw") == 5.0)
+  }
+
+  test("autocorrelation of a linear daily series is exactly 1 at every lag") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 20).map(d =>
+      (d.toLong, "lin", new java.sql.Timestamp(base + d * 86400000L), 1.0 + d))
+      .toDF("event_id", "event_type", "ts", "value")
+    val rows = Analytics.autocorrelation(events).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("acf") == 1.0)
+      assert(r.getAs[Long]("n_pairs") == 20L - r.getAs[Long]("lag"))
+    }
+  }
+
+  test("groupImpute: imputed value is an observed value and means stay bounded") {
+    val rows = Analytics.groupImpute(Tables.events(spark, sf("sf0.001"))).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val miss = r.getAs[Long]("n_missing")
+      assert(miss > 0 && miss < n, "md5 coin should hit ~20% of rows")
+      val (om, im) = (r.getAs[Double]("observed_mean"), r.getAs[Double]("imputed_mean"))
+      val iv = r.getAs[Double]("imputed_value")
+      // imputed mean is a convex mix of the observed mean and the median
+      assert(im >= math.min(om, iv) - 1e-9 && im <= math.max(om, iv) + 1e-9)
+    }
+  }
+
+  test("targetEncoding shrinks every segment mean toward the global prior") {
+    val d = sf("sf0.001")
+    val rows = Analytics.targetEncoding(
+      Tables.customer(spark, d), Tables.orders(spark, d)).collect()
+    val global = {
+      val n = rows.map(_.getAs[Long]("n_customers")).sum.toDouble
+      rows.map(r => r.getAs[Long]("n_customers") * r.getAs[Double]("raw_mean")).sum / n
+    }
+    rows.foreach { r =>
+      val (raw, enc) = (r.getAs[Double]("raw_mean"), r.getAs[Double]("encoded"))
+      val (lo, hi) = (math.min(raw, global), math.max(raw, global))
+      assert(enc >= lo - 1e-6 && enc <= hi + 1e-6,
+        s"encoded $enc outside [$lo, $hi]")
+    }
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
