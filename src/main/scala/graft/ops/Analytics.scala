@@ -1998,7 +1998,73 @@ object Analytics extends QueryModule {
       ROUND((CAST(s AS DOUBLE) + 10.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) / (CAST(n AS DOUBLE) + 10.0) / 100.0, 6) AS encoded
     FROM by_seg, g ORDER BY c_mktsegment"""
 
+  /** Mutual information between two categorical columns (order priority
+    * × order status) with entropies and normalized MI — the
+    * feature-association measure a curation pipeline uses for feature
+    * selection and redundancy pruning (the categorical complement of
+    * Pearson q140 / Spearman q196). Three grouped counts (joint + two
+    * marginals, all bounded by category cardinality); the ln terms run
+    * on exact integer ratios and reduce by pinned-order folds over the
+    * ≤ |X|·|Y| cells, so the statistic is bit-identical across engines.
+    */
+  def mutualInformation(orders: DataFrame): DataFrame = {
+    val joint = orders.groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = orders.groupBy(col("o_orderpriority").as("x")).agg(count(lit(1)).as("nx"))
+    val my = orders.groupBy(col("o_orderstatus").as("y")).agg(count(lit(1)).as("ny"))
+    val total = orders.agg(count(lit(1)).as("n"))
+    val mi = joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("y"),
+        expr("cast(nxy as double) / cast(n as double) * ln(cast(nxy as double) * cast(n as double) / (cast(nx as double) * cast(ny as double)))").as("t"))
+      .agg(expr("aggregate(array_sort(collect_list(named_struct('x', x, 'y', y, 't', t))), 0d, (s, e) -> s + e.t)").as("mi"))
+    def entropy(m: DataFrame, k: String, nc: String) = m.crossJoin(broadcast(total))
+      .select(col(k), expr(s"-(cast($nc as double) / cast(n as double)) * ln(cast($nc as double) / cast(n as double))").as("t"))
+      .agg(expr(s"aggregate(array_sort(collect_list(named_struct('k', $k, 't', t))), 0d, (s, e) -> s + e.t)").as(s"h_$k"))
+    mi.crossJoin(broadcast(entropy(mx, "x", "nx")))
+      .crossJoin(broadcast(entropy(my, "y", "ny")))
+      .crossJoin(broadcast(total))
+      .select(col("n"),
+        round(col("mi"), 6).as("mi"),
+        round(col("h_x"), 6).as("h_x"),
+        round(col("h_y"), 6).as("h_y"),
+        round(expr("mi / sqrt(h_x * h_y)"), 6).as("nmi"))
+  }
+
+  private val mutualInfoOracle = """
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+      FROM orders GROUP BY 1, 2),
+    mx AS (SELECT o_orderpriority AS x, COUNT(*) AS nx FROM orders GROUP BY 1),
+    my AS (SELECT o_orderstatus AS y, COUNT(*) AS ny FROM orders GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n FROM orders),
+    cells AS (
+      SELECT joint.x, joint.y,
+        CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) *
+          ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE) /
+            (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS term
+      FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+    mi AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(term ORDER BY x, y)), (s, e) -> s + e) AS mi
+      FROM cells),
+    hx AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) *
+          ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY x)), (s, e) -> s + e) AS h_x
+      FROM mx CROSS JOIN t),
+    hy AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) *
+          ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY y)), (s, e) -> s + e) AS h_y
+      FROM my CROSS JOIN t)
+    SELECT n, ROUND(mi, 6) AS mi, ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
+      ROUND(mi / sqrt(h_x * h_y), 6) AS nmi
+    FROM mi, hx, hy, t"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q202_mutual_information",
+      (s, d) => mutualInformation(orders(s, d)), Some(mutualInfoOracle)),
     Q("q198_ewma",
       (s, d) => ewmaSmooth(events(s, d)), Some(ewmaOracle)),
     Q("q199_autocorrelation",

@@ -389,6 +389,19 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mutualInformation is zero under independence and bounded by the entropies") {
+    // perfectly independent: every (priority, status) combo equally likely
+    val indep = (for { p <- 1 to 3; st <- 1 to 2; _ <- 1 to 50 }
+      yield (s"P$p", s"S$st")).toDF("o_orderpriority", "o_orderstatus")
+    val r0 = Analytics.mutualInformation(indep).collect()(0)
+    assert(r0.getAs[Double]("mi") == 0.0)
+    // real data: 0 <= MI <= min(H_x, H_y) (within the 1e-6 output grid)
+    val r = Analytics.mutualInformation(Tables.orders(spark, sf("sf0.001"))).collect()(0)
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("h_x"), r.getAs[Double]("h_y"))
+    assert(mi >= -1e-6 && mi <= math.min(hx, hy) + 1e-6)
+    assert(r.getAs[Double]("nmi") >= -1e-6 && r.getAs[Double]("nmi") <= 1.0 + 1e-6)
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
