@@ -261,7 +261,11 @@ object Analytics extends QueryModule {
     // final statistics round to 6: past ~2^53 the decimal→double cast of
     // a power sum is correctly-rounded in BOTH engines but the two
     // implementations can disagree by 1 ulp, and corr/cov magnitudes
-    // (≤1 / data-unit-sized) are fully masked by a 1e-6 grid
+    // (≤1 / data-unit-sized) land on the same 1e-6 grid point in all
+    // but one residual case: a true value within 1 ulp of a .5e-6 tie
+    // boundary, where round() amplifies the disagreement instead of
+    // masking it. Probability ~ulp/grid ≈ 1e-10 per statistic; accepted
+    // (a coarser grade-grid would cost real resolution to remove it)
     def co(c: String) = s"cast($c as double)"
     def pair(name: String, sxy: String, sx: String, sy: String,
         sxx: String, syy: String, unscale: Double) =
@@ -1041,11 +1045,16 @@ object Analytics extends QueryModule {
         date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
     val w = Window.orderBy("month")
-    m.select(col("month"), col("n_orders"), col("rev"),
+    // YoY via a calendar self-join on month-12, not lag(12) over the row
+    // sequence: a positional lag silently misaligns same-month-last-year
+    // whenever an intermediate month has no orders (gap months).
+    val ly = m.select(col("month").as("ly_month"), col("rev").as("rev_ly"))
+    m.join(broadcast(ly), add_months(col("month"), -12) === col("ly_month"),
+        "left_outer")
+      .select(col("month"), col("n_orders"), col("rev"),
         ((col("rev") - lag("rev", 1).over(w)) / lag("rev", 1).over(w))
           .as("mom_growth"),
-        ((col("rev") - lag("rev", 12).over(w)) / lag("rev", 12).over(w))
-          .as("yoy_growth"))
+        ((col("rev") - col("rev_ly")) / col("rev_ly")).as("yoy_growth"))
       .orderBy("month")
   }
 
@@ -1055,12 +1064,13 @@ object Analytics extends QueryModule {
         COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM orders GROUP BY 1)
-    SELECT month, n_orders, rev,
-      (rev - lag(rev, 1) OVER (ORDER BY month)) /
-        lag(rev, 1) OVER (ORDER BY month) AS mom_growth,
-      (rev - lag(rev, 12) OVER (ORDER BY month)) /
-        lag(rev, 12) OVER (ORDER BY month) AS yoy_growth
-    FROM m ORDER BY month"""
+    SELECT m.month, m.n_orders, m.rev,
+      (m.rev - lag(m.rev, 1) OVER (ORDER BY m.month)) /
+        lag(m.rev, 1) OVER (ORDER BY m.month) AS mom_growth,
+      (m.rev - ly.rev) / ly.rev AS yoy_growth
+    FROM m LEFT OUTER JOIN m ly
+      ON CAST(m.month - INTERVAL 12 MONTH AS DATE) = ly.month
+    ORDER BY m.month"""
 
   /** Market-basket brand co-occurrence with support and lift. Baskets
     * collapse to distinct (order, brand) BEFORE the pair phase, the
@@ -1975,7 +1985,7 @@ object Analytics extends QueryModule {
     bySeg.crossJoin(broadcast(global))
       .select(col("c_mktsegment"), col("n").as("n_customers"),
         round(expr("cast(s as double) / cast(n as double) / 100.0"), 6).as("raw_mean"),
-        round(expr("(cast(s as double) + 10.0 * (cast(gs as double) / cast(gn as double))) / (cast(n as double) + 10.0) / 100.0"), 6).as("encoded"))
+        round(expr(s"(cast(s as double) + $m.0 * (cast(gs as double) / cast(gn as double))) / (cast(n as double) + $m.0) / 100.0"), 6).as("encoded"))
       .orderBy("c_mktsegment")
   }
 
@@ -2028,7 +2038,10 @@ object Analytics extends QueryModule {
         round(col("mi"), 6).as("mi"),
         round(col("h_x"), 6).as("h_x"),
         round(col("h_y"), 6).as("h_y"),
-        round(expr("mi / sqrt(h_x * h_y)"), 6).as("nmi"))
+        // single-valued column ⇒ h = 0 ⇒ NaN/Inf whose formatting can
+        // diverge between engines: emit NULL for the degenerate case
+        round(expr("CASE WHEN h_x * h_y > 0 THEN mi / sqrt(h_x * h_y) END"), 6)
+          .as("nmi"))
   }
 
   private val mutualInfoOracle = """
@@ -2059,7 +2072,7 @@ object Analytics extends QueryModule {
           ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY y)), (s, e) -> s + e) AS h_y
       FROM my CROSS JOIN t)
     SELECT n, ROUND(mi, 6) AS mi, ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
-      ROUND(mi / sqrt(h_x * h_y), 6) AS nmi
+      ROUND(CASE WHEN h_x * h_y > 0 THEN mi / sqrt(h_x * h_y) END, 6) AS nmi
     FROM mi, hx, hy, t"""
 
   override def queries: Seq[Q] = Seq(

@@ -65,8 +65,8 @@ final case class AsofLookupExec(
     // point-in-time dimension: bounded collect (executeTake stops pulling
     // partitions once the cap is exceeded, so an accidentally-huge right
     // side fails fast instead of OOMing the driver)
-    val maxRows = conf.getConfString(
-      "graft.asof.maxRightRows", "5000000").toLong
+    val maxRows = math.min(conf.getConfString(
+      "graft.asof.maxRightRows", "5000000").toLong, Int.MaxValue - 1L)
     val taken = right.executeTake(maxRows.toInt + 1)
     require(taken.length <= maxRows,
       s"AsofLookup right side exceeds $maxRows rows; the operator " +
