@@ -12,10 +12,14 @@ import graft.imaging.ImageUdfs
   * trigger (the OSS equivalent of the reference's Delta + trigger-once
   * sink, 02:273-282; SURVEY.md §1.4).
   *
-  * Scale posture: admission control via maxFilesPerTrigger (OSS
-  * substitute for Databricks maxBytesPerTrigger, SURVEY.md §4); the
-  * pipeline is a narrow per-file map — no shuffle anywhere; the date
-  * partitioning makes downstream date-filtered scans prune directories.
+  * Scale posture: BYTE-based admission control via the OSS file source's
+  * own maxBytesPerTrigger (Spark 4 FileStreamOptions) — the same
+  * semantics as the reference's cloudFiles.maxBytesPerTrigger
+  * (02_Data Ingest.py:63,74: cores × 512 MB per cycle), protecting the
+  * cluster from a device-backlog burst regardless of file-size mix; a
+  * files-count cap remains available for tests. The pipeline is a narrow
+  * per-file map — no shuffle anywhere; the date partitioning makes
+  * downstream date-filtered scans prune directories.
   */
 object Ingest {
 
@@ -47,15 +51,27 @@ object Ingest {
       .withColumn("statistics", expr("get_image_statistics(content)"))
   }
 
-  /** Streaming ingest: S1 source options per 02_Data Ingest.py:61-76. */
+  /** Streaming ingest: S1 source options per 02_Data Ingest.py:61-76.
+    * Admission is byte-based by default, mirroring the reference's
+    * `cloudFiles.maxBytesPerTrigger = defaultParallelism * 512 MB`
+    * (02:63,74) via the OSS source's equivalent option; pass
+    * `maxFilesPerTrigger > 0` instead for a count cap (tests use this —
+    * the two options are mutually exclusive in FileStreamOptions).
+    */
   def stream(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1000): StreamingQuery = {
-    val src = spark.readStream
+      checkpointDir: String, maxFilesPerTrigger: Int = 0,
+      maxBytesPerTrigger: Long = 0L): StreamingQuery = {
+    val admission: Long =
+      if (maxBytesPerTrigger > 0) maxBytesPerTrigger
+      else spark.sparkContext.defaultParallelism * 512L * 1024 * 1024
+    val reader = spark.readStream
       .format("binaryFile")
       .schema(graft.imaging.ImageSchema.binaryFileSchema) // streaming sources require an explicit schema
       .option("pathGlobFilter", "*.jpg")
       .option("recursiveFileLookup", "true")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader.option("maxBytesPerTrigger", admission))
       .load(srcDir)
     enrich(spark, src).writeStream
       .format("parquet")

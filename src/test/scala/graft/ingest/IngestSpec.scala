@@ -71,4 +71,28 @@ class IngestSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
     assert(dateDirs.length == 3, s"date partitions ${dateDirs.length}")
   }
+
+  test("byte-based admission: maxBytesPerTrigger splits AvailableNow into capped micro-batches") {
+    val src = Files.createTempDirectory("ingest_bsrc")
+    val out = Files.createTempDirectory("ingest_bout")
+    val cp  = Files.createTempDirectory("ingest_bcp")
+    ImageQueries.writeCorpus(src)
+    val sizes = Files.walk(src).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var total = 0L; var maxFile = 0L
+    sizes.forEachRemaining { p =>
+      if (p.toString.endsWith(".jpg")) { val s = Files.size(p); total += s; maxFile = math.max(maxFile, s) }
+    }
+    // cap ≈ a third of the corpus: forces >=3 admission cycles but always
+    // admits at least one file (the source takes files until the cap is
+    // exceeded, so a batch holds >=1 file regardless of file sizes)
+    val cap = math.max(maxFile, total / 3)
+    val q = Ingest.stream(spark, src.toString, out.toString, cp.toString,
+      maxBytesPerTrigger = cap)
+    q.awaitTermination()
+    assert(spark.read.parquet(out.toString).count() == 24, "all rows admitted across cycles")
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 2,
+      s"byte cap must split the backlog into multiple micro-batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows < 24), "no single batch may admit the whole corpus")
+  }
 }
