@@ -300,6 +300,33 @@ object Relational extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** F9 current_user(): session-provenance stamp. The reference derives
+    * user-scoped config paths from `select current_user()`
+    * (01_Configuration.py:42: `useremail = spark.sql('select
+    * current_user() as user').collect()[0]['user']`, then
+    * `/Users/{useremail}/...` mount points). The literal user differs per
+    * engine and deployment ('root' here, 'duckdb' in the oracle), so the
+    * graded columns are the engine-agnostic facts a config layer branches
+    * on: the user resolves non-empty, and the user-scoped mount path has
+    * exactly the fixed-prefix+user+fixed-suffix shape. The raw value is
+    * pinned by OperatorSpec instead.
+    */
+  def sessionProvenance(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val u = expr("current_user()")
+    val mount = concat(lit("/users/"), u, lit("/images"))
+    orders.agg(count(lit(1)).as("n_orders"))
+      .select(
+        (length(u) > 0).cast("int").cast("long").as("user_ok"),
+        (length(mount) - length(u)).cast("long").as("mount_fixed_len"),
+        col("n_orders"))
+  }
+
+  private val provenanceOracle = """
+    SELECT CAST(CASE WHEN length(current_user()) > 0 THEN 1 ELSE 0 END AS BIGINT) AS user_ok,
+      CAST(length('/users/' || current_user() || '/images') - length(current_user()) AS BIGINT) AS mount_fixed_len,
+      COUNT(*) AS n_orders
+    FROM orders"""
+
   private val base64Oracle = """
     SELECT doc_id, to_base64(encode(text)) AS b64,
       CAST(length(to_base64(encode(text))) AS BIGINT) AS b64_len,
@@ -737,6 +764,8 @@ object Relational extends QueryModule {
       (s, d) => setOps(orders(s, d), customer(s, d)), Some(setOpsOracle)),
     Q("q13_base64_codec",
       (s, d) => base64Codec(documents(s, d)), Some(base64Oracle)),
+    Q("q203_session_provenance",
+      (s, d) => sessionProvenance(s, orders(s, d)), Some(provenanceOracle)),
     Q("q14_distinct_counts",
       (s, d) => distinctCounts(lineitem(s, d)), Some(distinctOracle)),
     Q("q15_price_percentiles",

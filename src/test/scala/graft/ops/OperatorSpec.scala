@@ -100,6 +100,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("current_user resolves to the session user and stamps provenance (F9)") {
+    // the reference's exact access pattern, 01_Configuration.py:42
+    val user = spark.sql("select current_user() as user")
+      .collect()(0).getString(0)
+    assert(user != null && user.nonEmpty, "current_user() must resolve")
+    assert(user == System.getProperty("user.name"), s"session user $user")
+    val r = Relational.sessionProvenance(spark,
+      Tables.orders(spark, sf("sf0.001"))).collect()(0)
+    assert(r.getLong(0) == 1L, "user_ok")
+    assert(r.getLong(1) == "/users//images".length.toLong, "fixed mount shape")
+    assert(r.getLong(2) > 0L, "order count present")
+  }
+
   test("base64 round-trip is identity on documents") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val bad = Relational.base64Codec(docs).filter(col("roundtrip_ok") =!= 1L).count()
