@@ -91,46 +91,62 @@ object Dedup extends QueryModule {
             || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS shs
       FROM documents WHERE len(string_split(text,' ')) >= 4"""
 
-  /** Shared candidate-pair scaffold for the shingle-overlap measures:
-    * (doc_a, doc_b, common, n_a, n_b) for every pair sharing >= 1 shingle
-    * — a shingle-keyed self-join, never an all-pairs product. One
-    * definition so the jaccard/containment measures cannot drift apart
-    * (or from the shared oracle CTE) in shingle n or filters.
-    *
-    * Plan shape: one native shingle-hash pass (WordShingles — ids serve
-    * only as join keys, so an injective-in-practice 64-bit hash preserves
-    * pair counts), localCheckpointed so both self-join sides read one
+  /** Exploded shingle postings (doc_id, n_sh, shid): one native
+    * shingle-hash pass (WordShingles — ids serve only as join keys, so an
+    * injective-in-practice 64-bit hash preserves pair counts),
+    * localCheckpointed so every downstream self-join side reads one
     * materialization. The per-doc shingle count rides along on every
     * exploded row (8 bytes) and is recovered with min() in the pair
-    * aggregate — at 100 TB a corpus-sized `sizes` table is NOT
+    * aggregates — at 100 TB a corpus-sized `sizes` table is NOT
     * broadcastable, and this removes the join against it entirely.
     */
-  private def shinglePairCounts(docs: DataFrame): DataFrame = {
+  private def shinglePostings(docs: DataFrame): DataFrame = {
     import graft.functions.WordShingles.word_shingles
-    val sh = docs
+    docs
       .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
       .filter(col("n_sh") > 0)
       .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
       .localCheckpoint()
-    sh.as("a").join(sh.as("b"), col("a.shid") === col("b.shid") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"),
-        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
   }
 
-  /** n-gram Jaccard near-dup pairs (exact, candidate-pruned):
-    * |A∩B| / (|A|+|B|-|A∩B|) as an exact integer ratio (deterministic
-    * double division) over the shared pair scaffold.
+  /** Postings ranked within each doc by (global document frequency,
+    * shid): rn = 1 is the doc's globally-rarest shingle. The basis of
+    * every prefix filter below — a doc's candidate-generating prefix
+    * holds its rarest shingles, so corpus-wide boilerplate ("stop
+    * shingles") never generates join fan-out.
+    */
+  private def dfRanked(sh: DataFrame): DataFrame = {
+    val freq = sh.groupBy("shid").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "shid")
+    sh.join(freq, "shid").withColumn("rn", row_number().over(w))
+  }
+
+  /** Exact verification: intersection size + both set sizes for each
+    * candidate (doc_a, doc_b) pair, via two co-partitioned joins against
+    * the postings — candidates are few post-filter, so this is the cheap
+    * phase.
+    */
+  private def verifyPairCounts(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.shid") === col("y.shid"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"),
+        min(col("x.n_sh")).as("n_a"), min(col("y.n_sh")).as("n_b"))
+
+  /** n-gram Jaccard near-dup pairs (exact): |A∩B| / (|A|+|B|-|A∩B|) as an
+    * exact integer ratio (deterministic double division).
+    *
+    * The DEFAULT path is the prefix-filtered join (ppjoinPairs): the
+    * naive shingle-keyed self-join this query originally ran costs O(d²)
+    * candidate rows for a shingle shared by d documents, and boilerplate
+    * shingles make d huge at 100 TB — prefix filtering is the lossless
+    * fix (provably no qualifying pair lost), so it is what q27 executes.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame =
-    shinglePairCounts(docs)
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= lit(threshold))
-      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    ppjoinPairs(docs, threshold)
 
   private val jaccardOracle = s"""
     WITH sh0 AS ($shingledSql),
@@ -254,17 +270,38 @@ object Dedup extends QueryModule {
   /** Containment near-dup pairs: common / min(|A|,|B|) — the asymmetric
     * overlap measure that catches a document embedded inside a larger one
     * (jaccard dilutes by the union, so sub-document duplication scores
-    * low; containment does not). Same shingle-keyed candidate join shape
-    * as jaccardPairs; containment >= jaccard always, so this is a
-    * superset detector at equal thresholds.
+    * low; containment does not). containment >= jaccard always, so this
+    * is a superset detector at equal thresholds.
+    *
+    * Candidate generation is a LOSSLESS prefix-vs-full-index join (the
+    * asymmetric cousin of ppjoinPairs' prefix-prefix join): containment
+    * >= τ means common >= ⌈τ·min(|x|,|y|)⌉, so for the SMALLER doc s the
+    * partner intersects s's (|s| − ⌈τ·|s|⌉ + 1)-prefix under the global
+    * (df, shid) order (pigeonhole: the partner misses at most |s|−⌈τ|s|⌉
+    * of s's shingles). Every doc's prefix probes the full postings, so
+    * each pair is found via its smaller side's prefix — no qualifying
+    * pair lost, while corpus-wide stop-shingles sit at the END of the
+    * df-order and essentially never enter a prefix: the hot-shingle d²
+    * fan-out of a naive shingle self-join cannot occur.
     */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
-    shinglePairCounts(docs)
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val sh = shinglePostings(docs)
+    val prefix = dfRanked(sh)
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shid"))
+    val cands = prefix.as("a")
+      .join(sh.as("b"),
+        col("a.shid") === col("b.shid") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairCounts(cands, sh)
       .withColumn("containment",
         col("common").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= lit(threshold))
       .select(col("doc_a"), col("doc_b"), col("common"), col("containment"))
       .orderBy("doc_a", "doc_b")
+  }
 
   private val containmentOracle = s"""
     WITH sh0 AS ($shingledSql),
@@ -661,17 +698,8 @@ object Dedup extends QueryModule {
     * semantics, is the difference, like q162 vs q110).
     */
   def ppjoinPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    import graft.functions.WordShingles.word_shingles
-    val sh = docs
-      .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
-      .withColumn("n_sh", size(col("shs")).cast("long"))
-      .filter(col("n_sh") > 0)
-      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
-      .localCheckpoint() // df-rank, prefix join and verify all read this
-    val freq = sh.groupBy("shid").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy("df", "shid")
-    val prefix = sh.join(freq, "shid")
-      .withColumn("rn", row_number().over(w))
+    val sh = shinglePostings(docs) // df-rank, prefix join and verify all read this
+    val prefix = dfRanked(sh)
       .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("doc_id"), col("shid"))
     val cands = prefix.as("a")
@@ -679,14 +707,7 @@ object Dedup extends QueryModule {
         col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val common = cands
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"),
-        col("doc_b") === col("y.doc_id") && col("x.shid") === col("y.shid"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"),
-        min(col("x.n_sh")).as("n_a"), min(col("y.n_sh")).as("n_b"))
-    common
+    verifyPairCounts(cands, sh)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= lit(threshold))
