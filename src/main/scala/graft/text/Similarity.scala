@@ -79,15 +79,38 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
+  /** Adaptive sign-bit count for the near-dup bucket: enough bits that
+    * the EXPECTED bucket holds ~`target` vectors (within-bucket work is
+    * quadratic in bucket size, so fixed bits would go quadratic in the
+    * corpus as it grows 100×), floored at 8 (the historical width — all
+    * test SFs sit below the floor, keeping results scale-stable) and
+    * capped at 16 (beyond that, recall loss dominates; shard instead).
+    * Mirrored verbatim in the oracle from its own COUNT(*).
+    */
+  private[text] def adaptiveBits(n: Long, target: Long = 256L): Int =
+    math.max(8, math.min(16,
+      math.ceil(math.log(math.max(1L, n).toDouble / target) / math.log(2.0)).toInt))
+
   /** Embedding-cosine near-duplicate pairs (the vector flavor of dedup,
-    * SURVEY.md §2.9): candidates restricted to the same 8-sign-bit LSH
-    * bucket (1/256 of all pairs scanned; cross-bucket near-dups are the
-    * documented recall tradeoff, identical in the oracle), then exact
-    * cosine >= threshold. At scale the bucket id is the shuffle key —
-    * pairs never leave their bucket partition.
+    * SURVEY.md §2.9): candidates restricted to the same sign-bit LSH
+    * bucket (cross-bucket near-dups are the documented recall tradeoff,
+    * identical in the oracle), then exact cosine >= threshold. At scale
+    * the bucket id is the shuffle key — pairs never leave their bucket
+    * partition.
+    *
+    * The bucket WIDTH is adaptive: a 16-bit sign bucket is computed by
+    * one codegen'd per-row expression, then masked down to
+    * adaptiveBits(count) low bits — the count is a single driver-side
+    * planning scalar (the same role AQE statistics play), so expected
+    * bucket size stays ~constant as the corpus grows and the
+    * within-bucket quadratic term never resurfaces. At the test SFs the
+    * mask resolves to the historical 8 bits.
     */
   def embeddingDedupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val b = emb.withColumn("bucket", bucketOf("embedding", 8))
+    val bits = adaptiveBits(emb.count())
+    val b = emb
+      .withColumn("bucket",
+        bucketOf("embedding", 16).bitwiseAND(lit((1L << bits) - 1)))
       .select("vec_id", "bucket", "embedding")
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -99,9 +122,14 @@ object Similarity extends QueryModule {
   }
 
   private val embeddingDedupOracle = s"""
-    WITH b AS (
-      SELECT vec_id, embedding, ${bucketSql("embedding", 8)} AS bucket
+    WITH bb AS (
+      SELECT GREATEST(8, LEAST(16,
+        CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 256.0)) AS INT))) AS bits
       FROM embeddings),
+    b AS (
+      SELECT vec_id, embedding,
+        (${bucketSql("embedding", 16)}) & ((CAST(1 AS BIGINT) << bits) - 1) AS bucket
+      FROM embeddings, bb),
     p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         ROUND(

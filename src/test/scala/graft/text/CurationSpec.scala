@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSpec {
 
+  test("adaptive LSH bit-width: constant expected bucket size, floored and capped") {
+    // floor: every test SF sits at the historical 8 bits
+    assert(Similarity.adaptiveBits(500) == 8)
+    assert(Similarity.adaptiveBits(2000) == 8)
+    assert(Similarity.adaptiveBits(256L * 256) == 8)
+    // growth: +1 bit per corpus doubling keeps E[bucket] ~ target
+    assert(Similarity.adaptiveBits(256L * 512) == 9)
+    assert(Similarity.adaptiveBits(256L * 1024) == 10)
+    // a 100x scale-up from the 8-bit boundary costs ~7 bits, not bucket^2
+    assert(Similarity.adaptiveBits(256L * 256 * 100) == 15)
+    // cap: shard beyond 16 bits instead of losing recall
+    assert(Similarity.adaptiveBits(Long.MaxValue / 4) == 16)
+  }
+
   test("decontamination flags a planted train/eval overlap") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
