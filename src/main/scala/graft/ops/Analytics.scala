@@ -2075,7 +2075,426 @@ object Analytics extends QueryModule {
       ROUND(CASE WHEN h_x * h_y > 0 THEN mi / sqrt(h_x * h_y) END, 6) AS nmi
     FROM mi, hx, hy, t"""
 
+  /** Theil–Sen robust trend of monthly revenue: the median of all
+    * pairwise slopes, with the matching median intercept — the
+    * outlier-resistant twin of the OLS trend (q179): one contaminated
+    * month moves OLS arbitrarily but shifts a pairwise-slope median by
+    * at most one order statistic. The pair phase is bounded by calendar²
+    * (~80 months → ~3.2k pairs), never data size; revenue is an exact
+    * decimal sum so both engines divide identical doubles by exact
+    * integer month gaps, and the median is the interpolated percentile
+    * both engines implement identically.
+    */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .withColumn("idx", (year(col("mon")) * 12 + month(col("mon"))).cast("long"))
+      .localCheckpoint() // calendar-sized; read by pairs, intercept and count
+    val slope = m.as("a").join(m.as("b"), col("a.idx") < col("b.idx"))
+      .select(((col("b.rev") - col("a.rev"))
+        / (col("b.idx") - col("a.idx")).cast("double")).as("slope"))
+      .agg(expr("percentile(slope, 0.5)").as("slope"))
+    // intercept per scipy theilslopes: median(y) − slope·median(x).
+    // The residual-median variant interpolates percentile arithmetic on
+    // ~1e9-magnitude derived doubles, where the two engines' lerp forms
+    // can differ by 1 ulp THROUGH the 1e-6 round (caught at sf0.1);
+    // medians of the raw grids + one shared multiply stay bit-identical.
+    val icept = m.crossJoin(broadcast(slope))
+      .agg((expr("percentile(rev, 0.5)")
+        - max(col("slope")) * expr("percentile(cast(idx as double), 0.5)")).as("icept"))
+    m.agg(count(lit(1)).as("n_months"))
+      .crossJoin(broadcast(slope)).crossJoin(broadcast(icept))
+      .select(col("n_months"), round(col("slope"), 6).as("ts_slope"),
+        round(col("icept"), 6).as("ts_intercept"))
+  }
+
+  private val theilSenOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1),
+    mi AS (SELECT rev, CAST(year(mon)*12 + month(mon) AS BIGINT) AS idx FROM m),
+    s AS (
+      SELECT quantile_cont((b.rev - a.rev) / CAST(b.idx - a.idx AS DOUBLE), 0.5) AS slope
+      FROM mi a JOIN mi b ON a.idx < b.idx),
+    i AS (
+      SELECT quantile_cont(rev, 0.5)
+        - MAX(s.slope) * quantile_cont(CAST(idx AS DOUBLE), 0.5) AS icept
+      FROM mi, s)
+    SELECT (SELECT COUNT(*) FROM mi) AS n_months,
+      ROUND(s.slope, 6) AS ts_slope, ROUND(i.icept, 6) AS ts_intercept
+    FROM s, i"""
+
+  /** Kendall tau-b rank association between monthly order count and
+    * monthly revenue — the rank-correlation complement of Spearman
+    * (q196) that handles ties exactly: every pair is classified
+    * concordant / discordant / x-tied / y-tied from exact integer and
+    * exact decimal comparisons, so C, D, Tx, Ty are exact counts and
+    * tau_b's one sqrt runs on identical doubles. Pairs bounded by
+    * calendar², never data size.
+    */
+  def kendallTau(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("y"))
+    val cls = m.as("a").join(m.as("b"), col("a.mon") < col("b.mon"))
+      .select(signum((col("b.x") - col("a.x")).cast("double")).as("dx"),
+        signum((col("b.y") - col("a.y")).cast("double")).as("dy"))
+    cls.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dx") =!= 0 && col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n_pairs"), col("c"), col("d"), col("tx"), col("ty"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt(((col("c") + col("d") + col("tx")) *
+            (col("c") + col("d") + col("ty"))).cast("double")), 6).as("tau_b"))
+  }
+
+  private val kendallTauOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        COUNT(*) AS x,
+        SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS y
+      FROM orders GROUP BY 1),
+    cls AS (
+      SELECT CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS dx,
+        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS dy
+      FROM m a JOIN m b ON a.mon < b.mon),
+    agg AS (
+      SELECT COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        CAST(SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM cls)
+    SELECT n_pairs, c, d, tx, ty,
+      ROUND(CAST(c - d AS DOUBLE) /
+        sqrt(CAST((c + d + tx) * (c + d + ty) AS DOUBLE)), 6) AS tau_b
+    FROM agg"""
+
+  /** Categorical effect-size suite over the (order priority × order
+    * status) contingency: chi-square plus the normalized association
+    * measures a feature-selection pass actually thresholds on —
+    * Cramér's V, Tschuprow's T and Pearson's contingency coefficient.
+    * The chi2 accumulates by pinned-order fold over ≤ |X|·|Y| cells
+    * (the q157 discipline) from exact integer margins; every effect
+    * size is then one deterministic double expression of (chi2, n, r, c).
+    */
+  def effectSizes(orders: DataFrame): DataFrame = {
+    val cells = orders.groupBy(col("o_orderpriority").as("px"),
+        col("o_orderstatus").as("sy"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny; reused by margins + counts below
+    val rows = cells.groupBy("px").agg(sum("o").as("r"))
+    val cols = cells.groupBy("sy").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val dims = cells.agg(countDistinct("px").as("nr"), countDistinct("sy").as("nc"))
+    val chi2 = cells.join(broadcast(rows), "px").join(broadcast(cols), "sy")
+      .crossJoin(broadcast(n))
+      .select(concat_ws("|", col("px"), col("sy")).as("cell"),
+        (pow(col("o").cast("double") -
+          col("r").cast("double") * col("c") / col("n"), 2) /
+          (col("r").cast("double") * col("c") / col("n"))).as("t"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("cell").as("k"), col("t").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("chi2"))
+    chi2.crossJoin(broadcast(n)).crossJoin(broadcast(dims))
+      .select(round(col("chi2"), 6).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(sqrt(col("chi2") / col("n") /
+          least(col("nr") - 1, col("nc") - 1)), 6).as("cramers_v"),
+        round(sqrt(col("chi2") / col("n") /
+          sqrt(((col("nr") - 1) * (col("nc") - 1)).cast("double"))), 6)
+          .as("tschuprow_t"),
+        round(sqrt(col("chi2") / (col("chi2") + col("n"))), 6).as("contingency_c"))
+  }
+
+  private val effectSizesOracle = """
+    WITH cells AS (
+      SELECT o_orderpriority AS px, o_orderstatus AS sy, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT px, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY px),
+    c AS (SELECT sy, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY sy),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    dims AS (SELECT CAST(COUNT(DISTINCT px) AS BIGINT) AS nr,
+      CAST(COUNT(DISTINCT sy) AS BIGINT) AS nc FROM cells),
+    terms AS (
+      SELECT CONCAT_WS('|', px, sy) AS cell,
+        pow(CAST(o AS DOUBLE) - CAST(r.r AS DOUBLE) * c.c / n.n, 2) /
+          (CAST(r.r AS DOUBLE) * c.c / n.n) AS t
+      FROM cells JOIN r USING (px) JOIN c USING (sy) CROSS JOIN n),
+    x2 AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(t ORDER BY cell)), (s, e) -> s + e) AS chi2
+      FROM terms)
+    SELECT ROUND(chi2, 6) AS chi2,
+      (nr - 1) * (nc - 1) AS dof,
+      ROUND(sqrt(chi2 / n / LEAST(nr - 1, nc - 1)), 6) AS cramers_v,
+      ROUND(sqrt(chi2 / n / sqrt(CAST((nr - 1) * (nc - 1) AS DOUBLE))), 6) AS tschuprow_t,
+      ROUND(sqrt(chi2 / (chi2 + n)), 6) AS contingency_c
+    FROM x2, n, dims"""
+
+  /** Gini concentration of per-customer spend (Lorenz-curve statistic):
+    * how concentrated revenue is across the customer base — the
+    * inequality audit a curation pipeline runs on source contribution.
+    * Computed scale-shaped: the global rank i never needs a corpus-wide
+    * single-partition window — ranks decompose as (cumulative count of
+    * strictly-smaller spend groups) + (row_number within the equal-spend
+    * group). The first window runs over the AGGREGATED distinct-spend
+    * table, the second is partitioned by spend value. All sums are exact
+    * decimal cents; the final ratio rounds to 6 (unit-sized statistic —
+    * wide-decimal→double conversion ulp masked per the q140 rule).
+    */
+  def giniConcentration(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val spend = customer.select(col("c_custkey"))
+      .join(orders.groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("cents")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("cents"), lit(0).cast("decimal(18,0)")).as("cents"))
+    val grp = spend.groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    val base = grp.withColumn("before", coalesce(sum("cnt").over(wg), lit(0L)))
+    val wi = Window.partitionBy("cents").orderBy("c_custkey")
+    val ranked = spend.join(base, "cents")
+      .withColumn("i", (col("before") + row_number().over(wi)).cast("decimal(18,0)"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("decimal(38,0)").as("s"),
+        sum(col("i") * col("cents")).cast("decimal(38,0)").as("si"))
+      .select(col("n"),
+        (col("s").cast("double") / 100.0).as("total_spend"),
+        round((lit(2).cast("decimal(18,0)") * col("si") -
+          (col("n") + 1).cast("decimal(18,0)") * col("s")).cast("double") /
+          (col("n").cast("decimal(18,0)") * col("s")).cast("double"), 6).as("gini"))
+  }
+
+  private val giniOracle = """
+    WITH spend AS (
+      SELECT c_custkey, COALESCE(cents, CAST(0 AS DECIMAL(18,0))) AS cents
+      FROM customer LEFT OUTER JOIN (
+        SELECT o_custkey,
+          SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS cents
+        FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+    ranked AS (
+      SELECT cents,
+        CAST(row_number() OVER (ORDER BY cents, c_custkey) AS DECIMAL(18,0)) AS i
+      FROM spend),
+    agg AS (
+      SELECT COUNT(*) AS n, CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+        CAST(SUM(i * cents) AS DECIMAL(38,0)) AS si
+      FROM ranked)
+    SELECT n, CAST(s AS DOUBLE) / 100.0 AS total_spend,
+      ROUND(CAST(CAST(2 AS DECIMAL(18,0)) * si -
+          CAST(n + 1 AS DECIMAL(18,0)) * s AS DOUBLE) /
+        CAST(CAST(n AS DECIMAL(18,0)) * s AS DOUBLE), 6) AS gini
+    FROM agg"""
+
+  /** Leave-one-group-out (jackknife) standard error of the mean order
+    * value, groups = customer nations: the resampling-free uncertainty
+    * estimate a pipeline attaches to its headline statistics without an
+    * engine RNG (bootstrap draws would never cross-check between
+    * engines; the jackknife is exactly deterministic). The group phase
+    * is one broadcast-dim join + groupBy; the g leave-one-out means are
+    * doubles from exact integer sums, reduced by pinned-order folds over
+    * g ≤ 25 values.
+    */
+  def jackknifeSe(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val byNat = orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("nk"),
+        sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("sk"))
+      .localCheckpoint() // ≤ 25 rows; reused by totals + loo means
+    val tot = byNat.agg(sum("nk").as("nn"),
+      sum("sk").cast("decimal(38,0)").as("ss"), count(lit(1)).as("g"))
+    val loo = byNat.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("g"),
+        (((col("ss") - col("sk")).cast("double")) /
+          ((col("nn") - col("nk")).cast("double")) / 100.0).as("mk"))
+    val jk = loo.groupBy("g")
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("n_name").as("k"), col("mk").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")) / col("g")).as("mj"))
+    loo.join(broadcast(jk), "g")
+      .select(col("g"), col("n_name"),
+        (pow(col("mk") - col("mj"), 2)).as("d2"), col("mj"))
+      .groupBy("g", "mj")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("n_name").as("k"), col("d2").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("ssd"))
+      .crossJoin(broadcast(tot.select(
+        (col("ss").cast("double") / col("nn").cast("double") / 100.0).as("mean"))))
+      .select(col("g"), round(col("mean"), 6).as("mean"),
+        round(col("mj"), 6).as("jk_mean"),
+        round(sqrt((col("g") - 1).cast("double") / col("g") * col("ssd")), 6)
+          .as("jk_se"),
+        round((col("g") - 1).cast("double") * (col("mj") - col("mean")), 6)
+          .as("jk_bias"))
+  }
+
+  private val jackknifeOracle = """
+    WITH bynat AS (
+      SELECT n_name, COUNT(*) AS nk,
+        SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS sk
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS nn,
+      CAST(SUM(sk) AS DECIMAL(38,0)) AS ss, COUNT(*) AS g FROM bynat),
+    loo AS (
+      SELECT n_name, g,
+        CAST(ss - sk AS DOUBLE) / CAST(nn - nk AS DOUBLE) / 100.0 AS mk
+      FROM bynat, tot),
+    jk AS (
+      SELECT g, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(mk ORDER BY n_name)), (s, e) -> s + e) / g AS mj
+      FROM loo GROUP BY g),
+    ssd AS (
+      SELECT loo.g, mj, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(pow(mk - mj, 2) ORDER BY n_name)), (s, e) -> s + e) AS ssd
+      FROM loo JOIN jk ON loo.g = jk.g GROUP BY loo.g, mj)
+    SELECT ssd.g, ROUND(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0, 6) AS mean,
+      ROUND(mj, 6) AS jk_mean,
+      ROUND(sqrt(CAST(ssd.g - 1 AS DOUBLE) / ssd.g * ssd.ssd), 6) AS jk_se,
+      ROUND(CAST(ssd.g - 1 AS DOUBLE) * (mj - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0), 6) AS jk_bias
+    FROM ssd, tot"""
+
+  /** Two-sample Kolmogorov–Smirnov distance between the purchase and
+    * view value distributions — the distribution-drift test a pipeline
+    * runs between cohorts (the nonparametric complement of PSI q190 and
+    * Mann–Whitney q184). The CDF difference is computed on the
+    * AGGREGATED value grid (2-decimal values group exactly), and the
+    * supremum runs on exact integers: max|cp·nv − cv·np| is an integer
+    * before the single final division, so D is bit-identical across
+    * engines and partitionings. The only ordered window runs over the
+    * distinct-value grid, never the corpus.
+    */
+  def ksTest(events: DataFrame): DataFrame = {
+    val f = events.filter(col("event_type").isin("purchase", "view"))
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+    val grid = f.groupBy("value")
+      .agg(sum(col("isp")).as("np"), sum(lit(1L) - col("isp")).as("nv"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(col("value"),
+      sum("np").over(w).as("cp"), sum("nv").over(w).as("cv"))
+    val tot = grid.agg(sum("np").as("tp"), sum("nv").as("tv"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("tp"), col("tv"),
+        abs(col("cp") * col("tv") - col("cv") * col("tp")).as("dnum"))
+      .groupBy("tp", "tv").agg(max("dnum").as("d_num"))
+      .select(col("tp").as("n_purchase"), col("tv").as("n_view"), col("d_num"),
+        round(col("d_num").cast("double") / (col("tp") * col("tv")).cast("double"), 6)
+          .as("d_stat"),
+        round(sqrt((col("tp") * col("tv")).cast("double") /
+            (col("tp") + col("tv")).cast("double")) *
+          (col("d_num").cast("double") / (col("tp") * col("tv")).cast("double")), 6)
+          .as("ks_scaled"))
+  }
+
+  private val ksOracle = """
+    WITH f AS (
+      SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    grid AS (
+      SELECT value, CAST(SUM(isp) AS BIGINT) AS np,
+        CAST(SUM(1 - isp) AS BIGINT) AS nv
+      FROM f GROUP BY value),
+    cum AS (
+      SELECT SUM(np) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        SUM(nv) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+      FROM grid),
+    tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nv) AS BIGINT) AS tv FROM grid),
+    d AS (SELECT MAX(ABS(cp * tv - cv * tp)) AS d_num FROM cum, tot)
+    SELECT tp AS n_purchase, tv AS n_view, CAST(d_num AS BIGINT) AS d_num,
+      ROUND(CAST(d_num AS DOUBLE) / CAST(tp * tv AS DOUBLE), 6) AS d_stat,
+      ROUND(sqrt(CAST(tp * tv AS DOUBLE) / CAST(tp + tv AS DOUBLE)) *
+        (CAST(d_num AS DOUBLE) / CAST(tp * tv AS DOUBLE)), 6) AS ks_scaled
+    FROM d, tot"""
+
+  /** Classical seasonal decomposition of monthly revenue (STL-lite):
+    * trend = centered 13-month moving average over exact integer cents
+    * (the window SUM is an exact decimal, so trend is bit-identical —
+    * no float fold-order hazard), seasonal = month-of-year mean of the
+    * detrended series by pinned-order fold, residual = remainder. Only
+    * complete-window months are emitted. Every window is calendar-
+    * bounded; the corpus appears in exactly one groupBy(month) shuffle.
+    */
+  def stlDecompose(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(
+        date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("cents"))
+    val w13 = Window.orderBy("mon").rowsBetween(-6, 6)
+    val t = m
+      .withColumn("wsum", sum("cents").over(w13).cast("decimal(38,0)"))
+      .withColumn("wcnt", count(lit(1)).over(w13))
+      .filter(col("wcnt") === 13)
+      .select(col("mon"),
+        (col("cents").cast("double") / 100.0).as("rev"),
+        (col("wsum").cast("double") / 13.0 / 100.0).as("trend"))
+      .withColumn("detr", col("rev") - col("trend"))
+      .localCheckpoint() // calendar-sized; read by the seasonal join too
+    val seas = t.groupBy(month(col("mon")).as("moy"))
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("mon").as("k"), col("detr").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("seasonal"))
+    t.join(broadcast(seas), month(col("mon")) === col("moy"))
+      .select(col("mon"), col("rev"), round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detr") - col("seasonal"), 6).as("resid"))
+      .orderBy("mon")
+  }
+
+  private val stlOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS cents
+      FROM orders GROUP BY 1),
+    t0 AS (
+      SELECT mon, cents,
+        CAST(SUM(cents) OVER (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS DECIMAL(38,0)) AS wsum,
+        COUNT(*) OVER (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wcnt
+      FROM m),
+    t AS (
+      SELECT mon, CAST(cents AS DOUBLE) / 100.0 AS rev,
+        CAST(wsum AS DOUBLE) / 13.0 / 100.0 AS trend,
+        CAST(cents AS DOUBLE) / 100.0 - CAST(wsum AS DOUBLE) / 13.0 / 100.0 AS detr
+      FROM t0 WHERE wcnt = 13),
+    seas AS (
+      SELECT month(mon) AS moy,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(detr ORDER BY mon)), (s, e) -> s + e) / COUNT(*) AS seasonal
+      FROM t GROUP BY 1)
+    SELECT mon, rev, ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
+      ROUND(detr - seasonal, 6) AS resid
+    FROM t JOIN seas ON month(mon) = moy
+    ORDER BY mon"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q204_theilsen_trend",
+      (s, d) => theilSen(orders(s, d)), Some(theilSenOracle)),
+    Q("q205_kendall_tau",
+      (s, d) => kendallTau(orders(s, d)), Some(kendallTauOracle)),
+    Q("q206_effect_sizes",
+      (s, d) => effectSizes(orders(s, d)), Some(effectSizesOracle)),
+    Q("q207_gini_concentration",
+      (s, d) => giniConcentration(customer(s, d), orders(s, d)), Some(giniOracle)),
+    Q("q211_jackknife_se",
+      (s, d) => jackknifeSe(orders(s, d), customer(s, d), nation(s, d)),
+      Some(jackknifeOracle)),
+    Q("q212_ks_test",
+      (s, d) => ksTest(events(s, d)), Some(ksOracle)),
+    Q("q213_stl_decompose",
+      (s, d) => stlDecompose(orders(s, d)), Some(stlOracle)),
     Q("q202_mutual_information",
       (s, d) => mutualInformation(orders(s, d)), Some(mutualInfoOracle)),
     Q("q198_ewma",

@@ -770,7 +770,59 @@ object Dedup extends QueryModule {
       CAST(SUM(CASE WHEN score >= 0.85 THEN id_a + id_b ELSE 0 END) AS BIGINT) AS match_checksum
     FROM pairs GROUP BY nation, segment ORDER BY nation, segment"""
 
+  /** Incremental (snapshot-vs-batch) dedup admission: the nightly-ingest
+    * shape where an incoming batch is admitted against an existing
+    * corpus — a doc is admitted iff its content fingerprint is neither
+    * already in the base snapshot NOR claimed by an earlier doc of the
+    * same batch. Base membership is a fingerprint ANTI-JOIN (at 100 TB
+    * the base side is a bucketed fingerprint index, not the corpus);
+    * within-batch survivorship is a fingerprint-partitioned window.
+    * Only per-language admission counts leave the fingerprint shuffle.
+    * Split rule (doc_id mod 10 >= 8 = incoming) mirrors the q02 audit's
+    * deterministic split family.
+    */
+  def snapshotDedup(docs: DataFrame): DataFrame = {
+    val fp = docs.withColumn("h", textMd5)
+    val base = fp.filter(pmod(col("doc_id"), lit(10)) < 8)
+    val inc = fp.filter(pmod(col("doc_id"), lit(10)) >= 8)
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    val marked = inc
+      .join(base.select(col("h").as("bh")).distinct(),
+        col("h") === col("bh"), "left_outer")
+      .withColumn("in_base", col("bh").isNotNull)
+      .withColumn("rn", row_number().over(w))
+    marked.groupBy("lang")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("in_base"), 1L).otherwise(0L)).as("dup_vs_base"),
+        sum(when(!col("in_base") && col("rn") > 1, 1L).otherwise(0L))
+          .as("dup_in_batch"),
+        sum(when(!col("in_base") && col("rn") === 1, 1L).otherwise(0L))
+          .as("admitted"),
+        sum(when(!col("in_base") && col("rn") === 1, col("doc_id"))
+          .otherwise(0L)).as("admit_checksum"))
+      .orderBy("lang")
+  }
+
+  private val snapshotDedupOracle = """
+    WITH fp AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+    base AS (SELECT DISTINCT h FROM fp WHERE doc_id % 10 < 8),
+    inc AS (
+      SELECT doc_id, lang, h,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % 10 >= 8),
+    marked AS (
+      SELECT inc.*, base.h IS NOT NULL AS in_base
+      FROM inc LEFT OUTER JOIN base ON inc.h = base.h)
+    SELECT lang, COUNT(*) AS n_incoming,
+      CAST(SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_base,
+      CAST(SUM(CASE WHEN NOT in_base AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_in_batch,
+      CAST(SUM(CASE WHEN NOT in_base AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+      CAST(SUM(CASE WHEN NOT in_base AND rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS admit_checksum
+    FROM marked GROUP BY lang ORDER BY lang"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q214_snapshot_dedup",
+      (s, d) => snapshotDedup(documents(s, d)), Some(snapshotDedupOracle)),
     Q("q192_record_linkage",
       (s, d) => recordLinkage(customer(s, d)), Some(recordLinkageOracle)),
     Q("q178_ppjoin_pairs",

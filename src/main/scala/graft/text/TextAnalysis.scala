@@ -927,7 +927,138 @@ object TextAnalysis extends QueryModule {
       CAST(SUM(doc_id * tf) AS BIGINT) AS posting_checksum
     FROM tfs GROUP BY token ORDER BY token"""
 
+  /** Readability audit per language (Flesch-style): words/sentence and
+    * vowel-group "syllables"/word from three corpus-summable exact
+    * integer counts — the document-complexity signal a curation pipeline
+    * thresholds next to the q22 quality score. Sentence and syllable
+    * counting are regex counts over character classes simple enough that
+    * the Java and RE2-family engines agree symbol-for-symbol.
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("words"),
+        sum(regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("sentences"),
+        sum(regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long")).as("syllables"))
+      .select(col("lang"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        round(when(col("sentences") > 0 && col("words") > 0,
+          lit(206.835)
+            - lit(1.015) * col("words").cast("double") / col("sentences")
+            - lit(84.6) * col("syllables").cast("double") / col("words")), 6)
+          .as("flesch"))
+      .orderBy("lang")
+
+  private val readabilityOracle = """
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words,
+      CAST(SUM(len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences,
+      CAST(SUM(len(regexp_extract_all(lower(text), '[aeiou]+'))) AS BIGINT) AS syllables,
+      ROUND(CASE WHEN SUM(len(regexp_extract_all(text, '[.!?]+'))) > 0
+          AND SUM(len(string_split(text, ' '))) > 0 THEN
+        206.835
+          - 1.015 * CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+            / SUM(len(regexp_extract_all(text, '[.!?]+')))
+          - 84.6 * CAST(SUM(len(regexp_extract_all(lower(text), '[aeiou]+'))) AS DOUBLE)
+            / SUM(len(string_split(text, ' '))) END, 6) AS flesch
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Vocabulary-growth (Heaps' law) audit: cumulative vocabulary and
+    * token mass at ten corpus-fraction checkpoints, with the local
+    * Heaps exponent ln(V)/ln(T) at each. Checkpoint boundaries are the
+    * interpolated doc-id deciles (identical in both engines); each
+    * token's contribution is its FIRST document (one groupBy(token)
+    * min), so the corpus-sized phases are one postings shuffle + one
+    * vocabulary-sized broadcast-range join — no corpus-wide window
+    * anywhere. The audit that says whether more raw data still buys
+    * vocabulary, before paying to ingest it.
+    */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val firstDoc = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val perDoc = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val bounds = docs
+      .agg(expr("percentile(doc_id, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0))")
+        .as("bs"))
+      .select(posexplode(col("bs")).as(Seq("i", "boundary")))
+      .select((col("i") + 1).cast("long").as("decile"), col("boundary"))
+    val vocab = firstDoc.crossJoin(broadcast(bounds))
+      .filter(col("first_doc") <= col("boundary"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab"))
+    val mass = perDoc.crossJoin(broadcast(bounds))
+      .filter(col("doc_id") <= col("boundary"))
+      .groupBy("decile").agg(sum("n_tok").as("tokens_cum"),
+        count(lit(1)).as("docs_cum"))
+    vocab.join(mass, "decile")
+      .select(col("decile"), col("docs_cum"), col("tokens_cum"), col("vocab"),
+        round(log(col("vocab").cast("double")) / log(col("tokens_cum").cast("double")), 6)
+          .as("heaps_beta"))
+      .orderBy("decile")
+  }
+
+  private val heapsOracle = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    first_doc AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    bounds0 AS (
+      SELECT quantile_cont(doc_id,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bs
+      FROM documents),
+    bounds AS (
+      SELECT CAST(i AS BIGINT) AS decile, bs[CAST(i AS INT)] AS boundary
+      FROM bounds0, range(1, 11) r(i)),
+    vocab AS (
+      SELECT decile, COUNT(*) AS vocab
+      FROM first_doc, bounds WHERE first_doc <= boundary GROUP BY decile),
+    mass AS (
+      SELECT decile, CAST(SUM(n_tok) AS BIGINT) AS tokens_cum,
+        COUNT(*) AS docs_cum
+      FROM per_doc, bounds WHERE doc_id <= boundary GROUP BY decile)
+    SELECT decile, docs_cum, tokens_cum, vocab,
+      ROUND(ln(CAST(vocab AS DOUBLE)) / ln(CAST(tokens_cum AS DOUBLE)), 6) AS heaps_beta
+    FROM vocab JOIN mass USING (decile) ORDER BY decile"""
+
+  /** Hapax-legomenon audit per language: vocabulary size, singleton
+    * count and their ratio — the classic corpus-maturity signal (a high
+    * hapax share means the corpus is still under-sampling its
+    * vocabulary; OCR noise also shows up here first). One postings
+    * shuffle to (lang, token) counts, then a lang-sized rollup.
+    */
+  def hapaxRatio(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum("tf").as("tokens"))
+      .select(col("lang"), col("vocab"), col("hapax"), col("tokens"),
+        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_ratio"),
+        round(col("vocab").cast("double") / col("tokens"), 6).as("ttr"))
+      .orderBy("lang")
+
+  private val hapaxOracle = """
+    WITH tf AS (
+      SELECT lang, tok, COUNT(*) AS tf FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok)
+    SELECT lang, COUNT(*) AS vocab,
+      CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      CAST(SUM(tf) AS BIGINT) AS tokens,
+      ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS hapax_ratio,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) AS ttr
+    FROM tf GROUP BY lang ORDER BY lang"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q208_readability",
+      (s, d) => readability(documents(s, d)), Some(readabilityOracle)),
+    Q("q209_heaps_law",
+      (s, d) => heapsLaw(documents(s, d)), Some(heapsOracle)),
+    Q("q210_hapax_ratio",
+      (s, d) => hapaxRatio(documents(s, d)), Some(hapaxOracle)),
     Q("q186_inverted_index",
       (s, d) => invertedIndex(documents(s, d)), Some(invertedIndexOracle)),
     Q("q165_chunk_dedup",

@@ -47,13 +47,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "must not fall back to a cartesian product")
   }
 
-  test("q27: single self-join — sizes ride on the shingle rows") {
-    // the old shape had 3 joins (self-join + 2 corpus-sized size lookups,
-    // broadcast — unshippable at 100 TB); sizes now ride along on the
-    // exploded shingle rows, so exactly one join remains
+  test("q27: prefix-filtered join — candidates from df-ranked prefixes, then verify") {
+    // r7: the default path is the PPJoin scaffold. The candidate join must
+    // run between PREFIX projections (each side filtered by the rn <=
+    // prefix-length predicate downstream of a Window over (df, shid)),
+    // never between two full postings sides — that shape is the hot-
+    // shingle d² blowup this replaced. Verification joins on doc_id are
+    // expected; sizes still ride along on the shingle rows (no
+    // corpus-sized size-lookup join).
     val p = plan("q27_jaccard_pairs")
-    assert("Join".r.findAllIn(p).length == 1,
-      s"expected exactly one join:\n${p.take(1500)}")
+    assert(p.contains("Window"), "df-rank window must exist (prefix filter)")
+    assert("Join".r.findAllIn(p).length >= 3,
+      "candidate + verify joins expected")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
   test("q75: full outer join sees pre-aggregated sides (no raw-table join)") {
