@@ -820,7 +820,116 @@ object Dedup extends QueryModule {
       CAST(SUM(CASE WHEN NOT in_base AND rn = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS admit_checksum
     FROM marked GROUP BY lang ORDER BY lang"""
 
+  /** Near-dedup threshold sensitivity sweep: pair yield, affected-doc
+    * count and mean similarity at τ ∈ {0.5, 0.6, 0.7, 0.8} from ONE
+    * candidate pass — the tuning audit run before committing a dedup
+    * threshold corpus-wide (re-running the pair join per τ would scan
+    * the corpus four times; verified pairs at the loosest τ are a
+    * superset of every tighter τ's, so one scaffold pass serves all).
+    * Candidate generation is the lossless prefix filter at τ = 0.5.
+    */
+  def thresholdSweep(docs: DataFrame): DataFrame = {
+    val pairs = ppjoinPairs(docs, 0.5)
+      .localCheckpoint() // one pair pass feeds all four thresholds
+    val taus = Seq(0.5, 0.6, 0.7, 0.8)
+    taus.map { t =>
+      val p = pairs.filter(col("jaccard") >= lit(t)).localCheckpoint()
+      val docsIn = p.select(col("doc_a").as("d"))
+        .union(p.select(col("doc_b").as("d"))).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      p.agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(aggregate(
+            array_sort(collect_list(struct(col("doc_a").as("ka"),
+              col("doc_b").as("kb"), col("jaccard").as("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1)), 6),
+            lit(0.0)).as("avg_jaccard"))
+        .crossJoin(docsIn)
+        .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs"),
+          col("avg_jaccard"))
+    }.reduce(_.unionAll(_)).orderBy("threshold")
+  }
+
+  private val thresholdSweepOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+    taus AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold),
+    per AS (
+      SELECT threshold,
+        COUNT(jaccard) AS n_pairs,
+        COALESCE(ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(jaccard ORDER BY doc_a, doc_b)), (s, e) -> s + e)
+          / COUNT(jaccard), 6), 0.0) AS avg_jaccard
+      FROM taus LEFT JOIN j ON jaccard >= threshold GROUP BY threshold),
+    docs_in AS (
+      SELECT threshold, COUNT(DISTINCT d) AS n_docs
+      FROM taus LEFT JOIN (
+        SELECT doc_a AS d, jaccard FROM j
+        UNION ALL SELECT doc_b, jaccard FROM j) u ON jaccard >= threshold
+      GROUP BY threshold)
+    SELECT threshold, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs, avg_jaccard
+    FROM per JOIN docs_in USING (threshold) ORDER BY threshold"""
+
+  /** Cross-language contamination audit: content fingerprints appearing
+    * under more than one language tag — the translate-/mislabel-
+    * contamination check a multilingual corpus runs before computing
+    * language mixture weights (a doc counted in two languages corrupts
+    * both buckets). Runs on a deterministic contamination fixture (every
+    * 7th doc re-enters with a rewritten lang tag, the relabeled-copy
+    * shape); classes group by their sorted language signature so the
+    * output is signature-sized, never corpus-sized.
+    */
+  def crossLangContamination(docs: DataFrame): DataFrame = {
+    val fixture = docs.union(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+        .withColumn("lang", concat(lit("xx-"), col("lang"))))
+    val classes = fixture.withColumn("h", textMd5)
+      .groupBy("h")
+      .agg(countDistinct("lang").as("n_langs"), count(lit(1)).as("n_copies"),
+        min("doc_id").as("class_id"),
+        concat_ws(",", array_sort(collect_set(col("lang")))).as("langs_sig"))
+      .filter(col("n_langs") > 1)
+    classes.groupBy("langs_sig")
+      .agg(count(lit(1)).as("n_classes"), sum("n_copies").as("n_docs"),
+        sum("class_id").as("class_checksum"))
+      .orderBy("langs_sig")
+  }
+
+  private val crossLangOracle = """
+    WITH fixture AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text, 'xx-' || lang
+      FROM documents WHERE doc_id % 7 = 0),
+    classes AS (
+      SELECT md5(text) AS h, COUNT(DISTINCT lang) AS n_langs,
+        COUNT(*) AS n_copies, MIN(doc_id) AS class_id,
+        string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_sig
+      FROM fixture GROUP BY md5(text)
+      HAVING COUNT(DISTINCT lang) > 1)
+    SELECT langs_sig, COUNT(*) AS n_classes,
+      CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      CAST(SUM(class_id) AS BIGINT) AS class_checksum
+    FROM classes GROUP BY langs_sig ORDER BY langs_sig"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q215_threshold_sweep",
+      (s, d) => thresholdSweep(documents(s, d)), Some(thresholdSweepOracle)),
+    Q("q216_crosslang_contamination",
+      (s, d) => crossLangContamination(documents(s, d)), Some(crossLangOracle)),
     Q("q214_snapshot_dedup",
       (s, d) => snapshotDedup(documents(s, d)), Some(snapshotDedupOracle)),
     Q("q192_record_linkage",

@@ -1052,7 +1052,52 @@ object TextAnalysis extends QueryModule {
       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) AS ttr
     FROM tf GROUP BY lang ORDER BY lang"""
 
+  /** Pareto tail fit of document lengths per language: the Hill/MLE
+    * exponent α̂ = 1 + n / Σ ln(x / xmin) over docs with n_chars ≥ xmin —
+    * the heavy-tail audit that decides whether length-capping a corpus
+    * discards meaningful mass (α ≤ 2 means the tail carries unbounded
+    * share). One corpus filter + per-lang sums; the ln terms reduce by
+    * pinned-order fold over each lang's tail (both engines feed ln
+    * identical exact-integer ratios, the q125/q141 discipline).
+    */
+  def paretoTail(docs: DataFrame, xmin: Long = 200L): DataFrame = {
+    val tail = docs.filter(col("n_chars") >= xmin)
+      .select(col("lang"), col("doc_id"),
+        log(col("n_chars").cast("double") / lit(xmin.toDouble)).as("lnx"))
+    val perLang = tail.groupBy("lang")
+      .agg(count(lit(1)).as("n_tail"),
+        aggregate(
+          array_sort(collect_list(struct(col("doc_id").as("k"), col("lnx").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("slnx"))
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    perLang.join(totals, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tail"),
+        round(col("n_tail").cast("double") / col("n_docs"), 6).as("tail_share"),
+        // degenerate tail (every doc exactly at xmin) ⇒ slnx = 0: emit
+        // NULL, not an engine-formatted Infinity
+        round(when(col("slnx") > 0,
+          lit(1.0) + col("n_tail").cast("double") / col("slnx")), 6).as("alpha_hat"))
+      .orderBy("lang")
+  }
+
+  private val paretoOracle = """
+    WITH tail AS (
+      SELECT lang, doc_id, ln(CAST(n_chars AS DOUBLE) / 200.0) AS lnx
+      FROM documents WHERE n_chars >= 200),
+    per_lang AS (
+      SELECT lang, COUNT(*) AS n_tail,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(lnx ORDER BY doc_id)), (s, e) -> s + e) AS slnx
+      FROM tail GROUP BY lang),
+    totals AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang, n_docs, n_tail,
+      ROUND(CAST(n_tail AS DOUBLE) / n_docs, 6) AS tail_share,
+      ROUND(CASE WHEN slnx > 0 THEN 1.0 + CAST(n_tail AS DOUBLE) / slnx END, 6) AS alpha_hat
+    FROM per_lang JOIN totals USING (lang) ORDER BY lang"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q217_pareto_tail",
+      (s, d) => paretoTail(documents(s, d)), Some(paretoOracle)),
     Q("q208_readability",
       (s, d) => readability(documents(s, d)), Some(readabilityOracle)),
     Q("q209_heaps_law",
