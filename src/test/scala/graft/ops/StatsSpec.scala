@@ -402,6 +402,98 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("nmi") >= -1e-6 && r.getAs[Double]("nmi") <= 1.0 + 1e-6)
   }
 
+  test("ksTest: D numerator is 0 on identical distributions, maximal on disjoint supports") {
+    import java.sql.Timestamp
+    def ev(id: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), id, t, v, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // identical value multisets => every CDF point coincides
+    val same = (1L to 20L).flatMap(i =>
+      Seq(ev(i, "purchase", (i % 5).toDouble), ev(i + 100, "view", (i % 5).toDouble)))
+      .toDF(cols: _*)
+    val r0 = Analytics.ksTest(same).collect()(0)
+    assert(r0.getAs[Long]("d_num") == 0L)
+    assert(r0.getAs[Double]("d_stat") == 0.0)
+    // disjoint supports => D = 1 at the boundary
+    val disj = ((1L to 10L).map(i => ev(i, "purchase", 1.0 + i)) ++
+      (1L to 10L).map(i => ev(i + 100, "view", 100.0 + i))).toDF(cols: _*)
+    val r1 = Analytics.ksTest(disj).collect()(0)
+    assert(r1.getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("giniConcentration: equal spend gives ~0, a single owner gives ~1") {
+    def run(cust: Seq[Long], spend: Map[Long, Double]): Double = {
+      val c = cust.map(k => (k, s"c$k")).toDF("c_custkey", "c_name")
+      val o = spend.toSeq.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      Analytics.giniConcentration(c, o).collect()(0).getAs[Double]("gini")
+    }
+    val n = 50L
+    val equal = run(1L to n, (1L to n).map(_ -> 10.0).toMap)
+    // exact equal-spend Gini is -1/n + ... = (2*Σi*x - (n+1)*Σx)/(n*Σx) with
+    // x constant => (n(n+1) - (n+1)n)/(n*n) = 0
+    assert(math.abs(equal) < 1e-12, s"equal spend gini $equal")
+    val single = run(1L to n, Map(n -> 1000.0))
+    // one owner: G = (2n - (n+1))/n = (n-1)/n
+    assert(math.abs(single - (n - 1).toDouble / n) < 1e-9, s"single-owner gini $single")
+  }
+
+  test("kendallTau is 1 on a strictly concordant series and -1 on a reversed one") {
+    import java.sql.Date
+    def orders(rev: Seq[Double]): org.apache.spark.sql.DataFrame =
+      rev.zipWithIndex.flatMap { case (r, i) =>
+        // month i: i+1 orders (strictly increasing x), revenue r
+        (0 to i).map(j => (i.toLong * 100 + j,
+          Date.valueOf(f"2024-${i + 1}%02d-01"), r / (i + 1)))
+      }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val up = Analytics.kendallTau(orders(Seq(10.0, 20.0, 30.0, 40.0))).collect()(0)
+    assert(up.getAs[Double]("tau_b") == 1.0)
+    val down = Analytics.kendallTau(orders(Seq(40.0, 30.0, 20.0, 10.0))).collect()(0)
+    assert(down.getAs[Double]("tau_b") == -1.0)
+  }
+
+  test("theilSen recovers an exact linear trend and shrugs off one outlier month") {
+    import java.sql.Date
+    def month(i: Int) = Date.valueOf(f"202${4 + i / 12}%d-${i % 12 + 1}%02d-01")
+    // revenue = 100 + 10*monthIndex, one order per month
+    val clean = (0 until 24).map(i => (i.toLong, month(i), 100.0 + 10.0 * i))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.theilSen(clean).collect()(0)
+    assert(math.abs(r.getAs[Double]("ts_slope") - 10.0) < 1e-9)
+    // poison one month with a 100x outlier: the pairwise-slope median moves
+    // by at most one order statistic — slope stays ~10
+    val dirty = (0 until 24).map(i =>
+        (i.toLong, month(i), if (i == 12) 50000.0 else 100.0 + 10.0 * i))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rd = Analytics.theilSen(dirty).collect()(0)
+    assert(math.abs(rd.getAs[Double]("ts_slope") - 10.0) < 1.0,
+      s"robust slope ${rd.getAs[Double]("ts_slope")}")
+  }
+
+  test("stlDecompose: trend+seasonal+resid reassembles rev; seasonal sums to ~0 per cycle") {
+    val r = Analytics.stlDecompose(Tables.orders(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val re = row.getAs[Double]("rev")
+      val t = row.getAs[Double]("trend")
+      val s = row.getAs[Double]("seasonal")
+      val e = row.getAs[Double]("resid")
+      assert(math.abs(re - (t + s + e)) < 1e-4, s"decomposition identity at $row")
+    }
+  }
+
+  test("snapshotDedup admission counts partition the incoming batch") {
+    val r = graft.text.Dedup.snapshotDedup(
+      Tables.documents(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_incoming") ==
+        row.getAs[Long]("dup_vs_base") + row.getAs[Long]("dup_in_batch") +
+          row.getAs[Long]("admitted"))
+    }
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
