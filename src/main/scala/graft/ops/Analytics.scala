@@ -2479,7 +2479,67 @@ object Analytics extends QueryModule {
     FROM t JOIN seas ON month(mon) = moy
     ORDER BY mon"""
 
+  /** One-way ANOVA F over event values by event type — the k-group
+    * generalization of the Welch t-test (q172): between/within sums of
+    * squares from per-group exact integer power sums (2-decimal values
+    * scale to exact ints, the q90/q140 discipline: SS terms assemble in
+    * doubles cast from exact decimals, identical in both engines), so F
+    * and its components are bit-identical. One groupBy(type) shuffle; the
+    * k-sized group table reduces by pinned-order folds.
+    */
+  def anovaF(events: DataFrame): DataFrame = {
+    val g = events
+      .select(col("event_type"), round(col("value") * 100).cast("decimal(18,0)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nk"), sum("v").cast("decimal(38,0)").as("sk"),
+        sum(col("v") * col("v")).cast("decimal(38,0)").as("qk"))
+      .localCheckpoint() // k rows; feeds totals + both SS folds
+    val tot = g.agg(sum("nk").as("n"), sum("sk").cast("decimal(38,0)").as("s"),
+      sum("qk").cast("decimal(38,0)").as("q"), count(lit(1)).as("k"))
+    val parts = g.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        // group term of SSB: nk*(mk - m)^2 assembled as sk²/nk (doubles
+        // from exact decimals; identical in both engines)
+        (col("sk").cast("double") * col("sk").cast("double") /
+          col("nk").cast("double")).as("b"))
+    val ssb = parts.agg(aggregate(
+      array_sort(collect_list(struct(col("event_type").as("key"), col("b").as("v")))),
+      lit(0.0), (acc, x) => acc + x.getField("v")).as("sum_b"))
+    ssb.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"),
+        round((col("sum_b") - col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double")) / 10000.0, 6).as("ss_between"),
+        round((col("q").cast("double") - col("sum_b")) / 10000.0, 6).as("ss_within"),
+        round(((col("sum_b") - col("s").cast("double") * col("s").cast("double")
+            / col("n").cast("double")) / (col("k") - 1).cast("double")) /
+          ((col("q").cast("double") - col("sum_b")) /
+            (col("n") - col("k")).cast("double")), 6).as("f_stat"))
+  }
+
+  private val anovaOracle = """
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS nk,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sk,
+        CAST(SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))
+          * CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS qk
+      FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(sk) AS DECIMAL(38,0)) AS s,
+      CAST(SUM(qk) AS DECIMAL(38,0)) AS q, COUNT(*) AS k FROM g),
+    ssb AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(nk AS DOUBLE)
+          ORDER BY event_type)), (s, e) -> s + e) AS sum_b
+      FROM g)
+    SELECT k, n,
+      ROUND((sum_b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0, 6) AS ss_between,
+      ROUND((CAST(q AS DOUBLE) - sum_b) / 10000.0, 6) AS ss_within,
+      ROUND(((sum_b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) /
+        ((CAST(q AS DOUBLE) - sum_b) / CAST(n - k AS DOUBLE)), 6) AS f_stat
+    FROM ssb, tot"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q218_anova_f",
+      (s, d) => anovaF(events(s, d)), Some(anovaOracle)),
     Q("q204_theilsen_trend",
       (s, d) => theilSen(orders(s, d)), Some(theilSenOracle)),
     Q("q205_kendall_tau",

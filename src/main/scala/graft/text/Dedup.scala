@@ -925,7 +925,117 @@ object Dedup extends QueryModule {
       CAST(SUM(class_id) AS BIGINT) AS class_checksum
     FROM classes GROUP BY langs_sig ORDER BY langs_sig"""
 
+  /** MinHash estimator calibration: full-outer join of the exact Jaccard
+    * pairs (τ = 0.5) against the banded-LSH candidate estimates at the
+    * same threshold, reporting the match/miss/spurious partition AND the
+    * estimator's error moments (MAE, signed bias, worst case) over the
+    * matched pairs — q127 audits the CANDIDATE SET (precision/recall);
+    * this audits the ESTIMATE VALUES, the number that decides where to
+    * put the production threshold. Error folds are pinned-order over the
+    * matched pairs; everything else is exact counts.
+    */
+  def lshCalibration(docs: DataFrame): DataFrame = {
+    val exact = jaccardPairs(docs, 0.5).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val est = minhashLsh(docs, 0.5).select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val j = exact.join(est, Seq("doc_a", "doc_b"), "full_outer").localCheckpoint()
+    val counts = j.agg(
+      count(col("jaccard")).as("n_exact"),
+      count(col("est_jaccard")).as("n_lsh"),
+      sum(when(col("jaccard").isNotNull && col("est_jaccard").isNotNull, 1L)
+        .otherwise(0L)).as("n_matched"),
+      sum(when(col("jaccard").isNotNull && col("est_jaccard").isNull, 1L)
+        .otherwise(0L)).as("n_missed"),
+      sum(when(col("jaccard").isNull && col("est_jaccard").isNotNull, 1L)
+        .otherwise(0L)).as("n_spurious"))
+    val m = j.filter(col("jaccard").isNotNull && col("est_jaccard").isNotNull)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") - col("jaccard")).as("err"))
+    val moments = m.agg(
+      round(aggregate(
+        array_sort(collect_list(struct(col("doc_a").as("ka"), col("doc_b").as("kb"),
+          abs(col("err")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1)), 6).as("mae"),
+      round(aggregate(
+        array_sort(collect_list(struct(col("doc_a").as("ka"), col("doc_b").as("kb"),
+          col("err").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1)), 6).as("bias"),
+      round(max(abs(col("err"))), 6).as("max_abs_err"))
+    counts.crossJoin(moments)
+  }
+
+  private val lshCalibrationOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+    hs0 AS (
+      SELECT doc_id,
+        list_transform(list_transform(shs, s -> md5(s)), m -> struct_pack(
+          h1 := ('0x' || substr(m, 1, 15))::BIGINT % 1000000007,
+          h2 := ('0x' || substr(m, 16, 15))::BIGINT % 1000000007)) AS hs
+      FROM sh0),
+    sigs AS (
+      SELECT doc_id,
+        list_transform(range(0, 12), j ->
+          list_min(list_transform(hs, p -> (p.h1 + j * p.h2) % 1000000007))) AS sig
+      FROM hs0),
+    bands0 AS (
+      SELECT doc_id, sig, unnest(list_transform(range(0, 4), b -> struct_pack(
+        band_idx := b,
+        band_val := CAST(sig[3*b+1] AS VARCHAR) || '_' || CAST(sig[3*b+2] AS VARCHAR)
+          || '_' || CAST(sig[3*b+3] AS VARCHAR)))) AS bd
+      FROM sigs),
+    bands AS (
+      SELECT doc_id, sig, bd.band_idx AS band_idx, bd.band_val AS band_val
+      FROM bands0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT doc_a, doc_b,
+        CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 12.0 AS est_jaccard
+      FROM cand
+      WHERE CAST(len(list_filter(range(1, 13), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 12.0 >= 0.5),
+    j AS (
+      SELECT COALESCE(exact.doc_a, est.doc_a) AS doc_a,
+        COALESCE(exact.doc_b, est.doc_b) AS doc_b, jaccard, est_jaccard
+      FROM exact FULL OUTER JOIN est
+        ON exact.doc_a = est.doc_a AND exact.doc_b = est.doc_b),
+    counts AS (
+      SELECT COUNT(jaccard) AS n_exact, COUNT(est_jaccard) AS n_lsh,
+        CAST(SUM(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        CAST(SUM(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+        CAST(SUM(CASE WHEN jaccard IS NULL AND est_jaccard IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_spurious
+      FROM j),
+    m AS (
+      SELECT doc_a, doc_b, est_jaccard - jaccard AS err FROM j
+      WHERE jaccard IS NOT NULL AND est_jaccard IS NOT NULL),
+    moments AS (
+      SELECT
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(ABS(err) ORDER BY doc_a, doc_b)), (s, e) -> s + e) / COUNT(*), 6) AS mae,
+        ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(err ORDER BY doc_a, doc_b)), (s, e) -> s + e) / COUNT(*), 6) AS bias,
+        ROUND(MAX(ABS(err)), 6) AS max_abs_err
+      FROM m)
+    SELECT * FROM counts, moments"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q220_lsh_calibration",
+      (s, d) => lshCalibration(documents(s, d)), Some(lshCalibrationOracle)),
     Q("q215_threshold_sweep",
       (s, d) => thresholdSweep(documents(s, d)), Some(thresholdSweepOracle)),
     Q("q216_crosslang_contamination",

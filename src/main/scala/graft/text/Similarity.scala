@@ -578,7 +578,69 @@ object Similarity extends QueryModule {
     FROM a2 JOIN c1 ON a2.cid = c1.cid
     GROUP BY a2.cid, c1.c ORDER BY a2.cid"""
 
+  /** Batched per-label kNN: for EVERY label, the k vectors nearest that
+    * label's exact-decimal centroid — the multi-query ANN shape (one
+    * query per class) a training pipeline runs to mine class prototypes
+    * and hard positives. One centroid aggregate (|labels| × dims
+    * shuffle), one broadcast join scoring each row against ITS label's
+    * centroid, then the k-bounded native top_k_by aggregate — per-label
+    * winners travel as k-row buffers, never a corpus sort. Ordering key
+    * is the 6-decimal cosine in exact micro-units (a LONG), ties to the
+    * lowest vec_id — identical to the oracle's window ordering.
+    */
+  def labelKnn(emb: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.VectorSumAgg.vec_sum_dec
+    import graft.functions.TopKByAgg.top_k_by
+    val cents = emb.groupBy("label")
+      .agg(vec_sum_dec(expr(
+          "transform(cast(embedding as array<double>), x -> cast(x as decimal(18,8)))"))
+          .as("vsum"),
+        count(lit(1)).as("nv"))
+      .select(col("label"),
+        expr("transform(vsum, s -> cast(s as double) / nv)").as("cent"))
+    val scored = emb.join(broadcast(cents), "label")
+      .withColumn("cosine", round(cosine_sim(col("embedding"), col("cent")), 6))
+    scored.groupBy("label")
+      .agg(top_k_by(struct(col("vec_id"), col("cosine")),
+        round(col("cosine") * 1000000).cast("long"), -col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("rank0", "r")))
+      .select(col("label"), (col("rank0") + 1).cast("long").as("rnk"),
+        col("r.vec_id").as("vec_id"), col("r.cosine").as("cosine"))
+      .orderBy("label", "rnk")
+  }
+
+  private val labelKnnOracle = """
+    WITH u AS (
+      SELECT label,
+        unnest(range(1, len(embedding) + 1)) AS dim,
+        unnest(list_transform(embedding,
+          x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))) AS v
+      FROM embeddings),
+    csum AS (
+      SELECT label, dim, SUM(v) AS s, COUNT(*) AS nv
+      FROM u GROUP BY label, dim),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / nv ORDER BY dim) AS cent
+      FROM csum GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+        ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(c.cent) + 1),
+              i -> c.cent[i] * c.cent[i])))), 6) AS cosine
+      FROM embeddings e JOIN cent c USING (label)),
+    ranked AS (
+      SELECT label, vec_id, cosine,
+        row_number() OVER (PARTITION BY label ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine
+    FROM ranked WHERE rnk <= 3 ORDER BY label, rnk"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q219_label_knn",
+      (s, d) => labelKnn(embeddings(s, d)), Some(labelKnnOracle)),
     Q("q182_kmeans_lite",
       (s, d) => kmeansLite(embeddings(s, d)), Some(kmeansOracle)),
     Q("q136_robust_scale",
