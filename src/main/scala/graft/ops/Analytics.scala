@@ -2256,6 +2256,7 @@ object Analytics extends QueryModule {
         col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"),
         coalesce(col("cents"), lit(0).cast("decimal(18,0)")).as("cents"))
+      .localCheckpoint() // one spend pass feeds the distinct-cents window AND the rank join
     val grp = spend.groupBy("cents").agg(count(lit(1)).as("cnt"))
     val wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     val base = grp.withColumn("before", coalesce(sum("cnt").over(wg), lit(0L)))
