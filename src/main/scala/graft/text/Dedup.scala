@@ -697,6 +697,23 @@ object Dedup extends QueryModule {
     * Output ≡ q27 at the same threshold (same oracle — plan, not
     * semantics, is the difference, like q162 vs q110).
     */
+  /** Candidate stage of ppjoinPairs, exposed for the scale-bound spec:
+    * the prefix-prefix join's DISTINCT candidate pairs. A hot shingle
+    * must not inflate this — that is the whole point of the prefix
+    * filter.
+    */
+  private[text] def ppjoinCandidates(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shinglePostings(docs)
+    val prefix = dfRanked(sh)
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("shid"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shid") === col("b.shid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def ppjoinPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val sh = shinglePostings(docs) // df-rank, prefix join and verify all read this
     val prefix = dfRanked(sh)
