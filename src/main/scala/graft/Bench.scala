@@ -80,15 +80,25 @@ object Bench {
         case "" => "0"
         case s => s
       }
-    val qs = results.map { case (k, v) => "\"" + qid(k) + "\":" + ds(v) }
+    // The per-query map lists only queries >= 0.3 s (ds >= 3) plus every
+    // failure: at 221 queries the full map hit 1.76 kB of the driver's
+    // 2 kB log tail (~18-query headroom left). The ~150 sub-0.3 s
+    // queries are noise-dominated individually; they collapse into one
+    // "fast" aggregate {"n":count,"ds":sum} so their mass still
+    // reconciles against "value". Slow-query entries — the signal for
+    // cross-round comparison — are unchanged. Documented in BASELINE.md.
+    val slow = results.filter { case (_, v) => v < 0 || v >= 0.25 }
+    val fast = results.filter { case (_, v) => v >= 0 && v < 0.25 }
+    val qs = slow.map { case (k, v) => "\"" + qid(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
+    val fastJson = s""","fast":{"n":${fast.size},"ds":${fast.map(v => math.round(v._2 * 10)).sum}}"""
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (n, v) if v < 0 => "\"" + qid(n) + "\"" }
     val failedJson = if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
     // sf prints as the basename: the directory prefix is 15 B of the
     // 2 kB tail the 181+-entry map needs back
     val sfId = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ds","queries":$qs$failedJson,"sf":"$sfId"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ds","queries":$qs$fastJson$failedJson,"sf":"$sfId"}""")
     spark.stop()
   }
 }
