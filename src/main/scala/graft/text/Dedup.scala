@@ -1050,7 +1050,68 @@ object Dedup extends QueryModule {
       FROM m)
     SELECT * FROM counts, moments"""
 
+  /** Cross-source near-dup leakage matrix: the verified Jaccard pairs
+    * (τ = 0.6, prefix-filtered path) attributed to their source pair —
+    * within-source counts measure internal redundancy, cross-source
+    * counts measure leakage/mirroring between providers (the audit that
+    * decides which feed to drop before paying to dedup it). Pair table
+    * is tiny post-threshold; the two doc→source attribute joins shuffle
+    * on doc ids. Mean similarity folds in pinned pair order.
+    */
+  def crossSourceDups(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold)
+    val s = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(s.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(s.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_x"),
+        greatest(col("sa.source"), col("sb.source")).as("source_y"),
+        col("doc_a"), col("doc_b"), col("jaccard"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("source_x") === col("source_y"), 1L).otherwise(0L))
+          .as("n_within"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("doc_a").as("ka"),
+            col("doc_b").as("kb"), col("jaccard").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1)), 6)
+          .as("avg_jaccard"),
+        sum(col("doc_a") + col("doc_b")).as("pair_checksum"))
+      .orderBy("source_x", "source_y")
+  }
+
+  private val crossSourceOracle = s"""
+    WITH sh0 AS ($shingledSql),
+    sh AS (SELECT doc_id, unnest(shs) AS s FROM sh0),
+    sizes AS (SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh FROM sh0),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6),
+    attr AS (
+      SELECT LEAST(da.source, db.source) AS source_x,
+        GREATEST(da.source, db.source) AS source_y,
+        doc_a, doc_b, jaccard
+      FROM j
+      JOIN documents da ON doc_a = da.doc_id
+      JOIN documents db ON doc_b = db.doc_id)
+    SELECT source_x, source_y, COUNT(*) AS n_pairs,
+      CAST(SUM(CASE WHEN source_x = source_y THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+      ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(jaccard ORDER BY doc_a, doc_b)), (s2, e) -> s2 + e) / COUNT(*), 6) AS avg_jaccard,
+      CAST(SUM(doc_a + doc_b) AS BIGINT) AS pair_checksum
+    FROM attr GROUP BY source_x, source_y ORDER BY source_x, source_y"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q223_cross_source_dups",
+      (s, d) => crossSourceDups(documents(s, d)), Some(crossSourceOracle)),
     Q("q220_lsh_calibration",
       (s, d) => lshCalibration(documents(s, d)), Some(lshCalibrationOracle)),
     Q("q215_threshold_sweep",

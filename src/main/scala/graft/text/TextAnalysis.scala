@@ -1095,7 +1095,123 @@ object TextAnalysis extends QueryModule {
       ROUND(CASE WHEN slnx > 0 THEN 1.0 + CAST(n_tail AS DOUBLE) / slnx END, 6) AS alpha_hat
     FROM per_lang JOIN totals USING (lang) ORDER BY lang"""
 
+  /** Temperature-scaled sampling weights per language: w_l ∝ p_l^α with
+    * α = 0.3 (the standard multilingual-LM upsampling family — α = 1 is
+    * proportional, α → 0 uniform; q117 computes the uniform-target
+    * special case, this is the dial actually shipped). Token shares are
+    * exact integer ratios; pow runs on identical doubles, the normalizer
+    * reduces by pinned-order fold over |langs|, and the effective
+    * epochs-over-proportional ratio (w/p) is reported per lang.
+    */
+  def temperatureMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val perLang = docs
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .groupBy("lang").agg(sum("n_tok").as("lang_tokens"))
+    val tot = perLang.agg(sum("lang_tokens").as("total_tokens"))
+    val p = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("lang_tokens"),
+        (col("lang_tokens").cast("double") / col("total_tokens").cast("double")).as("p"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+    val z = p.agg(aggregate(
+      array_sort(collect_list(struct(col("lang").as("k"), col("pa").as("v")))),
+      lit(0.0), (acc, x) => acc + x.getField("v")).as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("lang"), col("lang_tokens"),
+        round(col("p"), 6).as("share"),
+        round(col("pa") / col("z"), 6).as("weight"),
+        round(col("pa") / col("z") / col("p"), 6).as("upsample_ratio"))
+      .orderBy("lang")
+  }
+
+  private val temperatureOracle = """
+    WITH per_lang AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+    p AS (
+      SELECT lang, lang_tokens,
+        CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p,
+        pow(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0.3) AS pa
+      FROM per_lang, tot),
+    z AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(pa ORDER BY lang)), (s, e) -> s + e) AS z
+      FROM p)
+    SELECT lang, lang_tokens, ROUND(p, 6) AS share,
+      ROUND(pa / z, 6) AS weight,
+      ROUND(pa / z / p, 6) AS upsample_ratio
+    FROM p, z ORDER BY lang"""
+
+  /** Jensen–Shannon divergence between the token distributions of the
+    * first and second corpus halves (doc_id median split) — the
+    * symmetric, bounded drift statistic (0 ≤ JSD ≤ ln 2) that complements
+    * the one-sided KL (q141) and the binned PSI (q190). Smoothed with
+    * add-one over the union vocabulary so both KL terms are total;
+    * per-token terms fold in pinned vocab order. One postings shuffle;
+    * the vocabulary-sized term table never leaves the token key.
+    */
+  def jsdDrift(docs: DataFrame): DataFrame = {
+    val half = docs.agg(expr("percentile(doc_id, 0.5)").as("mid"))
+    val toks = docs.crossJoin(broadcast(half))
+      .select((col("doc_id") <= col("mid")).as("first_half"),
+        explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // vocab-sized; feeds totals + the term fold
+    val tots = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    val terms = counts.crossJoin(broadcast(tots))
+      .select(col("tok"),
+        expr("cast(ca + 1 as double) / cast(na + v as double)").as("pa"),
+        expr("cast(cb + 1 as double) / cast(nb + v as double)").as("pb"))
+      .select(col("tok"),
+        expr("0.5 * pa * ln(pa / (0.5 * (pa + pb))) + 0.5 * pb * ln(pb / (0.5 * (pa + pb)))").as("t"))
+    terms.agg(aggregate(
+        array_sort(collect_list(struct(col("tok").as("k"), col("t").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("jsd"))
+      .crossJoin(broadcast(tots))
+      .select(col("v").as("vocab"), col("na").as("tokens_first"),
+        col("nb").as("tokens_second"), round(col("jsd"), 6).as("jsd"),
+        round(col("jsd") / math.log(2.0), 6).as("jsd_bits"))
+  }
+
+  private val jsdOracle = """
+    WITH half AS (SELECT quantile_cont(doc_id, 0.5) AS mid FROM documents),
+    toks AS (
+      SELECT doc_id <= mid AS first_half, unnest(string_split(text, ' ')) AS tok
+      FROM documents, half),
+    counts AS (
+      SELECT tok,
+        CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM toks GROUP BY tok),
+    tots AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+      COUNT(*) AS v FROM counts),
+    terms AS (
+      SELECT tok,
+        0.5 * (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+          * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+            / (0.5 * ((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              + (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))))
+        + 0.5 * (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+          * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+            / (0.5 * ((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+              + (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))))) AS t
+      FROM counts, tots),
+    s AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(t ORDER BY tok)), (s2, e) -> s2 + e) AS jsd
+      FROM terms)
+    SELECT v AS vocab, na AS tokens_first, nb AS tokens_second,
+      ROUND(jsd, 6) AS jsd, ROUND(jsd / ln(2.0), 6) AS jsd_bits
+    FROM s, tots"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q221_temperature_mixture",
+      (s, d) => temperatureMixture(documents(s, d)), Some(temperatureOracle)),
+    Q("q222_jsd_drift",
+      (s, d) => jsdDrift(documents(s, d)), Some(jsdOracle)),
     Q("q217_pareto_tail",
       (s, d) => paretoTail(documents(s, d)), Some(paretoOracle)),
     Q("q208_readability",
