@@ -2538,7 +2538,311 @@ object Analytics extends QueryModule {
         ((CAST(q AS DOUBLE) - sum_b) / CAST(n - k AS DOUBLE)), 6) AS f_stat
     FROM ssb, tot"""
 
+  /** Classifier-calibration audit — the reliability diagram behind every
+    * "is the quality-filter score trustworthy" review: scores (value
+    * normalized by the global max, a pseudo-probability) bucket into 10
+    * equal-width bins by pure integer arithmetic (c*10 div maxc — no
+    * float at the bin edge), and each bin reports mean predicted p vs
+    * observed positive rate plus the |gap|. Expected calibration error
+    * folds the ≤10 bin gaps in pinned bin order; the Brier score
+    * assembles from exact integer power sums (Σc, Σc², Σ_{y=1}c), so
+    * every float is a ratio of exact integers. One groupBy(bin) shuffle
+    * over score-cents; the bin table is 10 rows.
+    */
+  def scoreCalibration(events: DataFrame): DataFrame = {
+    val mx = events.agg(max(round(col("value") * 100).cast("long")).as("maxc"))
+    val rows = events.crossJoin(broadcast(mx))
+      .select(round(col("value") * 100).cast("long").as("c"), col("maxc"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .withColumn("bin", least(expr("c * 10 div maxc"), lit(9L)))
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"),
+        sum("c").cast("decimal(38,0)").as("sc"),
+        sum(col("c") * col("c")).cast("decimal(38,0)").as("sq"),
+        sum(col("y") * col("c")).cast("decimal(38,0)").as("spos"),
+        max("maxc").as("maxc"))
+      .localCheckpoint() // 10 rows; feeds totals, ECE fold and output
+    val tot = bins.agg(sum("n").as("nt"), sum("np").as("npt"),
+      sum("sq").cast("decimal(38,0)").as("sqt"),
+      sum("spos").cast("decimal(38,0)").as("spost"), max("maxc").as("maxc"))
+    val gapped = bins
+      .withColumn("mean_p", col("sc").cast("double") / col("n").cast("double")
+        / col("maxc").cast("double"))
+      .withColumn("obs_rate", col("np").cast("double") / col("n").cast("double"))
+      .withColumn("gap", abs(col("mean_p") - col("obs_rate")))
+    val ece = gapped.crossJoin(broadcast(tot.select("nt")))
+      .select(col("bin"), (col("n").cast("double") / col("nt").cast("double") *
+        col("gap")).as("t"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("bin").as("k"), col("t").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("ece"))
+    val summary = tot.crossJoin(broadcast(ece))
+      .select(round(col("ece"), 6).as("ece"),
+        round((col("sqt").cast("double") /
+            (col("maxc").cast("double") * col("maxc").cast("double")) -
+          lit(2.0) * col("spost").cast("double") / col("maxc").cast("double") +
+          col("npt").cast("double")) / col("nt").cast("double"), 6).as("brier"))
+    gapped.crossJoin(broadcast(summary))
+      .select(col("bin"), col("n"), round(col("mean_p"), 6).as("mean_p"),
+        round(col("obs_rate"), 6).as("obs_rate"), round(col("gap"), 6).as("gap"),
+        col("ece"), col("brier"))
+      .orderBy("bin")
+  }
+
+  private val calibrationOracle = """
+    WITH mx AS (
+      SELECT MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS maxc FROM events),
+    rows0 AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, maxc,
+        CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events, mx),
+    rows1 AS (
+      SELECT *, LEAST((c * 10) // maxc, 9) AS bin FROM rows0),
+    bins AS (
+      SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np,
+        CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+        CAST(SUM(c * c) AS DECIMAL(38,0)) AS sq,
+        CAST(SUM(y * c) AS DECIMAL(38,0)) AS spos,
+        MAX(maxc) AS maxc
+      FROM rows1 GROUP BY bin),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np) AS BIGINT) AS npt,
+        CAST(SUM(sq) AS DECIMAL(38,0)) AS sqt,
+        CAST(SUM(spos) AS DECIMAL(38,0)) AS spost, MAX(maxc) AS maxc
+      FROM bins),
+    gapped AS (
+      SELECT bin, n,
+        CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / CAST(maxc AS DOUBLE) AS mean_p,
+        CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+        ABS(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / CAST(maxc AS DOUBLE)
+          - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+      FROM bins),
+    ece AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * gap ORDER BY bin)),
+        (s, e) -> s + e) AS ece
+      FROM gapped, tot),
+    summary AS (
+      SELECT ROUND(ece, 6) AS ece,
+        ROUND((CAST(sqt AS DOUBLE) / (CAST(maxc AS DOUBLE) * CAST(maxc AS DOUBLE))
+          - 2.0 * CAST(spost AS DOUBLE) / CAST(maxc AS DOUBLE)
+          + CAST(npt AS DOUBLE)) / CAST(nt AS DOUBLE), 6) AS brier
+      FROM tot, ece)
+    SELECT bin, n, ROUND(mean_p, 6) AS mean_p, ROUND(obs_rate, 6) AS obs_rate,
+      ROUND(gap, 6) AS gap, ece, brier
+    FROM gapped, summary ORDER BY bin"""
+
+  /** Poisson-style bootstrap confidence interval for the mean order
+    * value — the single-pass resampling scheme used at scales where
+    * sampling WITH replacement is impossible (per-row replicate weights
+    * instead of materialized resamples). Weights are deterministic
+    * Binomial(4, 1/4) draws (mean 1) read off four md5 hex digits of
+    * (orderkey ':' replicate) — both engines hash the identical string,
+    * so every replicate estimate is bit-identical. The replicate
+    * explosion is a map-side ×B flatMap (no shuffle); per-replicate
+    * sums reduce in one groupBy(r); the B-row estimate table reduces by
+    * pinned-order folds. Spread B higher and this is the exact shape of
+    * the production large-scale bootstrap.
+    */
+  def bootstrapCi(orders: DataFrame, b: Int = 40): DataFrame = {
+    val reps = orders
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("decimal(18,0)").as("cents"))
+      .withColumn("r", explode(expr(s"sequence(1, $b)")))
+      .withColumn("h", md5(concat_ws(":", col("k"), col("r"))))
+      .withColumn("w", (0 until 4).map(i =>
+        substring(col("h"), i + 1, 1).isin("0", "1", "2", "3").cast("long"))
+        .reduce(_ + _))
+    val est = reps.groupBy("r")
+      .agg((sum(col("w") * col("cents")).cast("decimal(38,0)").cast("double") /
+        sum("w").cast("double") / 100.0).as("est"))
+      .localCheckpoint() // B rows; feeds both folds + the percentile
+    val folds = est.agg(count(lit(1)).as("nb"),
+      aggregate(array_sort(collect_list(struct(col("r").as("k"), col("est").as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("s1"),
+      aggregate(array_sort(collect_list(struct(col("r").as("k"),
+          (col("est") * col("est")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("s2"),
+      expr("percentile(est, 0.025)").as("lo"),
+      expr("percentile(est, 0.975)").as("hi"))
+    val full = orders.agg(count(lit(1)).as("n"),
+      (sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)").cast("double") / count(lit(1)).cast("double")
+        / 100.0).as("sample_mean"))
+    full.crossJoin(broadcast(folds))
+      .select(col("n"), col("nb").as("b"), round(col("sample_mean"), 6).as("sample_mean"),
+        round(col("s1") / col("nb").cast("double"), 6).as("boot_mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("nb").cast("double")) /
+          (col("nb") - 1).cast("double")), 6).as("boot_se"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
+  private val bootstrapOracle = """
+    WITH reps AS (
+      SELECT o_orderkey AS k,
+        CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0)) AS cents,
+        unnest(range(1, 41)) AS r
+      FROM orders),
+    weighted AS (
+      SELECT r, cents,
+        CAST(substr(md5(k || ':' || r), 1, 1) IN ('0','1','2','3') AS BIGINT)
+        + CAST(substr(md5(k || ':' || r), 2, 1) IN ('0','1','2','3') AS BIGINT)
+        + CAST(substr(md5(k || ':' || r), 3, 1) IN ('0','1','2','3') AS BIGINT)
+        + CAST(substr(md5(k || ':' || r), 4, 1) IN ('0','1','2','3') AS BIGINT) AS w
+      FROM reps),
+    est AS (
+      SELECT r, CAST(CAST(SUM(w * cents) AS DECIMAL(38,0)) AS DOUBLE)
+        / CAST(SUM(w) AS DOUBLE) / 100.0 AS est
+      FROM weighted GROUP BY r),
+    folds AS (
+      SELECT COUNT(*) AS nb,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(est ORDER BY r)),
+          (s, e) -> s + e) AS s1,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(est * est ORDER BY r)),
+          (s, e) -> s + e) AS s2,
+        quantile_cont(est, 0.025) AS lo,
+        quantile_cont(est, 0.975) AS hi
+      FROM est),
+    fullagg AS (
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0)))
+          AS DECIMAL(38,0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS sample_mean
+      FROM orders)
+    SELECT n, nb AS b, ROUND(sample_mean, 6) AS sample_mean,
+      ROUND(s1 / CAST(nb AS DOUBLE), 6) AS boot_mean,
+      ROUND(sqrt((s2 - s1 * s1 / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)), 6) AS boot_se,
+      ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi
+    FROM fullagg, folds"""
+
+  /** CUSUM changepoint detection over the daily revenue series — the
+    * standard "did the level shift, and when" monitor. The cumulative
+    * sum stays EXACT integer cents end-to-end: Tᵢ = nd·cumsumᵢ − i·S is
+    * assembled in DECIMAL(38,0) (window cumsum of decimals is
+    * order-exact, no float association), and only the final
+    * standardized magnitude Tᵢ/nd/σ touches doubles — identical ratios
+    * of identical integers in both engines. The day-grain window is
+    * calendar-bounded (one partition of ~#days rows, the q170/q213
+    * series discipline), and the argmax row travels alone.
+    */
+  def cusumChangepoint(orders: DataFrame): DataFrame = {
+    val d = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("cents"))
+    val tot = d.agg(count(lit(1)).as("nd"),
+      sum("cents").cast("decimal(38,0)").as("s"),
+      sum(col("cents") * col("cents")).cast("decimal(38,0)").as("q"))
+    val w = Window.orderBy("day")
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cs", sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("t", (col("cs").cast("decimal(38,0)") * col("nd") -
+        col("i") * col("s")).cast("decimal(38,0)"))
+      .orderBy(abs(col("t")).desc, col("day").asc)
+      .limit(1)
+      .select(col("nd").as("n_days"), col("day").as("cp_day"),
+        round(abs(col("t")).cast("double") / col("nd").cast("double") /
+          sqrt((col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("nd").cast("double")) / (col("nd") - 1).cast("double")), 6)
+          .as("max_cusum"),
+        round(col("s").cast("double") / col("nd").cast("double") / 100.0, 6)
+          .as("mean_daily"),
+        round(sqrt((col("q").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("nd").cast("double")) / (col("nd") - 1).cast("double")) / 100.0, 6)
+          .as("std_daily"))
+  }
+
+  private val cusumOracle = """
+    WITH d AS (
+      SELECT o_orderdate AS day,
+        SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS cents
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT COUNT(*) AS nd, CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+        CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS q
+      FROM d),
+    cum AS (
+      SELECT day,
+        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        CAST(SUM(cents) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cs
+      FROM d),
+    t AS (
+      SELECT day, CAST(cs * nd - i * s AS DECIMAL(38,0)) AS t, nd, s, q
+      FROM cum, tot)
+    SELECT nd AS n_days, day AS cp_day,
+      ROUND(CAST(ABS(t) AS DOUBLE) / CAST(nd AS DOUBLE) /
+        sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          / CAST(nd AS DOUBLE)) / CAST(nd - 1 AS DOUBLE)), 6) AS max_cusum,
+      ROUND(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) / 100.0, 6) AS mean_daily,
+      ROUND(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        / CAST(nd AS DOUBLE)) / CAST(nd - 1 AS DOUBLE)) / 100.0, 6) AS std_daily
+    FROM t ORDER BY ABS(t) DESC, day ASC LIMIT 1"""
+
+  /** Holt linear (double-exponential) smoothing of monthly revenue —
+    * level+trend forecasting one notch past the EWMA (q198) and one
+    * below STL (q213). Inherently sequential, so it runs as ONE
+    * pinned-order fold with a 2-slot array accumulator [level, trend]:
+    * seed = [v₁, 0], then l' = αx + (1−α)(l+b), b' = β(l'−l) + (1−β)b
+    * (α=0.3, β=0.1), the same month-ordered left fold in both engines
+    * (DuckDB folds [v,0] element pairs since list_reduce has no seed
+    * parameter — the first element IS the seed). The series is
+    * calendar-bounded; everything before the fold is exact decimal.
+    */
+  def holtTrend(orders: DataFrame): DataFrame = {
+    val m = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg((sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("double") / 100.0).as("v"))
+    m.agg(count(lit(1)).as("n_months"),
+        expr("""aggregate(
+            slice(array_sort(collect_list(named_struct('m', mon, 'v', v))), 2, count(1) - 1),
+            array(array_sort(collect_list(named_struct('m', mon, 'v', v)))[0].v, cast(0.0 as double)),
+            (s, x) -> array(
+              cast(0.3 as double) * x.v + cast(0.7 as double) * (s[0] + s[1]),
+              cast(0.1 as double) * (cast(0.3 as double) * x.v
+                + cast(0.7 as double) * (s[0] + s[1]) - s[0])
+                + cast(0.9 as double) * s[1]))""").as("st"))
+      .select(col("n_months"),
+        round(col("st")(0), 6).as("level"),
+        round(col("st")(1), 6).as("trend"),
+        round(col("st")(0) + col("st")(1), 6).as("forecast_1"),
+        round(col("st")(0) + lit(2.0) * col("st")(1), 6).as("forecast_2"),
+        round(col("st")(0) + lit(3.0) * col("st")(1), 6).as("forecast_3"))
+  }
+
+  private val holtOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS DOUBLE)
+          / 100.0 AS v
+      FROM orders GROUP BY 1),
+    st AS (
+      SELECT COUNT(*) AS n_months,
+        list_reduce(
+          list_transform(list(v ORDER BY mon), e -> [e, CAST(0 AS DOUBLE)]),
+          (s, x) -> [
+            CAST(0.3 AS DOUBLE) * x[1] + CAST(0.7 AS DOUBLE) * (s[1] + s[2]),
+            CAST(0.1 AS DOUBLE) * (CAST(0.3 AS DOUBLE) * x[1]
+              + CAST(0.7 AS DOUBLE) * (s[1] + s[2]) - s[1])
+              + CAST(0.9 AS DOUBLE) * s[2]]) AS st
+      FROM m)
+    SELECT n_months, ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend,
+      ROUND(st[1] + st[2], 6) AS forecast_1,
+      ROUND(st[1] + 2.0 * st[2], 6) AS forecast_2,
+      ROUND(st[1] + 3.0 * st[2], 6) AS forecast_3
+    FROM st"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q224_score_calibration",
+      (s, d) => scoreCalibration(events(s, d)), Some(calibrationOracle)),
+    Q("q225_bootstrap_ci",
+      (s, d) => bootstrapCi(orders(s, d)), Some(bootstrapOracle)),
+    Q("q226_cusum_changepoint",
+      (s, d) => cusumChangepoint(orders(s, d)), Some(cusumOracle)),
+    Q("q228_holt_trend",
+      (s, d) => holtTrend(orders(s, d)), Some(holtOracle)),
     Q("q218_anova_f",
       (s, d) => anovaF(events(s, d)), Some(anovaOracle)),
     Q("q204_theilsen_trend",

@@ -1207,7 +1207,63 @@ object TextAnalysis extends QueryModule {
       ROUND(jsd, 6) AS jsd, ROUND(jsd / ln(2.0), 6) AS jsd_bits
     FROM s, tots"""
 
+  /** N-gram novelty curve — the memorization/diversity audit run before
+    * adding a new corpus slice to a training mix: for each doc, the
+    * fraction of its distinct word 3-grams whose FIRST corpus occurrence
+    * (min doc_id over the whole corpus) is that doc, aggregated into 10
+    * doc_id-range deciles (pure integer bucket arithmetic — no global
+    * window). A saturating curve means later docs add no new phrasing.
+    * Shape: one postings-sized groupBy(gram) for first-occurrence, one
+    * shuffle join back on the gram key, one groupBy(decile) — never
+    * doc×doc. Novelty rates are exact integer ratios.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    import graft.functions.WordNGrams.word_ngrams
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(word_ngrams(col("text"), 3))).as("g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    val perDoc = grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("novel"))
+    val rng = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    perDoc.crossJoin(broadcast(rng))
+      .withColumn("decile", least(
+        expr("(doc_id - lo) * 10 div (hi - lo + 1)"), lit(9L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("docs_with_grams"),
+        sum("n_grams").as("grams"), sum("novel").as("novel"))
+      .select(col("decile"), col("docs_with_grams"), col("grams"), col("novel"),
+        round(col("novel").cast("double") / col("grams").cast("double"), 6)
+          .as("novelty_rate"))
+      .orderBy("decile")
+  }
+
+  private val noveltyOracle = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams0 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM toks WHERE len(t) >= 3),
+    grams AS (SELECT DISTINCT doc_id, g FROM grams0),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT grams.doc_id, COUNT(*) AS n_grams,
+        CAST(SUM(CAST(first_doc = grams.doc_id AS BIGINT)) AS BIGINT) AS novel
+      FROM grams JOIN first USING (g) GROUP BY grams.doc_id),
+    rng AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents)
+    SELECT LEAST(((doc_id - lo) * 10) // (hi - lo + 1), 9) AS decile,
+      COUNT(*) AS docs_with_grams,
+      CAST(SUM(n_grams) AS BIGINT) AS grams,
+      CAST(SUM(novel) AS BIGINT) AS novel,
+      ROUND(CAST(SUM(novel) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6) AS novelty_rate
+    FROM per_doc, rng
+    GROUP BY 1 ORDER BY decile"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q227_ngram_novelty",
+      (s, d) => ngramNovelty(documents(s, d)), Some(noveltyOracle)),
     Q("q221_temperature_mixture",
       (s, d) => temperatureMixture(documents(s, d)), Some(temperatureOracle)),
     Q("q222_jsd_drift",

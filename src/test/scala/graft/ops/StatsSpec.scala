@@ -494,6 +494,75 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("scoreCalibration: bins partition the events, rates bounded, ECE consistent") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val rows = Analytics.scoreCalibration(events).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == events.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("obs_rate") >= 0.0 && r.getAs[Double]("obs_rate") <= 1.0)
+      assert(r.getAs[Double]("mean_p") >= 0.0 && r.getAs[Double]("mean_p") <= 1.0)
+      assert(r.getAs[Double]("brier") >= 0.0 && r.getAs[Double]("brier") <= 1.0)
+    }
+    // ECE is a convex combination of gaps: bounded by the max bin gap
+    val maxGap = rows.map(_.getAs[Double]("gap")).max
+    assert(rows.head.getAs[Double]("ece") <= maxGap + 1e-9)
+  }
+
+  test("bootstrapCi: interval brackets the estimate and tracks the sample mean") {
+    val r = Analytics.bootstrapCi(Tables.orders(spark, sf("sf0.001"))).collect()(0)
+    assert(r.getAs[Long]("b") == 40L)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val bm = r.getAs[Double]("boot_mean")
+    assert(lo <= bm && bm <= hi)
+    val se = r.getAs[Double]("boot_se")
+    assert(se > 0.0)
+    assert(math.abs(bm - r.getAs[Double]("sample_mean")) < 6.0 * se)
+  }
+
+  test("cusumChangepoint locates a planted level shift at its boundary") {
+    // 40 days: 100/day then 200/day from day 21 => argmax |CUSUM| at day 20
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    val orders = (0 until 40).map { i =>
+      (i.toLong, java.sql.Date.valueOf(d0.plusDays(i)),
+        if (i < 20) 100.0 else 200.0)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.cusumChangepoint(orders).collect()(0)
+    assert(r.getAs[Long]("n_days") == 40L)
+    assert(r.getDate(1) == java.sql.Date.valueOf(d0.plusDays(19)), s"got $r")
+    assert(r.getAs[Double]("max_cusum") > 3.0) // far beyond any control limit
+    assert(math.abs(r.getAs[Double]("mean_daily") - 150.0) < 1e-9)
+  }
+
+  test("holtTrend: constant series gives zero trend and flat forecasts; linear series extrapolates upward") {
+    val d0 = java.time.LocalDate.parse("2023-01-15")
+    val const = (0 until 12).map(i =>
+      (i.toLong, java.sql.Date.valueOf(d0.plusMonths(i)), 100.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rc = Analytics.holtTrend(const).collect()(0)
+    assert(rc.getAs[Long]("n_months") == 12L)
+    assert(math.abs(rc.getAs[Double]("level") - 100.0) < 1e-9)
+    assert(math.abs(rc.getAs[Double]("trend")) < 1e-9)
+    assert(math.abs(rc.getAs[Double]("forecast_3") - 100.0) < 1e-9)
+    val lin = (0 until 12).map(i =>
+      (i.toLong, java.sql.Date.valueOf(d0.plusMonths(i)), 100.0 * (i + 1)))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val rl = Analytics.holtTrend(lin).collect()(0)
+    assert(rl.getAs[Double]("trend") > 0.0)
+    assert(rl.getAs[Double]("forecast_3") > rl.getAs[Double]("forecast_1"))
+  }
+
+  test("ngramNovelty: the decile holding a gram's first doc gets the novelty") {
+    // doc 0 coins "a b c"; docs 1..9 repeat it verbatim
+    val docs = (0 until 10).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+    val rows = graft.text.TextAnalysis.ngramNovelty(docs).collect()
+    assert(rows.length == 10) // one doc per decile
+    rows.foreach { r =>
+      val expect = if (r.getAs[Long]("decile") == 0L) 1.0 else 0.0
+      assert(r.getAs[Double]("novelty_rate") == expect, s"at $r")
+      assert(r.getAs[Long]("grams") == 1L)
+    }
+  }
+
   test("triangleCount finds the planted triangle and ignores the dangling edge") {
     // nation graph: 1-2, 2-3, 1-3 (triangle) + 3-4 (dangling)
     val supplier = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 3)).toDF("s_suppkey", "s_nationkey")
