@@ -591,7 +591,7 @@ object Relational extends QueryModule {
     */
   def stratifiedSplitAudit(li: DataFrame, spark: SparkSession): DataFrame = {
     val keyed = li.select("l_orderkey", "l_linenumber", "l_returnflag")
-    val flags = keyed.select("l_returnflag").distinct().collect().map(_.getString(0))
+    val flags = boundedStrata(keyed, "l_returnflag")
     val train = keyed.stat.sampleBy("l_returnflag",
       flags.map(_ -> 0.8).toMap, seed = 42L)
     val test = keyed.join(train.select("l_orderkey", "l_linenumber"),
@@ -602,6 +602,26 @@ object Relational extends QueryModule {
       .groupBy("eval_set", "l_returnflag")
       .agg(count(lit(1)).as("instances"))
       .orderBy("eval_set", "l_returnflag")
+  }
+
+  /** Bounded driver-side stratum collect for `sampleBy`-style APIs.
+    * `sampleBy` inherently needs a driver-side fraction map, so the
+    * distinct stratum values MUST come to the driver — but an
+    * accidentally high-cardinality stratum column (a timestamp, an id)
+    * would otherwise OOM the driver or build a million-entry map. The
+    * limit(cap+1) bounds the fetch (Spark stops pulling partitions once
+    * the limit is satisfied) so misuse fails fast with a clear message
+    * instead of degrading.
+    */
+  private[graft] def boundedStrata(
+      df: DataFrame, column: String, cap: Int = 1000): Array[String] = {
+    val vals = df.select(column).distinct().limit(cap + 1)
+      .collect().map(_.getString(0))
+    require(vals.length <= cap,
+      s"sampleBy stratum column '$column' has more than $cap distinct " +
+        "values; stratified sampling requires a small driver-side " +
+        "fraction map. Bucket the column first or raise the cap.")
+    vals
   }
 
   /** approx_count_distinct (HLL++) audit — rows-only (sketch estimates are

@@ -147,6 +147,16 @@ object AsofLookup {
   def asofLookup(leftDf: DataFrame, rightDf: DataFrame,
       leftOn: Column, rightOn: Column): DataFrame = {
     val spark = leftDf.sparkSession
+    // graceful degradation: a dimension too big to broadcast routes to
+    // the distributed range-partitioned merge ([[AsofMerge]]) instead of
+    // erroring. The probe is bounded — limit(cap+1) stops each scan task
+    // at cap+1 rows, so the planning-time count never materializes an
+    // oversized dimension. doExecute keeps its own fail-fast require as
+    // the safety net for directly-constructed plans.
+    val cap = math.min(spark.conf.get(
+      "graft.asof.maxRightRows", "5000000").toLong, Int.MaxValue - 1L).toInt
+    if (rightDf.limit(cap + 1).count() > cap)
+      return AsofMerge.asofMergeJoin(leftDf, rightDf, leftOn, rightOn)
     AsofLookup.synchronized {
       val registered =
         spark.sessionState.planner.strategies.contains(AsofStrategy) ||

@@ -454,6 +454,34 @@ class LayoutAnalyticsSpec extends SparkSpec {
     assert(plan.contains("AsofLookup __asof_l"), s"custom exec expected:\n$plan")
   }
 
+  test("asof oversized dimension degrades to the distributed merge, same output") {
+    import spark.implicits._
+    import graft.plans.{AsofLookup, AsofMerge}
+    val facts = (1 to 500).map(i => (i.toLong, i * 3L)).toDF("id", "t")
+    // 40 eras with unique keys; facts 1..500 probe them
+    val dim = (1 to 40).map(i => (i * 37L, s"era_$i")).toDF("eff", "tag")
+    val native = AsofLookup.asofLookup(facts, dim, col("t"), col("eff"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // force the fallback: cap below |dim|
+    spark.conf.set("graft.asof.maxRightRows", "10")
+    try {
+      val degraded = AsofLookup.asofLookup(facts, dim, col("t"), col("eff"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(degraded.toSeq == native.toSeq,
+        "fallback path must be output-identical to the native operator")
+    } finally spark.conf.unset("graft.asof.maxRightRows")
+    // direct merge path with many partitions: exercises the carry-in era
+    // for partitions whose head facts precede their first local dim
+    val merged = AsofMerge.asofMergeJoin(facts, dim, col("t"), col("eff"), 16)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(merged.toSeq == native.toSeq)
+    // boundary semantics survive the merge path: t == eff joins that era
+    val onBoundary = AsofMerge.asofMergeJoin(
+      Seq((1L, 37L)).toDF("id", "t"), dim, col("t"), col("eff"), 4)
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(onBoundary == Seq("era_1"))
+  }
+
   test("retention cohorts: week-0 retention is 1.0 and rates never exceed it") {
     val r = Analytics.retentionCohorts(Tables.events(spark, sf("sf0.001"))).collect()
     assert(r.nonEmpty)

@@ -30,6 +30,18 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("boundedStrata fails fast on a high-cardinality stratum column") {
+    import spark.implicits._
+    val wide = (1 to 2000).map(i => s"stratum_$i").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      Relational.boundedStrata(wide, "s")
+    }
+    assert(e.getMessage.contains("more than 1000 distinct"))
+    // the happy path still returns the full (small) stratum set
+    assert(Relational.boundedStrata(
+      li.select(col("l_returnflag").as("s")), "s").toSet == Set("A", "N", "R"))
+  }
+
   test("pricing summary aggregates are internally consistent") {
     val rows = Relational.pricingSummary(li).collect()
     rows.foreach { r =>
