@@ -18,12 +18,20 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and convert (exact: driver data is
-    * micro-precision, so `ns div 1000` is lossless).
+    * micro-precision, so `ns div 1000` is lossless). Derived corpora
+    * (e.g. the ScaleUp output) write a regular micros timestamp — the
+    * schema dispatch keeps one loader working across both physical types.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

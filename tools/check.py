@@ -16,6 +16,19 @@ def load_tables(con, sf_dir):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Derived corpora (graft.ScaleUp) store events.ts as BIGINT NANOS —
+    # the same value Spark reads from the driver's TIMESTAMP(NANOS)
+    # parquet. Re-surface it as a timestamp so every oracle query works
+    # identically on both corpora.
+    try:
+        (ts_type,) = con.execute(
+            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+        if ts_type == "BIGINT":
+            con.execute("CREATE OR REPLACE VIEW events AS SELECT "
+                        "* REPLACE (make_timestamp_ns(ts) AS ts) "
+                        f"FROM read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
+    except Exception:
+        pass  # no events table in this corpus
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
