@@ -112,9 +112,12 @@ object ScaleUp {
     // the streaming reader's explicit LongType schema; bigint nanos keeps
     // every reader (batch dispatch, streaming, DuckDB via the check.py
     // make_timestamp_ns shim) on the code path the graded corpus uses.
+    // ts may surface as TIMESTAMP_NTZ (driver parquet is TIMESTAMP(NANOS,
+    // isAdjustedToUTC=false)); unix_micros needs TIMESTAMP — the cast is
+    // value-preserving because the session timezone is pinned to UTC
     write(out, "events", replicate(Tables.events(spark, src)).select(
       remap("event_id").as("event_id"),
-      (unix_micros(col("ts")) * 1000L).as("ts"),
+      (unix_micros(col("ts").cast("timestamp")) * 1000L).as("ts"),
       remap("user_id").as("user_id"),
       col("event_type"), col("value"), col("props")))
 
