@@ -18,7 +18,9 @@ object SparkEntry {
     ops.Extended,
     ops.Layout,
     ops.Analytics,
+    ops.StatTests,
     text.TextAnalysis,
+    text.CorpusStats,
     text.Dedup,
     text.Similarity,
     imaging.ImageQueries,
