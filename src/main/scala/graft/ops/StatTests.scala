@@ -322,6 +322,433 @@ object StatTests extends QueryModule {
       ROUND((CAST(ctot AS DOUBLE) * CAST(ctot AS DOUBLE)) / CAST(c2tot AS DOUBLE), 6) AS effective_n
     FROM g ORDER BY r_name"""
 
+  /** Forecast-accuracy scaling (MASE): mean absolute error of the
+    * one-step naive forecast over that of the seasonal-naive (lag-12)
+    * forecast on the monthly revenue series. Errors are differences of
+    * exact integer cents, so both MAEs are exact decimal averages; the
+    * single final ratio is one double division. Calendar-bounded
+    * series, one narrow window pass.
+    */
+  def maseForecast(orders: DataFrame): DataFrame = {
+    val m = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)")).as("cents"))
+    val w = Window.orderBy("mon")
+    m.withColumn("l1", lag("cents", 1).over(w))
+      .withColumn("l12", lag("cents", 12).over(w))
+      .filter(col("l12").isNotNull)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("cents") - col("l1")).cast("decimal(38,0)")).as("e1"),
+        sum(abs(col("cents") - col("l12")).cast("decimal(38,0)")).as("e12"))
+      .select(col("n_eval"),
+        round(expr("CAST(e1 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0"), 6).as("mae_naive"),
+        round(expr("CAST(e12 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0"), 6).as("mae_seasonal"),
+        round(expr("CAST(e1 AS DOUBLE) / CAST(e12 AS DOUBLE)"), 6).as("mase"))
+  }
+
+  private val maseOracle = """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS cents
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT mon, cents,
+        lag(cents, 1) OVER (ORDER BY mon) AS l1,
+        lag(cents, 12) OVER (ORDER BY mon) AS l12
+      FROM m),
+    e AS (
+      SELECT COUNT(*) AS n_eval,
+        CAST(SUM(ABS(cents - l1)) AS DECIMAL(38,0)) AS e1,
+        CAST(SUM(ABS(cents - l12)) AS DECIMAL(38,0)) AS e12
+      FROM l WHERE l12 IS NOT NULL)
+    SELECT CAST(n_eval AS BIGINT) AS n_eval,
+      ROUND(CAST(e1 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0, 6) AS mae_naive,
+      ROUND(CAST(e12 AS DOUBLE) / CAST(n_eval AS DOUBLE) / 100.0, 6) AS mae_seasonal,
+      ROUND(CAST(e1 AS DOUBLE) / CAST(e12 AS DOUBLE), 6) AS mase
+    FROM e"""
+
+  /** Cramér's V (plus the Bergsma bias-corrected variant) for the
+    * event_type × day-of-week contingency table. Cell/marginal counts
+    * are exact integers; each cell's χ² term is a fixed double
+    * expression and the ~35-cell reduction folds in pinned (type, dow)
+    * order. Spark's dayofweek is 1=Sunday; DuckDB's is 0-based, so the
+    * oracle adds 1.
+    */
+  def cramersV(events: DataFrame): DataFrame = {
+    val obs = events
+      .select(col("event_type").as("et"), dayofweek(col("ts")).cast("long").as("dw"))
+      .groupBy("et", "dw").agg(count(lit(1)).as("nij"))
+    // χ² sums over the FULL r×c grid: an absent (type, dow) cell still
+    // contributes (0−e)²/e, so zero cells are materialized explicitly
+    val cells = obs.select("et").distinct()
+      .crossJoin(obs.select("dw").distinct())
+      .join(obs, Seq("et", "dw"), "left")
+      .withColumn("nij", coalesce(col("nij"), lit(0L)))
+    val rm = cells.groupBy("et").agg(sum("nij").as("ri"))
+    val cm = cells.groupBy("dw").agg(sum("nij").as("cj"))
+    val tot = cells.agg(sum("nij").as("nn"),
+      countDistinct("et").as("r"), countDistinct("dw").as("c"))
+    cells.join(broadcast(rm), "et").join(broadcast(cm), "dw")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """(CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE))
+          | * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE))
+          | / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE))""".stripMargin))
+      .groupBy(col("nn"), col("r"), col("c"))
+      .agg(expr("""aggregate(
+          array_sort(collect_list(named_struct('et', et, 'dw', dw, 'term', term))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("chi2"))
+      .select(col("nn").as("n"), col("r"), col("c"),
+        round(col("chi2"), 6).as("chi2"),
+        round(expr("sqrt(chi2 / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))"), 6)
+          .as("v"),
+        round(expr(
+          """sqrt(greatest(0.0, chi2 / CAST(nn AS DOUBLE)
+            |  - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE))
+            | / least(CAST(r AS DOUBLE) - CAST(r - 1 AS DOUBLE) * CAST(r - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) - 1.0,
+            |         CAST(c AS DOUBLE) - CAST(c - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) - 1.0))""".stripMargin), 6)
+          .as("v_corrected"))
+  }
+
+  private val cramersOracle = """
+    WITH obs AS (
+      SELECT event_type AS et, CAST(dayofweek(ts) + 1 AS BIGINT) AS dw, COUNT(*) AS nij
+      FROM events GROUP BY 1, 2),
+    cells AS (
+      SELECT e.et, d.dw, COALESCE(obs.nij, 0) AS nij
+      FROM (SELECT DISTINCT et FROM obs) e
+      CROSS JOIN (SELECT DISTINCT dw FROM obs) d
+      LEFT JOIN obs ON obs.et = e.et AND obs.dw = d.dw),
+    rm AS (SELECT et, SUM(nij) AS ri FROM cells GROUP BY 1),
+    cm AS (SELECT dw, SUM(nij) AS cj FROM cells GROUP BY 1),
+    tot AS (
+      SELECT SUM(nij) AS nn, COUNT(DISTINCT et) AS r, COUNT(DISTINCT dw) AS c
+      FROM cells),
+    terms AS (
+      SELECT cells.et, cells.dw, nn, r, c,
+        (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE))
+         * (CAST(nij AS DOUBLE) - CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE))
+         / (CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE) / CAST(nn AS DOUBLE)) AS term
+      FROM cells JOIN rm USING (et) JOIN cm USING (dw), tot),
+    agg AS (
+      SELECT nn, r, c,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY et, dw)),
+          (acc, x) -> acc + x) AS chi2
+      FROM terms GROUP BY 1, 2, 3)
+    SELECT CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+      ROUND(chi2, 6) AS chi2,
+      ROUND(sqrt(chi2 / (CAST(nn AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6) AS v,
+      ROUND(sqrt(greatest(0.0, chi2 / CAST(nn AS DOUBLE)
+          - CAST(r - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE))
+        / least(CAST(r AS DOUBLE) - CAST(r - 1 AS DOUBLE) * CAST(r - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) - 1.0,
+                CAST(c AS DOUBLE) - CAST(c - 1 AS DOUBLE) * CAST(c - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) - 1.0)), 6) AS v_corrected
+    FROM agg"""
+
+  /** Per-type overdispersion of user activity: Fano factor (variance /
+    * mean of per-user event counts), squared coefficient of variation,
+    * and the Goh-Barabási burstiness (σ−μ)/(σ+μ). Counts are exact
+    * integers, moments exact decimal sums; one user-keyed then one
+    * type-keyed shuffle.
+    */
+  def overdispersion(events: DataFrame): DataFrame = {
+    val k = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("k"))
+    k.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum("k").as("s"),
+        sum((col("k") * col("k")).cast("decimal(38,0)")).as("q"))
+      .withColumn("mean_k", expr("CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)"))
+      .withColumn("var_k", expr(
+        """(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+          | / CAST(n_users - 1 AS DOUBLE)""".stripMargin))
+      .select(col("event_type"), col("n_users"), col("s").as("n_events"),
+        round(col("mean_k"), 6).as("mean_k"),
+        round(col("var_k"), 6).as("var_k"),
+        round(expr("var_k / mean_k"), 6).as("fano"),
+        round(expr("var_k / (mean_k * mean_k)"), 6).as("cv2"),
+        round(expr("(sqrt(var_k) - mean_k) / (sqrt(var_k) + mean_k)"), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  private val overdispersionOracle = """
+    WITH k AS (
+      SELECT event_type, user_id, COUNT(*) AS k FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, COUNT(*) AS n_users, SUM(k) AS s,
+        CAST(SUM(k * k) AS DECIMAL(38,0)) AS q
+      FROM k GROUP BY 1),
+    m AS (
+      SELECT event_type, n_users, s,
+        CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_k,
+        (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+          / CAST(n_users - 1 AS DOUBLE) AS var_k
+      FROM g)
+    SELECT event_type, CAST(n_users AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+      ROUND(mean_k, 6) AS mean_k, ROUND(var_k, 6) AS var_k,
+      ROUND(var_k / mean_k, 6) AS fano,
+      ROUND(var_k / (mean_k * mean_k), 6) AS cv2,
+      ROUND((sqrt(var_k) - mean_k) / (sqrt(var_k) + mean_k), 6) AS burstiness
+    FROM m ORDER BY event_type"""
+
+  /** Entropy rate of the per-user event-type Markov chain: H =
+    * −Σ_{s,t} (n_st/N)·ln(n_st/n_s·) over exact transition counts,
+    * folded in pinned (source, dest) order; perplexity = exp(H). The
+    * transition extraction is the one user-keyed window pass; the fold
+    * runs over the ≤|states|² aggregated cells.
+    */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("s"), col("nxt").as("d"))
+      .agg(count(lit(1)).as("nst"))
+    val rowTot = tr.groupBy("s").agg(sum("nst").as("ns"))
+    val tot = tr.agg(sum("nst").as("nn"), countDistinct("s").as("n_states"))
+    tr.join(broadcast(rowTot), "s").crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """(CAST(nst AS DOUBLE) / CAST(nn AS DOUBLE))
+          | * ln(CAST(nst AS DOUBLE) / CAST(ns AS DOUBLE))""".stripMargin))
+      .groupBy(col("nn"), col("n_states"))
+      .agg(expr("""aggregate(
+          array_sort(collect_list(named_struct('s', s, 'd', d, 'term', term))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc - x.term)""").as("h"))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        round(col("h"), 6).as("entropy_rate"),
+        round(exp(col("h")), 6).as("perplexity"))
+  }
+
+  private val markovOracle = """
+    WITH tr AS (
+      SELECT event_type AS s,
+        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events),
+    c AS (SELECT s, d, COUNT(*) AS nst FROM tr WHERE d IS NOT NULL GROUP BY 1, 2),
+    rowtot AS (SELECT s, SUM(nst) AS ns FROM c GROUP BY 1),
+    tot AS (SELECT SUM(nst) AS nn, COUNT(DISTINCT s) AS n_states FROM c),
+    terms AS (
+      SELECT c.s, c.d, nn, n_states,
+        (CAST(nst AS DOUBLE) / CAST(nn AS DOUBLE))
+          * ln(CAST(nst AS DOUBLE) / CAST(ns AS DOUBLE)) AS term
+      FROM c JOIN rowtot USING (s), tot),
+    agg AS (
+      -- the fold subtracts each (negative) term, so h accumulates −Σterm = H
+      SELECT nn, n_states,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY s, d)),
+          (acc, x) -> acc - x) AS h
+      FROM terms GROUP BY 1, 2)
+    SELECT CAST(nn AS BIGINT) AS n_transitions, CAST(n_states AS BIGINT) AS n_states,
+      ROUND(h, 6) AS entropy_rate, ROUND(exp(h), 6) AS perplexity
+    FROM agg"""
+
+  /** Cronbach's alpha treating the five event types as scale items and
+    * each user's exact per-type value sum as the item response
+    * (missing item → 0, which leaving it out of the sums preserves).
+    * Item and total variances come from exact decimal power sums; the
+    * k-item variance reduction folds in pinned item order.
+    */
+  def cronbachAlpha(events: DataFrame): DataFrame = {
+    val ui = events.groupBy("user_id", "event_type")
+      .agg(sum(dec(col("value"), 2)).as("x"))
+    val nUsers = ui.agg(countDistinct("user_id").as("nu"))
+    // item moments over ALL users: absent (user,item) rows are zeros and
+    // contribute nothing to the sums, so only the divisor needs nu
+    val item = ui.groupBy("event_type")
+      .agg(sum(col("x")).cast("decimal(38,2)").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("qx"))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("var_i", expr(
+        """(CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))
+          | / CAST(nu - 1 AS DOUBLE)""".stripMargin))
+    val totals = ui.groupBy("user_id")
+      .agg(sum(col("x")).cast("decimal(38,2)").as("t"))
+      .agg(count(lit(1)).as("nu2"),
+        sum(col("t")).cast("decimal(38,2)").as("st"),
+        sum((col("t") * col("t")).cast("decimal(38,4)")).as("qt"))
+    item.groupBy().agg(
+        count(lit(1)).as("k"),
+        max("nu").as("n_users"),
+        expr("""aggregate(
+            array_sort(collect_list(named_struct('i', event_type, 'v', var_i))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("sum_var"))
+      .crossJoin(totals)
+      .withColumn("var_total", expr(
+        """(CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nu2 AS DOUBLE))
+          | / CAST(nu2 - 1 AS DOUBLE)""".stripMargin))
+      .select(col("k"), col("n_users"),
+        round(col("sum_var"), 6).as("sum_item_var"),
+        round(col("var_total"), 6).as("var_total"),
+        round(expr(
+          "CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE) * (1.0 - sum_var / var_total)"), 6)
+          .as("alpha"))
+  }
+
+  private val cronbachOracle = """
+    WITH ui AS (
+      SELECT user_id, event_type,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS x
+      FROM events GROUP BY 1, 2),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ui),
+    item AS (
+      SELECT event_type,
+        (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nu AS DOUBLE))
+          / CAST(nu - 1 AS DOUBLE) AS var_i, nu
+      FROM (SELECT event_type, CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+              CAST(SUM(x * x) AS DECIMAL(38,4)) AS qx
+            FROM ui GROUP BY 1), nu),
+    totals AS (
+      SELECT COUNT(*) AS nu2, CAST(SUM(t) AS DECIMAL(38,2)) AS st,
+        CAST(SUM(t * t) AS DECIMAL(38,4)) AS qt
+      FROM (SELECT user_id, CAST(SUM(x) AS DECIMAL(38,2)) AS t FROM ui GROUP BY 1)),
+    agg AS (
+      SELECT COUNT(*) AS k, MAX(nu) AS n_users,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(var_i ORDER BY event_type)),
+          (acc, x) -> acc + x) AS sum_var
+      FROM item),
+    v AS (
+      SELECT k, n_users, sum_var,
+        (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nu2 AS DOUBLE))
+          / CAST(nu2 - 1 AS DOUBLE) AS var_total
+      FROM agg, totals)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n_users AS BIGINT) AS n_users,
+      ROUND(sum_var, 6) AS sum_item_var, ROUND(var_total, 6) AS var_total,
+      ROUND(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE) * (1.0 - sum_var / var_total), 6) AS alpha
+    FROM v"""
+
+  /** Kaplan-Meier time-to-conversion survival: duration = hours from a
+    * user's first event to their first purchase (the "death"); users
+    * who never purchase are right-censored at their last activity.
+    * Epoch seconds floor identically in both engines, so durations are
+    * exact integers; the at-risk count is an exact integer suffix sum
+    * over the hour-grain duration table; survival at each of the first
+    * 25 conversion times is exp(Σ ln(1 − d/n)) with the prefix folded
+    * in pinned duration order over the ≤25×25 death-time self-join —
+    * everything after the one user-keyed shuffle is calendar-bounded.
+    */
+  def kmSurvival(events: DataFrame): DataFrame = {
+    val life = events.groupBy("user_id")
+      .agg(unix_timestamp(min(col("ts"))).as("e0"),
+        unix_timestamp(max(col("ts"))).as("e1"),
+        unix_timestamp(min(when(col("event_type") === "purchase", col("ts")))).as("ep"))
+    val durs = life.select(
+      when(col("ep").isNotNull, expr("(ep - e0) div 3600"))
+        .otherwise(expr("(e1 - e0) div 3600")).as("dur"),
+      col("ep").isNotNull.as("observed"))
+    val byDur = durs.groupBy("dur")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("observed"), 1L).otherwise(0L)).as("d"))
+    val wDesc = Window.orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deaths = byDur
+      .withColumn("at_risk", sum("c_all").over(wDesc))
+      .filter(col("d") > 0)
+      .orderBy("dur").limit(25)
+      .select(col("dur"), col("d"), col("at_risk"))
+    // a death that consumes the whole remaining risk set (d = n) zeroes
+    // survival outright — ln(0) is guarded out of the fold (Spark would
+    // NULL it, DuckDB errors)
+    deaths.as("a").join(deaths.as("b"), col("b.dur") <= col("a.dur"))
+      .groupBy(col("a.dur").as("dur"), col("a.d").as("d"), col("a.at_risk").as("at_risk"))
+      .agg(
+        expr("""aggregate(
+          array_sort(collect_list(named_struct('t', b.dur,
+            'lnf', CASE WHEN b.d < b.at_risk
+              THEN ln(1.0 - CAST(b.d AS DOUBLE) / CAST(b.at_risk AS DOUBLE))
+              ELSE 0.0 END))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lnf)""").as("lns"),
+        max(when(col("b.d") === col("b.at_risk"), 1).otherwise(0)).as("any0"))
+      .select(col("dur"), col("d"), col("at_risk"),
+        round(when(col("any0") === 1, lit(0.0)).otherwise(exp(col("lns"))), 6)
+          .as("survival"))
+      .orderBy("dur")
+  }
+
+  private val kmOracle = """
+    WITH life AS (
+      SELECT user_id,
+        CAST(floor(epoch(MIN(ts))) AS BIGINT) AS e0,
+        CAST(floor(epoch(MAX(ts))) AS BIGINT) AS e1,
+        CAST(floor(epoch(MIN(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS ep
+      FROM events GROUP BY 1),
+    durs AS (
+      SELECT CASE WHEN ep IS NOT NULL THEN (ep - e0) // 3600
+                  ELSE (e1 - e0) // 3600 END AS dur,
+        ep IS NOT NULL AS observed
+      FROM life),
+    bydur AS (
+      SELECT dur, COUNT(*) AS c_all,
+        CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM durs GROUP BY 1),
+    deaths AS (
+      SELECT dur, d, at_risk FROM (
+        SELECT dur, d,
+          SUM(c_all) OVER (ORDER BY dur DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        FROM bydur)
+      WHERE d > 0 ORDER BY dur LIMIT 25),
+    km AS (
+      SELECT a.dur, a.d, a.at_risk,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CASE WHEN b.d < b.at_risk
+                 THEN ln(1.0 - CAST(b.d AS DOUBLE) / CAST(b.at_risk AS DOUBLE))
+                 ELSE 0.0 END ORDER BY b.dur)),
+          (acc, x) -> acc + x) AS lns,
+        MAX(CASE WHEN b.d = b.at_risk THEN 1 ELSE 0 END) AS any0
+      FROM deaths a JOIN deaths b ON b.dur <= a.dur
+      GROUP BY 1, 2, 3)
+    SELECT dur, d, CAST(at_risk AS BIGINT) AS at_risk,
+      ROUND(CASE WHEN any0 = 1 THEN 0.0 ELSE exp(lns) END, 6) AS survival
+    FROM km ORDER BY dur"""
+
+  /** Lorenz-curve deciles of customer spend: ntile(10) over the exact
+    * cent totals (custkey tiebreak for a total order), per-decile and
+    * cumulative revenue share. Shares divide exact decimal sums; the
+    * cumulative sum is decimal, hence order-exact.
+    */
+  def lorenzDeciles(orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("cents"))
+    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    val d = spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("decimal(38,0)").as("s"))
+    val tot = d.agg(sum(col("s")).cast("decimal(38,0)").as("stot"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("s")).over(wc).cast("decimal(38,0)"))
+      .select(col("decile"), col("n_customers"),
+        round(col("s").cast("double") / 100.0, 2).as("revenue"),
+        round(expr("CAST(s AS DOUBLE) / CAST(stot AS DOUBLE)"), 6).as("share"),
+        round(expr("CAST(cum AS DOUBLE) / CAST(stot AS DOUBLE)"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  private val lorenzOracle = """
+    WITH spend AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS cents
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS decile,
+        cents
+      FROM spend),
+    g AS (
+      SELECT decile, COUNT(*) AS n_customers, CAST(SUM(cents) AS DECIMAL(38,0)) AS s
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(s) AS DECIMAL(38,0)) AS stot FROM g),
+    c AS (
+      SELECT decile, n_customers, s, stot,
+        CAST(SUM(s) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum
+      FROM g, tot)
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+      ROUND(CAST(s AS DOUBLE) / 100.0, 2) AS revenue,
+      ROUND(CAST(s AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS share,
+      ROUND(CAST(cum AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS cum_share
+    FROM c ORDER BY decile"""
+
   override def queries: Seq[Q] = Seq(
     Q("q230_bh_fdr", (s, d) => bhFdr(events(s, d)), Some(bhFdrOracle)),
     Q("q233_levene_test", (s, d) => leveneTest(events(s, d)), Some(leveneOracle)),
@@ -329,5 +756,12 @@ object StatTests extends QueryModule {
     Q("q237_hhi_concentration",
       (s, d) => hhiConcentration(orders(s, d), customer(s, d), nation(s, d), region(s, d)),
       Some(hhiOracle)),
+    Q("q238_mase_forecast", (s, d) => maseForecast(orders(s, d)), Some(maseOracle)),
+    Q("q239_cramers_v", (s, d) => cramersV(events(s, d)), Some(cramersOracle)),
+    Q("q240_overdispersion", (s, d) => overdispersion(events(s, d)), Some(overdispersionOracle)),
+    Q("q241_markov_entropy", (s, d) => markovEntropy(events(s, d)), Some(markovOracle)),
+    Q("q242_cronbach_alpha", (s, d) => cronbachAlpha(events(s, d)), Some(cronbachOracle)),
+    Q("q243_km_survival", (s, d) => kmSurvival(events(s, d)), Some(kmOracle)),
+    Q("q244_lorenz_deciles", (s, d) => lorenzDeciles(orders(s, d)), Some(lorenzOracle)),
   )
 }
