@@ -19,18 +19,32 @@ object StreamingOps extends QueryModule {
     * streaming requires; nanos ts handled as in Tables.events).
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    // The corpus has shipped events.ts as TIMESTAMP(NANOS) (reads as
+    // long under nanosAsLong) and as TIMESTAMP_MICROS/NTZ — probe the
+    // batch footer and mirror Tables.events' dispatch instead of
+    // hardcoding one physical type.
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a directory
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => // nanos-as-long: micro-precision data, lossless div
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ → session-time TIMESTAMP, mirroring Tables.events: watermarks
+      // and unix_micros reject NTZ, and the session is pinned UTC
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run `f` with a transient shuffle-partition setting: streaming state
