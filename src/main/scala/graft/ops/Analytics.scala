@@ -2449,9 +2449,14 @@ object Analytics extends QueryModule {
           array_sort(collect_list(struct(col("mon").as("k"), col("detr").as("v")))),
           lit(0.0), (acc, x) => acc + x.getField("v")) / count(lit(1))).as("seasonal"))
     t.join(broadcast(seas), month(col("mon")) === col("moy"))
-      .select(col("mon"), col("rev"), round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("detr") - col("seasonal"), 6).as("resid"))
+      // floor(x*1e6+0.5)/1e6 instead of round(x, 6): at sf1 the trend
+      // magnitude (~5e9) puts 1e-6 below the double's ulp, where the
+      // engines' ROUND implementations disagree on the same bits; the
+      // explicit floor formula runs the identical IEEE ops in both
+      .select(col("mon"), col("rev"),
+        expr("floor(trend * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("trend"),
+        expr("floor(seasonal * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("seasonal"),
+        expr("floor((detr - seasonal) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("resid"))
       .orderBy("mon")
   }
 
@@ -2475,8 +2480,10 @@ object Analytics extends QueryModule {
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
           list(detr ORDER BY mon)), (s, e) -> s + e) / COUNT(*) AS seasonal
       FROM t GROUP BY 1)
-    SELECT mon, rev, ROUND(trend, 6) AS trend, ROUND(seasonal, 6) AS seasonal,
-      ROUND(detr - seasonal, 6) AS resid
+    SELECT mon, rev,
+      floor(trend * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS trend,
+      floor(seasonal * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS seasonal,
+      floor((detr - seasonal) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS resid
     FROM t JOIN seas ON month(mon) = moy
     ORDER BY mon"""
 
@@ -2816,12 +2823,15 @@ object Analytics extends QueryModule {
               cast(0.1 as double) * (cast(0.3 as double) * x.v
                 + cast(0.7 as double) * (s[0] + s[1]) - s[0])
                 + cast(0.9 as double) * s[1]))""").as("st"))
+      // explicit floor-rounding for the q213 reason: level/forecast
+      // magnitudes at sf1 put 1e-6 below the double ulp, where the
+      // engines' ROUND implementations disagree on identical bits
       .select(col("n_months"),
-        round(col("st")(0), 6).as("level"),
-        round(col("st")(1), 6).as("trend"),
-        round(col("st")(0) + col("st")(1), 6).as("forecast_1"),
-        round(col("st")(0) + lit(2.0) * col("st")(1), 6).as("forecast_2"),
-        round(col("st")(0) + lit(3.0) * col("st")(1), 6).as("forecast_3"))
+        expr("floor(st[0] * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("level"),
+        expr("floor(st[1] * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("trend"),
+        expr("floor((st[0] + st[1]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("forecast_1"),
+        expr("floor((st[0] + 2.0 * st[1]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("forecast_2"),
+        expr("floor((st[0] + 3.0 * st[1]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6").as("forecast_3"))
   }
 
   private val holtOracle = """
@@ -2840,10 +2850,12 @@ object Analytics extends QueryModule {
               + CAST(0.7 AS DOUBLE) * (s[1] + s[2]) - s[1])
               + CAST(0.9 AS DOUBLE) * s[2]]) AS st
       FROM m)
-    SELECT n_months, ROUND(st[1], 6) AS level, ROUND(st[2], 6) AS trend,
-      ROUND(st[1] + st[2], 6) AS forecast_1,
-      ROUND(st[1] + 2.0 * st[2], 6) AS forecast_2,
-      ROUND(st[1] + 3.0 * st[2], 6) AS forecast_3
+    SELECT n_months,
+      floor(st[1] * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS level,
+      floor(st[2] * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS trend,
+      floor((st[1] + st[2]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS forecast_1,
+      floor((st[1] + 2.0 * st[2]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS forecast_2,
+      floor((st[1] + 3.0 * st[2]) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS forecast_3
     FROM st"""
 
   override def queries: Seq[Q] = Seq(

@@ -38,8 +38,13 @@ object Relational extends QueryModule {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec(discPrice, 6)).cast("double").as("sum_disc_price"),
-        sum(dec(charge, 6)).cast("double").as("sum_charge"),
+        // exact DECIMAL rendered as its canonical string: at sf1+ these
+        // sums pass 2^53 in 1e-6 units, where EVERY decimal->double
+        // conversion stack (in-engine cast, DuckDB's pandas bridge,
+        // pyarrow's) rounds on its own — only the decimal digits
+        // themselves hash identically at every scale
+        sum(dec(discPrice, 6)).cast("decimal(38,6)").cast("string").as("sum_disc_price"),
+        sum(dec(charge, 6)).cast("decimal(38,6)").cast("string").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         (sum(dec(col("l_discount"), 6)).cast("double") / count(lit(1))).as("avg_disc"),
@@ -51,8 +56,8 @@ object Relational extends QueryModule {
     SELECT l_returnflag, l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,

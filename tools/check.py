@@ -24,8 +24,13 @@ def load_tables(con, sf_dir):
         (ts_type,) = con.execute(
             "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
         if ts_type == "BIGINT":
+            # make_timestamp(BIGINT) takes epoch MICROS; the data is
+            # micro-precision so nanos // 1000 is lossless. (The nanos
+            # variant make_timestamp_ns doesn't exist in this DuckDB —
+            # and this block must not silently fall through: BIGINT ts
+            # reaching the oracles breaks ~30 event-time queries.)
             con.execute("CREATE OR REPLACE VIEW events AS SELECT "
-                        "* REPLACE (make_timestamp_ns(ts) AS ts) "
+                        "* REPLACE (make_timestamp(ts // 1000) AS ts) "
                         f"FROM read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
     except Exception:
         pass  # no events table in this corpus
