@@ -804,60 +804,125 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Record linkage (entity resolution) over the customer dimension:
-    * blocked fuzzy self-match — block on the (nation, segment) quasi-
-    * identifier, score in-block pairs by normalized edit similarity of
-    * names plus an account-balance band, report per-block match audits
-    * (pair counts, match counts at the threshold, best score, exact
-    * id-sum checksum of matched pairs). The Fellegi-Sunter shape at
-    * 100 TB: blocking bounds the quadratic phase to block² ≪ corpus²
-    * and the output is block-aggregated — matched-pair ROWS never leave
+  /** Record linkage (entity resolution) over the customer dimension via
+    * sorted-neighborhood blocking (Hernández-Stolfo): within each
+    * (nation, segment) block, records are sorted by a key and each
+    * record is compared only to its `windowSize` successors; two passes
+    * (name, reversed name) union their candidates so a discrepancy near
+    * either end of the name still lands inside some window. Candidates
+    * are scored by normalized edit similarity of names plus an
+    * account-balance band; per-block audit rows report candidate/match
+    * counts, best score, and an exact id-sum checksum of matches. The
+    * first cut of this operator compared ALL in-block pairs — block
+    * sizes grow with the corpus, so that is a hidden all-pairs
+    * (measured 20× runtime at a 10× scale-up); sorted-neighborhood
+    * caps candidates at 2·W per record, the standard linear-at-scale
+    * linkage shape (multi-pass recall is heuristic by design and
+    * documented — a typo in the middle of a name can escape both sort
+    * orders). The neighbor join is an equi-join on (block, rank) —
+    * rank windows shuffle once per pass, candidate ROWS never leave
     * the block stage, only audit counts do.
     */
-  def recordLinkage(customer: DataFrame, threshold: Double = 0.85): DataFrame = {
+  def recordLinkage(customer: DataFrame, threshold: Double = 0.85,
+      windowSize: Int = 10): DataFrame = {
     val side = customer.select(col("c_custkey"), col("c_name"),
-      col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
-    val pairs = side.as("a")
-      .join(side.as("b"),
-        col("a.c_nationkey") === col("b.c_nationkey") &&
-          col("a.c_mktsegment") === col("b.c_mktsegment") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_nationkey").as("nation"),
-        col("a.c_mktsegment").as("segment"),
-        col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-        // exact integers → identical doubles: lev and lengths are ints
-        (lit(1.0) - levenshtein(col("a.c_name"), col("b.c_name")).cast("double") /
-          greatest(length(col("a.c_name")), length(col("b.c_name"))).cast("double"))
-          .as("name_sim"),
-        (abs(round(col("a.c_acctbal") * 100) - round(col("b.c_acctbal") * 100)) <
-          lit(10000L)).cast("double").as("bal_close"))
-      .withColumn("score", round(lit(0.8) * col("name_sim") + lit(0.2) * col("bal_close"), 6))
-    pairs.groupBy("nation", "segment")
-      .agg(count(lit(1)).as("n_pairs"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      col("c_acctbal")).localCheckpoint()
+    val offsets = (1 to windowSize).toArray
+    // one pass = rank within block by `key`, then pair each record with
+    // its `windowSize` successors via an equi-join on (block, rank)
+    def candidates(key: Column): DataFrame = {
+      val w = Window.partitionBy("nation", "segment").orderBy(key, col("c_custkey"))
+      val ranked = side.withColumn("rn", row_number().over(w))
+        .select(col("nation"), col("segment"), col("c_custkey"), col("rn"))
+      val probe = ranked
+        .withColumn("off", explode(lit(offsets)))
+        .select(col("nation"), col("segment"), col("c_custkey").as("id_p"),
+          (col("rn") + col("off")).as("rn"))
+      probe.join(ranked.withColumnRenamed("c_custkey", "id_q"),
+          Seq("nation", "segment", "rn"))
+        .select(col("nation"), col("segment"),
+          least(col("id_p"), col("id_q")).as("id_a"),
+          greatest(col("id_p"), col("id_q")).as("id_b"))
+    }
+    val cand = candidates(col("c_name"))
+      .unionAll(candidates(reverse(col("c_name"))))
+      .distinct()
+    val a = side.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+      col("c_acctbal").as("bal_a"))
+    val b = side.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+      col("c_acctbal").as("bal_b"))
+    val scored = cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("score", round(
+        lit(0.8) * (lit(1.0) - levenshtein(col("name_a"), col("name_b")).cast("double") /
+          greatest(length(col("name_a")), length(col("name_b"))).cast("double")) +
+        lit(0.2) * (abs(round(col("bal_a") * 100) - round(col("bal_b") * 100)) <
+          lit(10000L)).cast("double"), 6))
+    val agg = scored.groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("score") >= threshold, 1L).otherwise(0L)).as("n_matches"),
         round(max(col("score")), 6).as("best_score"),
         sum(when(col("score") >= threshold, col("id_a") + col("id_b"))
           .otherwise(0L)).as("match_checksum"))
+    side.select("nation", "segment").distinct()
+      .join(agg, Seq("nation", "segment"), "left")
+      .select(col("nation"), col("segment"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_score"),
+        coalesce(col("match_checksum"), lit(0L)).as("match_checksum"))
       .orderBy("nation", "segment")
   }
 
   private val recordLinkageOracle = """
-    WITH pairs AS (
-      SELECT a.c_nationkey AS nation, a.c_mktsegment AS segment,
-        a.c_custkey AS id_a, b.c_custkey AS id_b,
-        ROUND(0.8 * (1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE) /
-            CAST(GREATEST(length(a.c_name), length(b.c_name)) AS DOUBLE))
-          + 0.2 * CAST(ABS(ROUND(a.c_acctbal * 100, 0) - ROUND(b.c_acctbal * 100, 0)) < 10000
+    WITH side AS (
+      SELECT c_custkey, c_name, c_nationkey AS nation, c_mktsegment AS segment,
+        c_acctbal
+      FROM customer),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY nation, segment
+        ORDER BY c_name, c_custkey) AS rn FROM side),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY nation, segment
+        ORDER BY reverse(c_name), c_custkey) AS rn FROM side),
+    cand AS (
+      SELECT DISTINCT nation, segment, id_a, id_b FROM (
+        SELECT a.nation, a.segment,
+          LEAST(a.c_custkey, b.c_custkey) AS id_a,
+          GREATEST(a.c_custkey, b.c_custkey) AS id_b
+        FROM r1 a JOIN r1 b
+          ON a.nation = b.nation AND a.segment = b.segment
+          AND b.rn BETWEEN a.rn + 1 AND a.rn + 10
+        UNION ALL
+        SELECT a.nation, a.segment,
+          LEAST(a.c_custkey, b.c_custkey) AS id_a,
+          GREATEST(a.c_custkey, b.c_custkey) AS id_b
+        FROM r2 a JOIN r2 b
+          ON a.nation = b.nation AND a.segment = b.segment
+          AND b.rn BETWEEN a.rn + 1 AND a.rn + 10)),
+    scored AS (
+      SELECT c.nation, c.segment, c.id_a, c.id_b,
+        ROUND(0.8 * (1.0 - CAST(levenshtein(x.c_name, y.c_name) AS DOUBLE) /
+            CAST(GREATEST(length(x.c_name), length(y.c_name)) AS DOUBLE))
+          + 0.2 * CAST(ABS(ROUND(x.c_acctbal * 100, 0) - ROUND(y.c_acctbal * 100, 0)) < 10000
               AS DOUBLE), 6) AS score
-      FROM customer a JOIN customer b
-        ON a.c_nationkey = b.c_nationkey
-        AND a.c_mktsegment = b.c_mktsegment
-        AND a.c_custkey < b.c_custkey)
-    SELECT nation, segment, COUNT(*) AS n_pairs,
-      CAST(SUM(CASE WHEN score >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
-      ROUND(MAX(score), 6) AS best_score,
-      CAST(SUM(CASE WHEN score >= 0.85 THEN id_a + id_b ELSE 0 END) AS BIGINT) AS match_checksum
-    FROM pairs GROUP BY nation, segment ORDER BY nation, segment"""
+      FROM cand c
+      JOIN side x ON c.id_a = x.c_custkey
+      JOIN side y ON c.id_b = y.c_custkey),
+    agg AS (
+      SELECT nation, segment, COUNT(*) AS n_candidates,
+        CAST(SUM(CASE WHEN score >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+        ROUND(MAX(score), 6) AS best_score,
+        CAST(SUM(CASE WHEN score >= 0.85 THEN id_a + id_b ELSE 0 END) AS BIGINT) AS match_checksum
+      FROM scored GROUP BY 1, 2),
+    blocks AS (SELECT DISTINCT nation, segment FROM side)
+    SELECT b.nation, b.segment,
+      COALESCE(n_candidates, 0) AS n_candidates,
+      COALESCE(n_matches, 0) AS n_matches,
+      best_score,
+      COALESCE(match_checksum, 0) AS match_checksum
+    FROM blocks b LEFT JOIN agg USING (nation, segment)
+    ORDER BY nation, segment"""
 
   /** Incremental (snapshot-vs-batch) dedup admission: the nightly-ingest
     * shape where an incoming batch is admitted against an existing

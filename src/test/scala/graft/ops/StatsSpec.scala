@@ -281,8 +281,10 @@ class StatsSpec extends SparkSpec {
     assert(b1.getAs[Long]("n_matches") == 1L)        // only the (1,2) pair
     assert(b1.getAs[Long]("match_checksum") == 3L)   // 1 + 2
     // blocking: the same-name customer in nation 2 is a singleton block —
-    // it never pairs, so no audit row exists for that block at all
-    assert(!rows.exists(r => r.getInt(0) == 2))
+    // it sorts alone, pairs with nothing, and audits as an all-zero row
+    val b2 = rows.find(r => r.getInt(0) == 2).get
+    assert(b2.getAs[Long]("n_candidates") == 0L)
+    assert(b2.getAs[Long]("n_matches") == 0L)
   }
 
   test("winsorize clips at most ~1% per tail and keeps the mean in the cap range") {
