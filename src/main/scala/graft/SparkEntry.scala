@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Layout,
     ops.Analytics,
     ops.StatTests,
+    ops.Advanced,
     text.TextAnalysis,
     text.CorpusStats,
     text.Dedup,
