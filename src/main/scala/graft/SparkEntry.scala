@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Analytics,
     ops.StatTests,
     ops.Advanced,
+    ops.Insights,
     text.TextAnalysis,
     text.CorpusStats,
     text.Dedup,
