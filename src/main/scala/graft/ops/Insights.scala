@@ -334,6 +334,355 @@ object Insights extends QueryModule {
     ${(-maxLag to maxLag).map(ccfLagSql).mkString(" UNION ALL ")}
     ORDER BY event_type, lag"""
 
+  // ---------------------------------------------------------------- q260
+
+  /** Add-one-smoothed bigram language-model surprisal per source: the
+    * LM trains on the whole corpus in one pass (bigram counts c(w1,w2),
+    * context counts c(w1), vocab size V), then each doc's
+    * cross-entropy -1/n * sum log2((c+1)/(ctx+V)) scores how
+    * LM-predictable the source is — the bigram upgrade of q166's
+    * unigram logprob and the standard perplexity-filter signal.
+    * Probabilities are ratios of exact integers; the per-doc and
+    * per-source reductions fold doubles in pinned (w1,w2) / doc_id
+    * order. Shuffles are postings-sized; the LM join keys on bigram.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("t"))
+    val bg = toks.select(col("doc_id"), col("source"),
+        explode(expr("""CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t)-2),
+          |  i -> named_struct('w1', t[i], 'w2', t[i+1]))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      .localCheckpoint() // reused: LM counts + doc scoring
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(explode(col("t")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val dbg = bg.groupBy("doc_id", "source", "w1", "w2")
+      .agg(count(lit(1)).as("k"))
+    val perDoc = dbg
+      .join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", expr(
+        """CAST(k AS DOUBLE) * log2((CAST(cb AS DOUBLE) + 1.0)
+          | / (CAST(cu AS DOUBLE) + CAST(v AS DOUBLE)))""".stripMargin))
+      .groupBy("doc_id", "source")
+      .agg(sum("k").as("n_bg"),
+        expr("""aggregate(
+            array_sort(collect_list(named_struct('w1', w1, 'w2', w2, 'v', term))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)""").as("s"))
+      .withColumn("xent", expr("-s / CAST(n_bg AS DOUBLE)"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("""aggregate(
+            array_sort(collect_list(named_struct('d', doc_id, 'v', xent))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)
+          | / CAST(COUNT(1) AS DOUBLE)""".stripMargin), 6).as("avg_xent_bits"))
+      .orderBy("source")
+  }
+
+  private val bigramOracle = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    bg AS MATERIALIZED (
+      SELECT doc_id, source,
+        unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(*) AS v FROM (
+        SELECT DISTINCT unnest(t) AS w FROM toks)),
+    dbg AS (
+      SELECT doc_id, source, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3, 4),
+    terms AS (
+      SELECT d.doc_id, d.source, d.w1, d.w2, d.k,
+        CAST(d.k AS DOUBLE) * log2((CAST(cb.cb AS DOUBLE) + 1.0)
+          / (CAST(cu.cu AS DOUBLE) + CAST(v.v AS DOUBLE))) AS term
+      FROM dbg d
+      JOIN cb ON d.w1 = cb.w1 AND d.w2 = cb.w2
+      JOIN cu ON d.w1 = cu.w1
+      CROSS JOIN vocab v),
+    perdoc AS (
+      SELECT doc_id, source, SUM(k) AS n_bg,
+        -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(term ORDER BY w1, w2)), (acc, x) -> acc + x)
+          / CAST(SUM(k) AS DOUBLE) AS xent
+      FROM terms GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(xent ORDER BY doc_id)), (acc, x) -> acc + x)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_xent_bits
+    FROM perdoc GROUP BY 1 ORDER BY source"""
+
+  // ---------------------------------------------------------------- q261
+
+  /** Two-iteration HITS hub/authority scores on the sparsified nation
+    * trade digraph (same median-weight sparsifier as q246/q247). The
+    * L1-normalized power iteration is kept EXACT by tracking integer
+    * numerators with scalar denominators that cancel at each
+    * normalization: a1 = indeg/m, h1(u) = sum_out indeg over S1,
+    * a2(v) = sum_in h1-numerators over T2, h2 likewise — every score is
+    * one integer/integer division at the end, so no float is ever
+    * iterated. One corpus pass builds the edge list; the iteration runs
+    * on the dimension-sized graph.
+    */
+  def hitsScores(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val weighted = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val medW = weighted.agg(expr("percentile(w, 0.5)").as("mw"))
+    val dir = weighted.crossJoin(broadcast(medW))
+      .filter(col("w").cast("double") >= col("mw"))
+      .select("src", "dst")
+      .localCheckpoint() // dimension-sized; reused 4x
+    // a1 numerator: indegree (denominator m cancels on normalization)
+    val a1 = dir.groupBy(col("dst").as("n")).agg(count(lit(1)).as("a1"))
+    // h1 numerator: sum of endpoint indegrees
+    val h1 = dir.join(a1.withColumnRenamed("n", "dst"), "dst")
+      .groupBy(col("src").as("n")).agg(sum("a1").as("s1"))
+    // a2 numerator: sum of in-neighbor h1 numerators
+    val a2 = dir.join(h1.withColumnRenamed("n", "src"), "src")
+      .groupBy(col("dst").as("n")).agg(sum("s1").as("t2"))
+    // h2 numerator: sum of out-neighbor a2 numerators
+    val h2 = dir.join(a2.withColumnRenamed("n", "dst"), "dst")
+      .groupBy(col("src").as("n")).agg(sum("t2").as("s2"))
+    val tot2 = a2.agg(sum("t2").as("tt")).crossJoin(h2.agg(sum("s2").as("ss")))
+    val nodes = dir.select(col("src").as("n"))
+      .union(dir.select(col("dst").as("n"))).distinct()
+    nodes
+      .join(a2, Seq("n"), "left").join(h2, Seq("n"), "left")
+      .crossJoin(broadcast(tot2))
+      .select(col("n").as("nationkey"),
+        round(expr("CAST(COALESCE(t2, 0) AS DOUBLE) / CAST(tt AS DOUBLE)"), 6)
+          .as("authority"),
+        round(expr("CAST(COALESCE(s2, 0) AS DOUBLE) / CAST(ss AS DOUBLE)"), 6)
+          .as("hub"))
+      .orderBy("nationkey")
+  }
+
+  private val hitsOracle = """
+    WITH weighted AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY 1, 2),
+    medw AS (SELECT quantile_cont(w, 0.5) AS mw FROM weighted),
+    dir AS MATERIALIZED (
+      SELECT src, dst FROM weighted, medw WHERE CAST(w AS DOUBLE) >= mw),
+    a1 AS (SELECT dst AS n, COUNT(*) AS a1 FROM dir GROUP BY 1),
+    h1 AS (
+      SELECT d.src AS n, SUM(a1.a1) AS s1
+      FROM dir d JOIN a1 ON d.dst = a1.n GROUP BY 1),
+    a2 AS (
+      SELECT d.dst AS n, SUM(h1.s1) AS t2
+      FROM dir d JOIN h1 ON d.src = h1.n GROUP BY 1),
+    h2 AS (
+      SELECT d.src AS n, SUM(a2.t2) AS s2
+      FROM dir d JOIN a2 ON d.dst = a2.n GROUP BY 1),
+    tot AS (
+      SELECT (SELECT SUM(t2) FROM a2) AS tt, (SELECT SUM(s2) FROM h2) AS ss),
+    nodes AS (
+      SELECT DISTINCT n FROM (SELECT src AS n FROM dir UNION SELECT dst FROM dir))
+    SELECT nodes.n AS nationkey,
+      ROUND(CAST(COALESCE(a2.t2, 0) AS DOUBLE) / CAST(tot.tt AS DOUBLE), 6)
+        AS authority,
+      ROUND(CAST(COALESCE(h2.s2, 0) AS DOUBLE) / CAST(tot.ss AS DOUBLE), 6) AS hub
+    FROM nodes
+    LEFT JOIN a2 ON nodes.n = a2.n
+    LEFT JOIN h2 ON nodes.n = h2.n
+    CROSS JOIN tot
+    ORDER BY nationkey"""
+
+  // ---------------------------------------------------------------- q262
+
+  /** Zone-map effectiveness audit: lineitem is zoned by 512-order key
+    * ranges (the row-group shape of an orderkey-clustered layout), each
+    * zone keeps min/max l_shipdate, and for every ship year the audit
+    * reports how many zones a ship-date predicate could prune, the rows
+    * the surviving zones still scan, and the false-positive scan mass —
+    * i.e. whether parquet row-group stats would save I/O under this
+    * clustering, the decision input for q129's z-order. Two grouped
+    * passes over the corpus (zone stats + per-year matches); the
+    * year x zone recombination is dimension-sized.
+    */
+  def zoneMapAudit(li: DataFrame): DataFrame = {
+    val zstats = li
+      .groupBy(expr("l_orderkey DIV 512").as("zone"))
+      .agg(count(lit(1)).as("n"), min("l_shipdate").as("min_d"),
+        max("l_shipdate").as("max_d"))
+      .localCheckpoint() // zone-count-sized; reused per year
+    val matched = li
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(count(lit(1)).as("rows_matched"))
+    val years = zstats
+      .select(explode(sequence(lit(1995), lit(2001))).as("y"), col("zone"),
+        col("n"), col("min_d"), col("max_d"))
+    years
+      .withColumn("scanned",
+        !(col("max_d") < make_date(col("y"), lit(1), lit(1)) ||
+          col("min_d") > make_date(col("y"), lit(12), lit(31))))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_zones"),
+        sum(col("scanned").cast("long")).as("zones_scanned"),
+        sum(when(col("scanned"), col("n")).otherwise(0L)).as("rows_scanned"))
+      .join(matched, Seq("y"), "left")
+      .select(col("y").cast("long").as("ship_year"), col("n_zones"),
+        col("zones_scanned"),
+        col("rows_scanned"),
+        coalesce(col("rows_matched"), lit(0L)).as("rows_matched"),
+        round(expr("CAST(zones_scanned AS DOUBLE) / CAST(n_zones AS DOUBLE)"), 6)
+          .as("scan_fraction"),
+        round(expr(
+          """CASE WHEN rows_scanned > 0 THEN
+            | (CAST(rows_scanned AS DOUBLE) - CAST(COALESCE(rows_matched, 0) AS DOUBLE))
+            |   / CAST(rows_scanned AS DOUBLE)
+            | ELSE NULL END""".stripMargin), 6).as("false_scan_fraction"))
+      .orderBy("ship_year")
+  }
+
+  private val zoneMapOracle = """
+    WITH zstats AS (
+      SELECT l_orderkey // 512 AS zone, COUNT(*) AS n,
+        MIN(l_shipdate) AS min_d, MAX(l_shipdate) AS max_d
+      FROM lineitem GROUP BY 1),
+    matched AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS y, COUNT(*) AS rows_matched
+      FROM lineitem GROUP BY 1),
+    peryear AS (
+      SELECT y.y, COUNT(*) AS n_zones,
+        CAST(SUM(CAST(scanned AS BIGINT)) AS BIGINT) AS zones_scanned,
+        CAST(SUM(CASE WHEN scanned THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM (
+        SELECT CAST(t.i AS BIGINT) AS y, z.n,
+          NOT (z.max_d < make_date(CAST(t.i AS INT), 1, 1)
+            OR z.min_d > make_date(CAST(t.i AS INT), 12, 31)) AS scanned
+        FROM zstats z CROSS JOIN range(1995, 2002) t(i)) y
+      GROUP BY 1)
+    SELECT p.y AS ship_year, p.n_zones, p.zones_scanned, p.rows_scanned,
+      COALESCE(m.rows_matched, 0) AS rows_matched,
+      ROUND(CAST(p.zones_scanned AS DOUBLE) / CAST(p.n_zones AS DOUBLE), 6)
+        AS scan_fraction,
+      ROUND(CASE WHEN p.rows_scanned > 0 THEN
+        (CAST(p.rows_scanned AS DOUBLE) - CAST(COALESCE(m.rows_matched, 0) AS DOUBLE))
+          / CAST(p.rows_scanned AS DOUBLE)
+        ELSE NULL END, 6) AS false_scan_fraction
+    FROM peryear p LEFT JOIN matched m ON p.y = m.y
+    ORDER BY ship_year"""
+
+  // ---------------------------------------------------------------- q263
+
+  /** SAX symbolic discretization of the daily order-revenue series:
+    * z-normalize (mu/sigma from exact cent power sums), PAA into 32
+    * rank-based segments, map each segment mean to a 4-letter alphabet
+    * at the Gaussian quartile breakpoints (+-0.6745), then count motif
+    * support for each sliding 4-symbol word — a plot-free way to find
+    * repeated regimes in a 100 TB metric series. One daily rollup
+    * shuffle; segmentation and motif counting run on the
+    * calendar-bounded frame.
+    */
+  def saxMotifs(orders: DataFrame, segments: Int = 32): DataFrame = {
+    // daily cents re-narrowed to DECIMAL(18,0) so c*c stays within
+    // decimal width 37 in BOTH engines — DuckDB promotes a >38-width
+    // decimal product to DOUBLE, which would break exact power sums
+    // once daily cents pass 2^26.5
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(18,0)").as("c"))
+    val stats = daily.agg(count(lit(1)).as("n"),
+      sum("c").cast("decimal(38,0)").as("s"),
+      sum(col("c") * col("c")).cast("decimal(38,0)").as("ss"))
+    val seg = daily
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        floor((col("rn") - 1) * segments / col("n")).cast("long"))
+      .groupBy("bucket", "n", "s", "ss")
+      .agg(count(lit(1)).as("nb"), sum("c").cast("decimal(38,0)").as("sb"))
+      .withColumn("z", expr(
+        """CASE WHEN CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0 THEN
+          | (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+          | - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          | / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+          | ELSE NULL END""".stripMargin))
+      .withColumn("symbol", expr(
+        """CASE WHEN z IS NULL THEN NULL WHEN z < -0.6745 THEN 'a'
+          |WHEN z < 0.0 THEN 'b'
+          |WHEN z < 0.6745 THEN 'c' ELSE 'd' END""".stripMargin))
+    val byBucket = Window.orderBy("bucket")
+    val words = seg
+      .withColumn("word", when(lead("symbol", 3).over(byBucket).isNotNull,
+        concat(col("symbol"), lead("symbol", 1).over(byBucket),
+          lead("symbol", 2).over(byBucket), lead("symbol", 3).over(byBucket))))
+    words
+      .withColumn("word_support",
+        when(col("word").isNotNull,
+          count(lit(1)).over(Window.partitionBy("word"))))
+      .select(col("bucket"), col("nb").as("n_days"), round(col("z"), 6).as("paa_z"),
+        col("symbol"), col("word"), col("word_support"))
+      .orderBy("bucket")
+  }
+
+  private def saxOracle(segments: Int = 32): String = s"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0)))
+          AS DECIMAL(18,0)) AS c
+      FROM orders GROUP BY 1),
+    stats AS (
+      -- HUGEINT square: DECIMAL(18)*DECIMAL(18) raises on overflow in
+      -- DuckDB instead of widening; 128-bit integers keep the power
+      -- sum exact like Spark's DECIMAL(37,0) product does
+      SELECT COUNT(*) AS n, CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+        CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS ss
+      FROM daily),
+    seg AS (
+      SELECT bucket, n, s, ss, COUNT(*) AS nb,
+        CAST(SUM(c) AS DECIMAL(38,0)) AS sb
+      FROM (
+        SELECT c, n, s, ss,
+          CAST(floor((row_number() OVER (ORDER BY day) - 1) * $segments
+            / n) AS BIGINT) AS bucket
+        FROM daily, stats)
+      GROUP BY 1, 2, 3, 4),
+    z AS (
+      SELECT bucket, nb,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0 THEN
+          (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+          ELSE NULL END AS z
+      FROM seg),
+    sym AS (
+      SELECT bucket, nb, z,
+        CASE WHEN z IS NULL THEN NULL WHEN z < -0.6745 THEN 'a'
+        WHEN z < 0.0 THEN 'b'
+        WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      FROM z),
+    words AS (
+      SELECT bucket, nb, z, symbol,
+        CASE WHEN lead(symbol, 3) OVER (ORDER BY bucket) IS NOT NULL THEN
+          symbol || lead(symbol, 1) OVER (ORDER BY bucket)
+            || lead(symbol, 2) OVER (ORDER BY bucket)
+            || lead(symbol, 3) OVER (ORDER BY bucket) END AS word
+      FROM sym)
+    SELECT bucket, nb AS n_days, ROUND(z, 6) AS paa_z, symbol, word,
+      CASE WHEN word IS NOT NULL THEN
+        COUNT(*) OVER (PARTITION BY word) END AS word_support
+    FROM words ORDER BY bucket"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -347,5 +696,15 @@ object Insights extends QueryModule {
       (s, d) => histEmd(events(s, d)), Some(histEmdOracle)),
     Q("q259_cross_correlation",
       (s, d) => crossCorrelation(events(s, d)), Some(crossCorrOracle())),
+    Q("q260_bigram_surprisal",
+      (s, d) => bigramSurprisal(documents(s, d)), Some(bigramOracle)),
+    Q("q261_hits_scores",
+      (s, d) => hitsScores(lineitem(s, d), orders(s, d), supplier(s, d),
+        customer(s, d)),
+      Some(hitsOracle)),
+    Q("q262_zone_map_audit",
+      (s, d) => zoneMapAudit(lineitem(s, d)), Some(zoneMapOracle)),
+    Q("q263_sax_motifs",
+      (s, d) => saxMotifs(orders(s, d)), Some(saxOracle())),
   )
 }
