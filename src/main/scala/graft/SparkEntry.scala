@@ -21,6 +21,7 @@ object SparkEntry {
     ops.StatTests,
     ops.Advanced,
     ops.Insights,
+    ops.Training,
     text.TextAnalysis,
     text.CorpusStats,
     text.Dedup,
