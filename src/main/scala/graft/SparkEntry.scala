@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Advanced,
     ops.Insights,
     ops.Training,
+    ops.Factorize,
     text.TextAnalysis,
     text.CorpusStats,
     text.Dedup,
