@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Training,
     ops.Factorize,
     text.TextAnalysis,
+    text.Tokenizer,
     text.CorpusStats,
     text.Dedup,
     text.Similarity,
