@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Insights,
     ops.Training,
     ops.Factorize,
+    ops.Curate,
     text.TextAnalysis,
     text.Tokenizer,
     text.CorpusStats,
