@@ -26,6 +26,7 @@ object SparkEntry {
     ops.Curate,
     text.TextAnalysis,
     text.Tokenizer,
+    text.Geometry,
     text.CorpusStats,
     text.Dedup,
     text.Similarity,

@@ -1,0 +1,228 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.Tables._
+import graft.Num.dec
+
+/** Embedding-geometry curation operators (SURVEY.md §2.9 extension
+  * surface): Gonzalez farthest-point (k-center) diversity seeding and
+  * diagonal-Mahalanobis outlier scoring. Together with q269's
+  * LSH-density screen they cover the geometric side of embedding
+  * curation (q269 is combinatorial bucket sparsity; these are metric).
+  * The reference has no embedding surface at all.
+  *
+  * Oracle-exactness discipline (graft-oracle-exactness): every distance
+  * and score accumulates per-dimension DECIMAL casts of identical
+  * double operands — order-independent exact sums — so ranking and
+  * argmax decisions compare exact decimals, never free-floating
+  * doubles; ties break by vec_id.
+  *
+  * Scale discipline: each greedy round touches the corpus once
+  * (exploded rows×dims joined to the ≤k-row selected set — at 100 TB
+  * the selected set broadcasts and the scan stays narrow); Mahalanobis
+  * needs one pass for per-dim moments (64-row reduce) and one for
+  * scores.
+  */
+object Geometry extends QueryModule {
+
+  private def explodeDims(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "xv")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        col("xv").cast("double").as("xv"))
+
+  // ---------------------------------------------------------------- q279
+
+  /** Gonzalez (1985) farthest-point k-center seeding, k=4: the seed is
+    * the max-squared-norm vector; each round adds the vector farthest
+    * (min-over-selected squared L2) from the selected set. Squared
+    * distances are exact decimal sums — no sqrt, so selection is exact
+    * and deterministic. The classic diversity-sampling / kmeans++-style
+    * seeding primitive for corpus subset selection.
+    */
+  def kcenterSeeds(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    val x = explodeDims(emb).localCheckpoint() // reused every round
+    val norms = x.groupBy("vec_id")
+      .agg(sum(dec(col("xv") * col("xv"), 10)).as("n2"))
+    val seed = norms.orderBy(col("n2").desc, col("vec_id")).limit(1)
+      .collect()(0)
+    var selected = Seq(seed.getLong(0))
+    val picks = Seq.newBuilder[(Int, Long, java.math.BigDecimal)]
+    picks += ((1, seed.getLong(0), seed.getDecimal(1)))
+    for (round <- 2 to 4) {
+      val sel = x.filter(col("vec_id").isInCollection(selected))
+        .select(col("vec_id").as("sid"), col("dim"), col("xv").as("sv"))
+      val best = x.join(broadcast(sel), "dim")
+        .groupBy("vec_id", "sid")
+        .agg(sum(dec((col("xv") - col("sv")) * (col("xv") - col("sv")), 10))
+          .as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("min_d2"))
+        .filter(!col("vec_id").isInCollection(selected))
+        .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      selected = selected :+ best.getLong(0)
+      picks += ((round, best.getLong(0), best.getDecimal(1)))
+    }
+    picks.result()
+      .map { case (r, v, d) => (r.toLong, v, d.doubleValue()) }
+      .toDF("round", "vec_id", "gap")
+      .select(col("round"), col("vec_id"),
+        round(col("gap"), 6).as("sq_gap"))
+      .orderBy("round")
+  }
+
+  private val kcenterOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    norms AS MATERIALIZED (
+      SELECT vec_id, SUM(CAST(xv * xv AS DECIMAL(18,10))) AS n2
+      FROM x GROUP BY 1),
+    s1 AS MATERIALIZED (
+      SELECT vec_id, n2 FROM norms ORDER BY n2 DESC, vec_id LIMIT 1),
+    d1 AS MATERIALIZED (
+      SELECT a.vec_id,
+        MIN(s.d2) AS min_d2 FROM (SELECT DISTINCT vec_id FROM x) a
+      JOIN (
+        SELECT x.vec_id,
+          SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
+        FROM x JOIN x s ON x.dim = s.dim
+        WHERE s.vec_id IN (SELECT vec_id FROM s1)
+        GROUP BY 1) s ON a.vec_id = s.vec_id
+      GROUP BY 1),
+    s2 AS MATERIALIZED (
+      SELECT vec_id, min_d2 FROM d1
+      WHERE vec_id NOT IN (SELECT vec_id FROM s1)
+      ORDER BY min_d2 DESC, vec_id LIMIT 1),
+    sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+    d2r AS MATERIALIZED (
+      SELECT t.vec_id, MIN(t.d2) AS min_d2 FROM (
+        SELECT x.vec_id, s.vec_id AS sid,
+          SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
+        FROM x JOIN x s ON x.dim = s.dim
+        WHERE s.vec_id IN (SELECT vec_id FROM sel2)
+        GROUP BY 1, 2) t
+      GROUP BY 1),
+    s3 AS MATERIALIZED (
+      SELECT vec_id, min_d2 FROM d2r
+      WHERE vec_id NOT IN (SELECT vec_id FROM sel2)
+      ORDER BY min_d2 DESC, vec_id LIMIT 1),
+    sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+    d3r AS MATERIALIZED (
+      SELECT t.vec_id, MIN(t.d2) AS min_d2 FROM (
+        SELECT x.vec_id, s.vec_id AS sid,
+          SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
+        FROM x JOIN x s ON x.dim = s.dim
+        WHERE s.vec_id IN (SELECT vec_id FROM sel3)
+        GROUP BY 1, 2) t
+      GROUP BY 1),
+    s4 AS (
+      SELECT vec_id, min_d2 FROM d3r
+      WHERE vec_id NOT IN (SELECT vec_id FROM sel3)
+      ORDER BY min_d2 DESC, vec_id LIMIT 1),
+    out AS (
+      SELECT 1 AS round, vec_id, CAST(n2 AS DOUBLE) AS gap FROM s1
+      UNION ALL SELECT 2, vec_id, CAST(min_d2 AS DOUBLE) FROM s2
+      UNION ALL SELECT 3, vec_id, CAST(min_d2 AS DOUBLE) FROM s3
+      UNION ALL SELECT 4, vec_id, CAST(min_d2 AS DOUBLE) FROM s4)
+    SELECT CAST(round AS BIGINT) AS round, vec_id,
+      ROUND(gap, 6) AS sq_gap
+    FROM out ORDER BY round"""
+
+  // ---------------------------------------------------------------- q280
+
+  /** Diagonal-Mahalanobis outlier scoring: per-dimension mean/variance
+    * from one exact-decimal moment pass, then score_i = Σ_j
+    * (x_ij-μ_j)²/σ²_j accumulated as exact decimals. Reports per-label
+    * outlier statistics (score > 2·dims flags a tail point under the
+    * χ²₆₄ heuristic) plus the global top-3 outliers — the metric
+    * complement of q269's bucket-sparsity screen.
+    */
+  def mahalanobisOutliers(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    // v = E[x²] - E[x]² in doubles over identical decimal→double operands
+    // (the n·s2 - s1² integer form would overflow DECIMAL(38) at ~1e9 rows)
+    val moments = x.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("xv"), 10)).as("s1"),
+        sum(dec(col("xv") * col("xv"), 10)).as("s2"))
+      .select(col("dim"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        (col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n"))).as("v"))
+    val scores = x.join(broadcast(moments), "dim")
+      .withColumn("t", (col("xv") - col("mu")) * (col("xv") - col("mu"))
+        / col("v"))
+      .groupBy("vec_id", "label")
+      .agg(sum(dec(col("t"), 9)).as("score"), count(lit(1)).as("dims"))
+    val top = scores
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rnk") <= 3)
+      .agg(concat_ws(",", expr(
+        """transform(sort_array(collect_list(struct(rnk, vec_id))),
+          |  s -> CAST(s.vec_id AS STRING))""".stripMargin))
+        .as("top_outliers"))
+    scores.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        (sum(col("score")).cast("double") / count(lit(1))).as("mean_raw"),
+        max(col("score")).cast("double").as("max_raw"),
+        sum((col("score") > col("dims") * 2).cast("long")).as("n_tail"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        round(col("mean_raw"), 4).as("mean_score"),
+        round(col("max_raw"), 4).as("max_score"), col("n_tail"))
+      .crossJoin(broadcast(top))
+      .orderBy("label")
+  }
+
+  private val mahalanobisOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    moments AS (
+      SELECT dim, COUNT(*) AS n,
+        SUM(CAST(xv AS DECIMAL(18,10))) AS s1,
+        SUM(CAST(xv * xv AS DECIMAL(18,10))) AS s2
+      FROM x GROUP BY 1),
+    mo AS (
+      SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+        CAST(s2 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v
+      FROM moments),
+    scores AS MATERIALIZED (
+      SELECT x.vec_id, x.label,
+        SUM(CAST((x.xv - mo.mu) * (x.xv - mo.mu) / mo.v AS DECIMAL(18,9)))
+          AS score,
+        COUNT(*) AS dims
+      FROM x JOIN mo USING (dim)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rnk)
+        AS top_outliers
+      FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rnk
+        FROM scores) WHERE rnk <= 3)
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+      ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS mean_score,
+      ROUND(CAST(MAX(score) AS DOUBLE), 4) AS max_score,
+      CAST(SUM(CAST(score > dims * 2 AS BIGINT)) AS BIGINT) AS n_tail,
+      (SELECT top_outliers FROM top) AS top_outliers
+    FROM scores GROUP BY label ORDER BY label"""
+
+  // ------------------------------------------------------------ queries
+
+  override def queries: Seq[Q] = Seq(
+    Q("q279_kcenter_seeds",
+      (s, d) => kcenterSeeds(s, embeddings(s, d)), Some(kcenterOracle)),
+    Q("q280_mahalanobis",
+      (s, d) => mahalanobisOutliers(embeddings(s, d)), Some(mahalanobisOracle)),
+  )
+}
