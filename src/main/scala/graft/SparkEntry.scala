@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Training,
     ops.Factorize,
     ops.Curate,
+    ops.Walks,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
