@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.{Q, QueryModule}
 import graft.Tables._
 
-/** Sequential-decision operators (SURVEY.md §2.9 extension surface):
-  * Wald's SPRT early-stopping audit over the event stream and a
-  * personalized-PageRank proximity walk on the trade digraph. The
-  * reference has neither (its testing surface is a single offline AUC,
-  * `03a_Model Training.py:300-330`).
+/** Sequential/iterative operators (SURVEY.md §2.9 extension surface):
+  * Wald's SPRT early-stopping audit over the event stream, a
+  * personalized-PageRank proximity walk on the trade digraph, a
+  * two-step EM fit of the bigram/unigram LM interpolation weight, and
+  * the Markov stationary distribution of the event-type chain. The
+  * reference has none of these (its testing surface is a single offline
+  * AUC, `03a_Model Training.py:300-330`).
   *
   * Oracle-exactness discipline (graft-oracle-exactness): both walks are
   * pure BIGINT arithmetic — SPRT uses micro-scaled log-likelihood
@@ -184,6 +186,170 @@ object Walks extends QueryModule {
     WHERE pr > 0
     ORDER BY ppr_micro DESC, nationkey"""
 
+  // ---------------------------------------------------------------- q283
+
+  /** Two EM steps for the interpolation weight λ of the mixed bigram/
+    * unigram LM P(w2|w1) = λ·p2 + (1-λ)·p1, per source: the E-step
+    * posterior λ·p2/(λ·p2+(1-λ)·p1) is a fixed closed form over exact
+    * count ratios, the M-step mean accumulates 1e-12-rounded decimals
+    * (order-independent), and λ re-enters the next step rounded to the
+    * 1e-12 grid — the textbook Jelinek-Mercer tuning loop, determinized.
+    * Two corpus passes (one per EM step); the LM tables are
+    * postings-sized and join on the bigram key.
+    */
+  def emInterpolation(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), split(col("text"), " ").as("t"))
+    val bg = toks.select(col("source"),
+        explode(expr("""CASE WHEN size(t) >= 2
+          |THEN transform(sequence(0, size(t)-2),
+          |  i -> named_struct('w1', t[i], 'w2', t[i+1]))
+          |ELSE array() END""".stripMargin)).as("b"))
+      .select(col("source"), col("b.w1"), col("b.w2"))
+      .localCheckpoint() // reused by both EM passes
+    val cb = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("source", "w1").agg(count(lit(1)).as("cu"))
+    val c2 = bg.groupBy("source", "w2").agg(count(lit(1)).as("c2"))
+    val n = bg.groupBy("source").agg(count(lit(1)).as("n"))
+    val probs = bg
+      .join(cb, Seq("source", "w1", "w2")).join(cu, Seq("source", "w1"))
+      .join(c2, Seq("source", "w2")).join(n, Seq("source"))
+      .select(col("source"),
+        (col("cb").cast("double") / col("cu")).as("p2"),
+        (col("c2").cast("double") / col("n")).as("p1"))
+      .localCheckpoint()
+
+    def emStep(lam: DataFrame): DataFrame =
+      probs.join(broadcast(lam), "source")
+        .withColumn("post", expr(
+          """CAST(lam AS DOUBLE) * p2
+            | / (CAST(lam AS DOUBLE) * p2 + (1.0 - CAST(lam AS DOUBLE)) * p1)
+            |""".stripMargin))
+        .groupBy("source")
+        .agg(round(
+          sum(col("post").cast("decimal(28,12)")).cast("double")
+            / count(lit(1)), 12).cast("decimal(14,12)").as("lam"))
+
+    val lam0 = n.select(col("source"),
+      lit(BigDecimal("0.5")).cast("decimal(14,12)").as("lam"))
+    val lam1 = emStep(lam0).localCheckpoint()
+    val lam2 = emStep(lam1)
+    lam1.withColumnRenamed("lam", "l1")
+      .join(lam2.withColumnRenamed("lam", "l2"), "source")
+      .join(n, "source")
+      .select(col("source"), col("n").cast("long").as("n_bigrams"),
+        round(col("l1").cast("double"), 6).as("lambda_em1"),
+        round(col("l2").cast("double"), 6).as("lambda_em2"))
+      .orderBy("source")
+  }
+
+  private val emOracle = """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents),
+    bg AS MATERIALIZED (
+      SELECT source, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks),
+    cb AS (SELECT source, w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2, 3),
+    cu AS (SELECT source, w1, COUNT(*) AS cu FROM bg GROUP BY 1, 2),
+    c2 AS (SELECT source, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    n AS (SELECT source, COUNT(*) AS n FROM bg GROUP BY 1),
+    probs AS MATERIALIZED (
+      SELECT b.source,
+        CAST(cb.cb AS DOUBLE) / cu.cu AS p2,
+        CAST(c2.c2 AS DOUBLE) / n.n AS p1
+      FROM bg b
+      JOIN cb ON b.source = cb.source AND b.w1 = cb.w1 AND b.w2 = cb.w2
+      JOIN cu ON b.source = cu.source AND b.w1 = cu.w1
+      JOIN c2 ON b.source = c2.source AND b.w2 = c2.w2
+      JOIN n ON b.source = n.source),
+    lam1 AS MATERIALIZED (
+      SELECT source, CAST(ROUND(CAST(SUM(CAST(
+          0.5 * p2 / (0.5 * p2 + 0.5 * p1)
+        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 12) AS DECIMAL(14,12))
+        AS lam
+      FROM probs GROUP BY 1),
+    lam2 AS (
+      SELECT p.source, CAST(ROUND(CAST(SUM(CAST(
+          CAST(l.lam AS DOUBLE) * p.p2
+            / (CAST(l.lam AS DOUBLE) * p.p2
+               + (1.0 - CAST(l.lam AS DOUBLE)) * p.p1)
+        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 12) AS DECIMAL(14,12))
+        AS lam
+      FROM probs p JOIN lam1 l ON p.source = l.source
+      GROUP BY 1)
+    SELECT n.source, CAST(n.n AS BIGINT) AS n_bigrams,
+      ROUND(CAST(l1.lam AS DOUBLE), 6) AS lambda_em1,
+      ROUND(CAST(l2.lam AS DOUBLE), 6) AS lambda_em2
+    FROM n JOIN lam1 l1 ON n.source = l1.source
+    JOIN lam2 l2 ON n.source = l2.source
+    ORDER BY n.source"""
+
+  // ---------------------------------------------------------------- q284
+
+  /** Stationary distribution of the per-user event-type Markov chain:
+    * the transition matrix comes from one corpus pass (q159's
+    * consecutive-pair rollup), then three q275-style fixed-point
+    * micro-unit iterations from the uniform start — truncating integer
+    * division keeps the walk bit-identical across engines. Complements
+    * q241 (entropy rate of the same chain) with its long-run occupancy.
+    */
+  def markovStationary(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("nxt", lead("event_type", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // |types|² rows; reused by all iterations
+    val rows = trans.groupBy("a").agg(sum("c").as("rs"))
+    val states = trans.select(col("a").as("st"))
+      .union(trans.select(col("b").as("st"))).distinct()
+    val nStates = states.agg(count(lit(1)).as("ns"))
+
+    def step(pi: DataFrame): DataFrame =
+      trans
+        .join(pi.withColumnRenamed("st", "a"), "a")
+        .join(broadcast(rows), "a")
+        .groupBy(col("b").as("st"))
+        .agg(sum(expr("pi * c DIV rs")).as("pi"))
+
+    val pi0 = states.crossJoin(broadcast(nStates))
+      .select(col("st"), expr("1000000L DIV ns").as("pi"))
+    val pi3 = step(step(step(pi0)))
+    pi3.select(col("st").as("event_type"), col("pi").cast("long").as("pi_micro"),
+        round(col("pi").cast("double") / 1e6, 6).as("stationary"))
+      .orderBy("event_type")
+  }
+
+  private val markovOracle = """
+    WITH seq AS (
+      SELECT event_type AS a,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS b
+      FROM events),
+    trans AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS c FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+    rows_ AS (SELECT a, CAST(SUM(c) AS BIGINT) AS rs FROM trans GROUP BY 1),
+    states AS MATERIALIZED (
+      SELECT a AS st FROM trans UNION SELECT b AS st FROM trans),
+    ns AS (SELECT COUNT(*) AS ns FROM states),
+    pi0 AS MATERIALIZED (
+      SELECT st, 1000000 // ns AS pi FROM states CROSS JOIN ns),
+    pi1 AS MATERIALIZED (
+      SELECT t.b AS st, CAST(SUM(p.pi * t.c // r.rs) AS BIGINT) AS pi
+      FROM trans t JOIN pi0 p ON t.a = p.st JOIN rows_ r ON t.a = r.a
+      GROUP BY 1),
+    pi2 AS MATERIALIZED (
+      SELECT t.b AS st, CAST(SUM(p.pi * t.c // r.rs) AS BIGINT) AS pi
+      FROM trans t JOIN pi1 p ON t.a = p.st JOIN rows_ r ON t.a = r.a
+      GROUP BY 1),
+    pi3 AS (
+      SELECT t.b AS st, CAST(SUM(p.pi * t.c // r.rs) AS BIGINT) AS pi
+      FROM trans t JOIN pi2 p ON t.a = p.st JOIN rows_ r ON t.a = r.a
+      GROUP BY 1)
+    SELECT st AS event_type, pi AS pi_micro,
+      ROUND(CAST(pi AS DOUBLE) / 1e6, 6) AS stationary
+    FROM pi3 ORDER BY event_type"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -193,5 +359,9 @@ object Walks extends QueryModule {
       (s, d) => personalizedPagerank(lineitem(s, d), orders(s, d),
         supplier(s, d), customer(s, d)),
       Some(pprOracle)),
+    Q("q283_em_interpolation",
+      (s, d) => emInterpolation(documents(s, d)), Some(emOracle)),
+    Q("q284_markov_stationary",
+      (s, d) => markovStationary(events(s, d)), Some(markovOracle)),
   )
 }

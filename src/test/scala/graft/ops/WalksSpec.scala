@@ -53,4 +53,28 @@ class WalksSpec extends SparkSpec {
     // the top-ranked node is the seed itself (restart mass dominates)
     assert(r.head.getAs[Long]("nationkey") == seed)
   }
+
+  test("emInterpolation: lambda stays in (0,1) and moves toward the bigram model") {
+    val r = Walks.emInterpolation(Tables.documents(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val l1 = x.getAs[Double]("lambda_em1")
+      val l2 = x.getAs[Double]("lambda_em2")
+      assert(l1 > 0 && l1 < 1 && l2 > 0 && l2 < 1)
+      // self-trained: the bigram component fits the corpus better than the
+      // unigram, so EM pushes lambda above the 0.5 start and keeps going
+      assert(l1 > 0.5, s"lambda must grow from 0.5, got $l1")
+      assert(l2 >= l1 - 1e-9, s"EM is monotone here: $l1 -> $l2")
+    }
+  }
+
+  test("markovStationary: masses ~1e6 and stationarity residual is small") {
+    val events = Tables.events(spark, sf("sf0.01"))
+    val r = Walks.markovStationary(events).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("pi_micro")).sum
+    assert(total > 990000L && total <= 1000000L, s"mass ~1e6, got $total")
+    // near-uniform chain: all states present with nontrivial mass
+    assert(r.forall(_.getAs[Long]("pi_micro") > 100000L))
+  }
 }
