@@ -216,4 +216,40 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && p.indexOf("HashAggregate", firstAgg + 1) > firstAgg,
       "per-stratum sample audit must two-phase aggregate")
   }
+
+  test("q270: power-iteration half-steps broadcast the 64-row vector, not the corpus") {
+    // each x.join(broadcast(v)) must plan as a broadcast hash join; a
+    // sort-merge join here would shuffle the rows x dims corpus per step
+    val p = plan("q270_power_iteration")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dim-vector joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q267: RAKE word-statistics join broadcasts the vocabulary side") {
+    val p = plan("q267_rake_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source vocabulary stats must broadcast onto the occurrence scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q269: density-outlier bucket histogram broadcasts back onto the scan") {
+    val p = plan("q269_density_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 2^bits bucket-size frame must broadcast, never shuffle the corpus")
+  }
+
+  test("q264: weighted sampling is one window pass — no join, no corpus self-shuffle") {
+    val p = plan("q264_poisson_sample")
+    assert(!p.contains("Join"), "priority sampling must not join")
+    assert(p.contains("Window"), "per-source top-k via window rank")
+  }
+
+  test("q284: the Markov fixed-point iterates on the transition rollup, not the corpus") {
+    // after the one corpus pass (checkpointed rollup), each iteration
+    // joins |types|-sized frames; no scan of events may appear twice
+    val p = plan("q284_markov_stationary")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      "the corpus is scanned at most once (rollup is checkpointed)")
+  }
 }
