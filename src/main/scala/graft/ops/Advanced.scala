@@ -185,7 +185,7 @@ object Advanced extends QueryModule {
   }
 
   private val adamicAdarOracle = """
-    WITH weighted AS (
+    WITH weighted AS MATERIALIZED (
       SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -194,10 +194,10 @@ object Advanced extends QueryModule {
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2),
     medw AS (SELECT quantile_cont(w, 0.5) AS mw FROM weighted),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM weighted, medw WHERE CAST(w AS DOUBLE) >= mw),
-    adj AS (
+    adj AS MATERIALIZED (
       SELECT a AS u, b AS w FROM edges
       UNION ALL SELECT b, a FROM edges),
     deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY 1),
@@ -277,7 +277,7 @@ object Advanced extends QueryModule {
   }
 
   private val graphMixingOracle = """
-    WITH weighted AS (
+    WITH weighted AS MATERIALIZED (
       SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -286,15 +286,15 @@ object Advanced extends QueryModule {
       WHERE s_nationkey <> c_nationkey
       GROUP BY 1, 2),
     medw AS (SELECT quantile_cont(w, 0.5) AS mw FROM weighted),
-    dir AS (
+    dir AS MATERIALIZED (
       SELECT src, dst FROM weighted, medw WHERE CAST(w AS DOUBLE) >= mw),
     recip AS (
       SELECT COUNT(*) AS n_recip FROM dir f
       SEMI JOIN dir r ON f.src = r.dst AND f.dst = r.src),
     nd AS (SELECT COUNT(*) AS n_dir FROM dir),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM dir),
-    adj AS (SELECT a AS u, b AS w FROM und UNION ALL SELECT b, a FROM und),
+    adj AS MATERIALIZED (SELECT a AS u, b AS w FROM und UNION ALL SELECT b, a FROM und),
     deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
     ends AS (
       SELECT dx.deg AS dx, dy.deg AS dy

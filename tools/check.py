@@ -77,6 +77,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Guardrails for the big derived corpora (sf1 scale-up): without a
+    # memory limit a pathological oracle plan grows until the kernel
+    # OOM-kills the whole checker (seen at 130 GB on an unmaterialized
+    # graph-CTE inline at sf1); with one, DuckDB spills to disk instead.
+    try:
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    except Exception:
+        pass
     load_tables(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
