@@ -28,6 +28,7 @@ object SparkEntry {
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
+    text.Agglomerate,
     text.CorpusStats,
     text.Dedup,
     text.Similarity,
