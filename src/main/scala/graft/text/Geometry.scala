@@ -86,27 +86,32 @@ object Geometry extends QueryModule {
       FROM x GROUP BY 1),
     s1 AS MATERIALIZED (
       SELECT vec_id, n2 FROM norms ORDER BY n2 DESC, vec_id LIMIT 1),
+    -- the selected side is materialized as a tiny (≤k·dims rows) frame
+    -- BEFORE the dim-join: an IN-subquery filter left above the 64-key
+    -- join makes DuckDB build the full x⋈x (rows²·dims) intermediate
+    sx1 AS MATERIALIZED (
+      SELECT vec_id, dim, xv FROM x
+      WHERE vec_id IN (SELECT vec_id FROM s1)),
     d1 AS MATERIALIZED (
-      SELECT a.vec_id,
-        MIN(s.d2) AS min_d2 FROM (SELECT DISTINCT vec_id FROM x) a
-      JOIN (
-        SELECT x.vec_id,
+      SELECT t.vec_id, MIN(t.d2) AS min_d2 FROM (
+        SELECT x.vec_id, s.vec_id AS sid,
           SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
-        FROM x JOIN x s ON x.dim = s.dim
-        WHERE s.vec_id IN (SELECT vec_id FROM s1)
-        GROUP BY 1) s ON a.vec_id = s.vec_id
+        FROM x JOIN sx1 s ON x.dim = s.dim
+        GROUP BY 1, 2) t
       GROUP BY 1),
     s2 AS MATERIALIZED (
       SELECT vec_id, min_d2 FROM d1
       WHERE vec_id NOT IN (SELECT vec_id FROM s1)
       ORDER BY min_d2 DESC, vec_id LIMIT 1),
     sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+    sx2 AS MATERIALIZED (
+      SELECT vec_id, dim, xv FROM x
+      WHERE vec_id IN (SELECT vec_id FROM sel2)),
     d2r AS MATERIALIZED (
       SELECT t.vec_id, MIN(t.d2) AS min_d2 FROM (
         SELECT x.vec_id, s.vec_id AS sid,
           SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
-        FROM x JOIN x s ON x.dim = s.dim
-        WHERE s.vec_id IN (SELECT vec_id FROM sel2)
+        FROM x JOIN sx2 s ON x.dim = s.dim
         GROUP BY 1, 2) t
       GROUP BY 1),
     s3 AS MATERIALIZED (
@@ -114,12 +119,14 @@ object Geometry extends QueryModule {
       WHERE vec_id NOT IN (SELECT vec_id FROM sel2)
       ORDER BY min_d2 DESC, vec_id LIMIT 1),
     sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+    sx3 AS MATERIALIZED (
+      SELECT vec_id, dim, xv FROM x
+      WHERE vec_id IN (SELECT vec_id FROM sel3)),
     d3r AS MATERIALIZED (
       SELECT t.vec_id, MIN(t.d2) AS min_d2 FROM (
         SELECT x.vec_id, s.vec_id AS sid,
           SUM(CAST((x.xv - s.xv) * (x.xv - s.xv) AS DECIMAL(18,10))) AS d2
-        FROM x JOIN x s ON x.dim = s.dim
-        WHERE s.vec_id IN (SELECT vec_id FROM sel3)
+        FROM x JOIN sx3 s ON x.dim = s.dim
         GROUP BY 1, 2) t
       GROUP BY 1),
     s4 AS (
