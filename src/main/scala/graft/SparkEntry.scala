@@ -25,6 +25,7 @@ object SparkEntry {
     ops.Factorize,
     ops.Curate,
     ops.Walks,
+    ops.Refine,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
