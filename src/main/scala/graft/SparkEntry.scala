@@ -26,6 +26,7 @@ object SparkEntry {
     ops.Curate,
     ops.Walks,
     ops.Refine,
+    ops.Placement,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
