@@ -2645,18 +2645,25 @@ object Analytics extends QueryModule {
     * instead of materialized resamples). Weights are deterministic
     * Binomial(4, 1/4) draws (mean 1) read off four md5 hex digits —
     * both engines hash the identical string, so every replicate
-    * estimate is bit-identical. Hashing is BATCHED: ceil(4B/32) md5s
-    * per row (keyed 'orderkey:1..5'), each replicate slicing its own
-    * 4-digit window — hashing is the dominant cost of the whole query
-    * and the per-(row,replicate) formulation paid it B times per row
-    * (measured 13% of the entire 228-query bench at a 10x corpus).
+    * estimate is bit-identical. Hashing is BATCHED: ceil(2B/32) md5s
+    * per row (keyed 'orderkey:1..3'), each replicate slicing a 2-digit
+    * window whose four bit-pairs give the four Bernoulli(1/4) trials —
+    * hashing is the dominant cost of the whole query; the
+    * per-(row,replicate) formulation paid it B times per row (measured
+    * 13% of the entire 228-query bench at a 10x corpus), and the
+    * 4-digit-per-replicate layout paid 5 md5s where 3 suffice.
     * The replicate explosion is a map-side ×B flatMap (no shuffle);
     * per-replicate sums reduce in one groupBy(r); the B-row estimate
     * table reduces by pinned-order folds. Spread B higher and this is
     * the exact shape of the production large-scale bootstrap.
     */
   def bootstrapCi(orders: DataFrame, b: Int = 40): DataFrame = {
-    val nHash = (4 * b + 31) / 32
+    // 2 hex digits per replicate: each digit's two BIT-PAIRS are two
+    // independent Bernoulli(1/4) trials (top pair zero <=> digit < 4 <=>
+    // char in 0-3; bottom pair zero <=> digit mod 4 = 0 <=> char in
+    // 0/4/8/c), so Binomial(4, 1/4) needs 8 bits, not 4 digits — 3 md5s
+    // per row instead of 5 (hashing dominates this query's cost)
+    val nHash = (2 * b + 31) / 32
     val reps = orders
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100).cast("decimal(18,0)").as("cents"))
@@ -2664,10 +2671,12 @@ object Analytics extends QueryModule {
         md5(concat_ws(":", col("k"), lit(i)))): _*))
       .withColumn("r", explode(expr(s"sequence(1, $b)")))
       .withColumn("q", col("h").substr(
-        (col("r") - lit(1)) * lit(4) + lit(1), lit(4)))
-      .withColumn("w", (0 until 4).map(i =>
-        substring(col("q"), i + 1, 1).isin("0", "1", "2", "3").cast("long"))
-        .reduce(_ + _))
+        (col("r") - lit(1)) * lit(2) + lit(1), lit(2)))
+      .withColumn("w", (0 until 2).map { i =>
+        val c = substring(col("q"), i + 1, 1)
+        c.isin("0", "1", "2", "3").cast("long") +
+          c.isin("0", "4", "8", "c").cast("long")
+      }.reduce(_ + _))
     val est = reps.groupBy("r")
       .agg((sum(col("w") * col("cents")).cast("decimal(38,0)").cast("double") /
         sum("w").cast("double") / 100.0).as("est"))
@@ -2697,17 +2706,16 @@ object Analytics extends QueryModule {
       SELECT o_orderkey AS k,
         CAST(ROUND(o_totalprice * 100, 0) AS DECIMAL(18,0)) AS cents,
         md5(o_orderkey || ':1') || md5(o_orderkey || ':2')
-          || md5(o_orderkey || ':3') || md5(o_orderkey || ':4')
-          || md5(o_orderkey || ':5') AS h
+          || md5(o_orderkey || ':3') AS h
       FROM orders),
     reps AS (
       SELECT k, cents, h, unnest(range(1, 41)) AS r FROM hashed),
     weighted AS (
       SELECT r, cents,
-        CAST(substr(h, (r - 1) * 4 + 1, 1) IN ('0','1','2','3') AS BIGINT)
-        + CAST(substr(h, (r - 1) * 4 + 2, 1) IN ('0','1','2','3') AS BIGINT)
-        + CAST(substr(h, (r - 1) * 4 + 3, 1) IN ('0','1','2','3') AS BIGINT)
-        + CAST(substr(h, (r - 1) * 4 + 4, 1) IN ('0','1','2','3') AS BIGINT) AS w
+        CAST(substr(h, (r - 1) * 2 + 1, 1) IN ('0','1','2','3') AS BIGINT)
+        + CAST(substr(h, (r - 1) * 2 + 1, 1) IN ('0','4','8','c') AS BIGINT)
+        + CAST(substr(h, (r - 1) * 2 + 2, 1) IN ('0','1','2','3') AS BIGINT)
+        + CAST(substr(h, (r - 1) * 2 + 2, 1) IN ('0','4','8','c') AS BIGINT) AS w
       FROM reps),
     est AS (
       SELECT r, CAST(CAST(SUM(w * cents) AS DECIMAL(38,0)) AS DOUBLE)
