@@ -224,6 +224,69 @@ object Geometry extends QueryModule {
       (SELECT top_outliers FROM top) AS top_outliers
     FROM scores GROUP BY label ORDER BY label"""
 
+  // ---------------------------------------------------------------- q290
+
+  /** Triplet-margin audit (hard-negative mining statistics): for a
+    * deterministic 1% anchor sample (vec_id ≡ 0 mod 97), the nearest
+    * same-label and nearest different-label neighbors give the triplet
+    * margin d²(neg) − d²(pos); the per-label report shows mean margin
+    * and violation share — the metric-learning health check run before
+    * mining contrastive training pairs. Distances are exact decimal
+    * sums; anchor sampling keeps the candidate join at |corpus|×|anchors|
+    * (the production shape: anchors broadcast, one corpus pass).
+    */
+  def tripletMargins(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val anchors = x.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("dim"), col("xv").as("av"))
+    val d2 = x.join(broadcast(anchors), Seq("dim"))
+      .filter(col("vec_id") =!= col("aid"))
+      .groupBy("vec_id", "label", "aid", "alabel")
+      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 10))
+        .as("d2"))
+    val perAnchor = d2.groupBy("aid", "alabel").agg(
+      min(when(col("label") === col("alabel"), col("d2"))).as("dpos"),
+      min(when(col("label") =!= col("alabel"), col("d2"))).as("dneg"))
+    perAnchor
+      .filter(col("dpos").isNotNull && col("dneg").isNotNull)
+      .withColumn("margin", col("dneg") - col("dpos"))
+      .groupBy(col("alabel").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round((sum(col("margin")).cast("double") / count(lit(1))), 6)
+          .as("mean_margin"),
+        round(min(col("margin")).cast("double"), 6).as("min_margin"),
+        sum((col("margin") <= 0).cast("long")).as("n_violations"))
+      .orderBy("label")
+  }
+
+  private val tripletOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    anchors AS MATERIALIZED (
+      SELECT vec_id AS aid, label AS alabel, dim, xv AS av
+      FROM x WHERE vec_id % 97 = 0),
+    d2 AS MATERIALIZED (
+      SELECT x.vec_id, x.label, a.aid, a.alabel,
+        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,10))) AS d2
+      FROM x JOIN anchors a USING (dim)
+      WHERE x.vec_id <> a.aid
+      GROUP BY 1, 2, 3, 4),
+    per_anchor AS (
+      SELECT aid, alabel,
+        MIN(CASE WHEN label = alabel THEN d2 END) AS dpos,
+        MIN(CASE WHEN label <> alabel THEN d2 END) AS dneg
+      FROM d2 GROUP BY 1, 2)
+    SELECT CAST(alabel AS BIGINT) AS label, COUNT(*) AS n_anchors,
+      ROUND(CAST(SUM(dneg - dpos) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+      ROUND(CAST(MIN(dneg - dpos) AS DOUBLE), 6) AS min_margin,
+      CAST(SUM(CAST(dneg - dpos <= 0 AS BIGINT)) AS BIGINT) AS n_violations
+    FROM per_anchor
+    WHERE dpos IS NOT NULL AND dneg IS NOT NULL
+    GROUP BY 1 ORDER BY label"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -231,5 +294,7 @@ object Geometry extends QueryModule {
       (s, d) => kcenterSeeds(s, embeddings(s, d)), Some(kcenterOracle)),
     Q("q280_mahalanobis",
       (s, d) => mahalanobisOutliers(embeddings(s, d)), Some(mahalanobisOracle)),
+    Q("q290_triplet_margins",
+      (s, d) => tripletMargins(embeddings(s, d)), Some(tripletOracle)),
   )
 }

@@ -48,4 +48,30 @@ class GeometrySpec extends SparkSpec {
       assert(x.getAs[String]("top_outliers").split(",").length == 3)
     }
   }
+
+  test("tripletMargins on a planted separable geometry: all margins positive") {
+    // tight clusters per label, far apart: dneg >> dpos for every anchor
+    def v(a: Float, b: Float) = Seq(a, b) ++ Seq.fill(62)(0f)
+    val emb = (
+      Seq.tabulate(5)(i => (i * 97L, v(0f + i * 0.1f, 0f), 0)) ++
+      Seq.tabulate(5)(i => (1L + i, v(100f + i * 0.1f, 0f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val r = Geometry.tripletMargins(emb).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_violations") == 0L,
+        "separable clusters must have no margin violations")
+      assert(x.getAs[Double]("mean_margin") > 0)
+      assert(x.getAs[Double]("min_margin") > 0)
+    }
+  }
+
+  test("tripletMargins on the corpus: violations bounded by anchors, margins finite") {
+    val r = Geometry.tripletMargins(Tables.embeddings(spark, sf("sf0.01"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_violations") <= x.getAs[Long]("n_anchors"))
+      assert(x.getAs[Double]("min_margin") <= x.getAs[Double]("mean_margin"))
+    }
+  }
 }
