@@ -287,6 +287,102 @@ object Geometry extends QueryModule {
     WHERE dpos IS NOT NULL AND dneg IS NOT NULL
     GROUP BY 1 ORDER BY label"""
 
+  // ---------------------------------------------------------------- q291
+
+  /** Product quantization (Jégou et al. 2011) codebook training audit:
+    * the 64-dim space splits into two 32-dim subspaces, each learns a
+    * 4-code codebook by one deterministic Lloyd round (seeds = the
+    * subvectors of vec_id 1..4, the q182 convention), vectors re-assign
+    * against the trained books, and the report gives per-cell occupancy
+    * and quantization error — the audit behind every IVF-PQ vector
+    * index (2 bytes/vector here vs 256, a 128× compression). All
+    * distances/means are exact decimal sums; assignment ties break by
+    * code id. Each phase is one corpus pass against a broadcast
+    * codebook (8 codes × 32 dims).
+    */
+  def productQuantization(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+      .withColumn("m", when(col("dim") <= 32, 1).otherwise(2))
+      .localCheckpoint() // four passes: 2 assignments + book + report
+    val seeds = x.filter(col("vec_id").between(1, 4))
+      .select(col("m"), col("dim"), col("vec_id").cast("int").as("cid"),
+        col("xv").as("cv"))
+
+    def assign(book: DataFrame): DataFrame = {
+      val d2 = x.join(broadcast(book), Seq("m", "dim"))
+        .groupBy("vec_id", "m", "cid")
+        .agg(sum(dec((col("xv") - col("cv")) * (col("xv") - col("cv")), 10))
+          .as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid"), col("d2"))
+    }
+
+    val a1 = assign(seeds)
+    val book1 = a1.select("vec_id", "m", "cid")
+      .join(x, Seq("vec_id", "m"))
+      .groupBy("m", "cid", "dim")
+      .agg((sum(dec(col("xv"), 10)).cast("double") / count(lit(1))).as("cv"))
+      .localCheckpoint() // 8 codes × 32 dims; reused by assign + report
+    val a2 = assign(book1)
+    a2.groupBy(col("m").as("subspace"), col("cid").as("code"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
+      .join(book1
+          .filter(col("dim") === when(col("m") === 1, 1).otherwise(33))
+          .select(col("m").as("subspace"), col("cid").as("code"),
+            round(col("cv"), 6).as("c_dim1")),
+        Seq("subspace", "code"))
+      .select(col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"), col("n_members"),
+        col("avg_d2"), col("c_dim1"))
+      .orderBy("subspace", "code")
+  }
+
+  private val pqOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv,
+        CASE WHEN generate_subscripts(embedding, 1) <= 32 THEN 1 ELSE 2 END
+          AS m
+      FROM embeddings),
+    seeds AS MATERIALIZED (
+      SELECT m, dim, CAST(vec_id AS INT) AS cid, xv AS cv
+      FROM x WHERE vec_id BETWEEN 1 AND 4),
+    d1 AS MATERIALIZED (
+      SELECT x.vec_id, x.m, s.cid,
+        SUM(CAST((x.xv - s.cv) * (x.xv - s.cv) AS DECIMAL(18,10))) AS d2
+      FROM x JOIN seeds s ON x.m = s.m AND x.dim = s.dim
+      GROUP BY 1, 2, 3),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+          ORDER BY d2, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    book1 AS MATERIALIZED (
+      SELECT x.m, a.cid, x.dim,
+        CAST(SUM(CAST(x.xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS cv
+      FROM a1 a JOIN x ON a.vec_id = x.vec_id AND a.m = x.m
+      GROUP BY 1, 2, 3),
+    d2r AS MATERIALIZED (
+      SELECT x.vec_id, x.m, b.cid,
+        SUM(CAST((x.xv - b.cv) * (x.xv - b.cv) AS DECIMAL(18,10))) AS d2
+      FROM x JOIN book1 b ON x.m = b.m AND x.dim = b.dim
+      GROUP BY 1, 2, 3),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, m, cid, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+          ORDER BY d2, cid) AS rn
+        FROM d2r) WHERE rn = 1)
+    SELECT CAST(a.m AS BIGINT) AS subspace, CAST(a.cid AS BIGINT) AS code,
+      COUNT(*) AS n_members,
+      ROUND(CAST(SUM(a.d2) AS DOUBLE) / COUNT(*), 6) AS avg_d2,
+      ROUND(MAX(b.cv), 6) AS c_dim1
+    FROM a2 a JOIN book1 b ON a.m = b.m AND a.cid = b.cid
+      AND b.dim = CASE WHEN a.m = 1 THEN 1 ELSE 33 END
+    GROUP BY 1, 2 ORDER BY subspace, code"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -296,5 +392,7 @@ object Geometry extends QueryModule {
       (s, d) => mahalanobisOutliers(embeddings(s, d)), Some(mahalanobisOracle)),
     Q("q290_triplet_margins",
       (s, d) => tripletMargins(embeddings(s, d)), Some(tripletOracle)),
+    Q("q291_product_quantization",
+      (s, d) => productQuantization(embeddings(s, d)), Some(pqOracle)),
   )
 }

@@ -66,6 +66,41 @@ class GeometrySpec extends SparkSpec {
     }
   }
 
+  test("productQuantization: occupancy partitions the corpus per subspace") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val n = emb.count()
+    val r = Geometry.productQuantization(emb).collect()
+    val bySub = r.groupBy(_.getAs[Long]("subspace"))
+    assert(bySub.keySet == Set(1L, 2L))
+    bySub.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("n_members")).sum == n,
+        "every vector is coded in every subspace")
+      g.foreach(x => assert(x.getAs[Double]("avg_d2") >= 0))
+    }
+  }
+
+  test("productQuantization separates planted per-subspace clusters") {
+    // subspace 1 (dims 1-32) splits on dim 1 sign; subspace 2 on dim 33 sign;
+    // seeds 1..4 cover both signs in both subspaces
+    def v(a: Float, b: Float) = (Seq(a) ++ Seq.fill(31)(0f)) ++
+      (Seq(b) ++ Seq.fill(31)(0f))
+    val emb = (
+      Seq((1L, v(50f, 50f), 0), (2L, v(-50f, 50f), 0),
+        (3L, v(50f, -50f), 0), (4L, v(-50f, -50f), 0)) ++
+      (0 until 40).map { i =>
+        val sa = if (i % 2 == 0) 45f + i else -45f - i
+        val sb = if (i % 4 < 2) 45f + i else -45f - i
+        (100L + i, v(sa, sb), 1)
+      }).toDF("vec_id", "embedding", "label")
+    val r = Geometry.productQuantization(emb).collect()
+    // each subspace must use exactly 2 effective sign-cells heavily; the
+    // within-cell error is tiny vs the 100-unit cluster separation
+    r.foreach { x =>
+      assert(x.getAs[Double]("avg_d2") < 45 * 45,
+        "cells must not straddle the planted sign clusters")
+    }
+  }
+
   test("tripletMargins on the corpus: violations bounded by anchors, margins finite") {
     val r = Geometry.tripletMargins(Tables.embeddings(spark, sf("sf0.01"))).collect()
     assert(r.nonEmpty)
