@@ -683,9 +683,66 @@ object Insights extends QueryModule {
         COUNT(*) OVER (PARTITION BY word) END AS word_support
     FROM words ORDER BY bucket"""
 
+  // ---------------------------------------------------------------- q292
+
+  /** Good-Turing frequency re-estimation per source: from the
+    * frequency-of-frequencies spectrum N_r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r for r = 1..5 plus the unseen-mass estimate
+    * P_0 = N_1/N — the smoothing dual of q255's Chao1 richness (same
+    * spectrum, LM-smoothing view instead of species-richness view).
+    * Two vocabulary-keyed aggregates (token counts → spectrum); the
+    * r↔r+1 recombination is a |sources|×5 self-join of the tiny
+    * spectrum frame. All inputs exact integers; r* is one fixed closed
+    * form.
+    */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val spectrum = tf.groupBy("source", "c").agg(count(lit(1)).as("nr"))
+      .localCheckpoint() // |sources|×|distinct counts|; reused by the shift join
+    val totals = tf.groupBy("source").agg(sum("c").cast("long").as("n"))
+    spectrum.filter(col("c") <= 5)
+      .join(spectrum.select(col("source"), (col("c") - 1).as("c"),
+        col("nr").as("nr_next")), Seq("source", "c"), "left")
+      .join(totals, "source")
+      .select(col("source"), col("c").cast("long").as("r"),
+        col("nr").as("n_r"),
+        coalesce(col("nr_next"), lit(0L)).as("n_r1"),
+        round((col("c") + 1).cast("double")
+          * coalesce(col("nr_next"), lit(0L)).cast("double")
+          / col("nr").cast("double"), 6).as("r_star"),
+        round(when(col("c") === 1,
+          col("nr").cast("double") / col("n")), 6).as("p0_unseen"))
+      .orderBy("source", "r")
+  }
+
+  private val goodTuringOracle = """
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2),
+    spectrum AS MATERIALIZED (
+      SELECT source, c, COUNT(*) AS nr FROM tf GROUP BY 1, 2),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1)
+    SELECT s.source, CAST(s.c AS BIGINT) AS r, s.nr AS n_r,
+      CAST(COALESCE(nx.nr, 0) AS BIGINT) AS n_r1,
+      ROUND(CAST(s.c + 1 AS DOUBLE) * CAST(COALESCE(nx.nr, 0) AS DOUBLE)
+        / CAST(s.nr AS DOUBLE), 6) AS r_star,
+      ROUND(CASE WHEN s.c = 1
+        THEN CAST(s.nr AS DOUBLE) / t.n END, 6) AS p0_unseen
+    FROM spectrum s
+    LEFT JOIN spectrum nx ON s.source = nx.source AND nx.c = s.c + 1
+    JOIN totals t ON s.source = t.source
+    WHERE s.c <= 5
+    ORDER BY s.source, r"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q292_good_turing",
+      (s, d) => goodTuring(documents(s, d)), Some(goodTuringOracle)),
     Q("q255_chao1_richness",
       (s, d) => chao1Richness(documents(s, d)), Some(chao1Oracle)),
     Q("q256_burstiness",

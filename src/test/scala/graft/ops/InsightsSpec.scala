@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Invariant laws for the corpus-insight operators (Insights): a
   * singleton-free corpus collapses Chao1 to S_obs, periodic arrivals hit
@@ -139,6 +139,31 @@ class InsightsSpec extends SparkSpec {
     withWord.foreach { row =>
       assert(row.getAs[String]("word") == "cccc")
       assert(row.getAs[Long]("word_support") == 29L)
+    }
+  }
+
+  test("goodTuring on a hand spectrum: known adjusted counts and unseen mass") {
+    import spark.implicits._
+    // tokens: a a a b b c -> N1=N2=N3=1, N=6
+    val docs = Seq((1L, "a a a b b c", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Insights.goodTuring(docs).collect()
+      .map(x => x.getAs[Long]("r") -> x).toMap
+    assert(math.abs(r(1L).getAs[Double]("r_star") - 2.0) < 1e-9) // 2*N2/N1
+    assert(math.abs(r(2L).getAs[Double]("r_star") - 3.0) < 1e-9) // 3*N3/N2
+    assert(r(3L).getAs[Double]("r_star") == 0.0)                 // N4 = 0
+    assert(math.abs(r(1L).getAs[Double]("p0_unseen") - 1.0 / 6) < 1e-6)
+    assert(r(2L).isNullAt(r(2L).fieldIndex("p0_unseen")))
+  }
+
+  test("goodTuring on the corpus: mass conservation sum r*N_r <= N, spectrum positive") {
+    val rows = Insights.goodTuring(Tables.documents(spark, sf("sf0.001"))).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, g) =>
+      g.foreach { x =>
+        assert(x.getAs[Long]("n_r") > 0)
+        assert(x.getAs[Double]("r_star") >= 0)
+      }
     }
   }
 }
