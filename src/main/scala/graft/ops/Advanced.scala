@@ -577,10 +577,15 @@ object Advanced extends QueryModule {
       .agg((sum("est") / 2).cast("decimal(38,1)").as("f2_sketch"))
     val exact = freq.agg(count(lit(1)).as("n_users"),
       sum((col("nu") * col("nu")).cast("decimal(38,0)")).as("f2_exact"))
+    // The ratio stays in exact integer arithmetic: f2_sketch has .5
+    // grain (median of two integers), so 2·f2_sketch is an integer and
+    // the ppm quotient is a single integral division — no decimal→double
+    // conversion whose last ulp can differ between engines (F2 exceeds
+    // 2^53 well inside the graded SFs).
     exact.crossJoin(broadcast(medEst))
       .select(col("n_users"), col("f2_exact"), col("f2_sketch"),
-        round(expr("CAST(f2_sketch AS DOUBLE) / CAST(f2_exact AS DOUBLE)"), 6)
-          .as("est_ratio"))
+        expr("CAST((CAST(f2_sketch * 2 AS DECIMAL(38,0)) * 1000000) DIV " +
+          "(f2_exact * 2) AS BIGINT)").as("est_ratio_ppm"))
   }
 
   private def amsOracle(sketches: Int = 16): String = s"""
@@ -604,7 +609,8 @@ object Advanced extends QueryModule {
         CAST(SUM(CAST(nu * nu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS f2_exact
       FROM freq)
     SELECT n_users, f2_exact, f2_sketch,
-      ROUND(CAST(f2_sketch AS DOUBLE) / CAST(f2_exact AS DOUBLE), 6) AS est_ratio
+      CAST(CAST(f2_sketch * 2 AS HUGEINT) * 1000000
+           // (CAST(f2_exact AS HUGEINT) * 2) AS BIGINT) AS est_ratio_ppm
     FROM ex, med"""
 
   // ---------------------------------------------------------------- q251

@@ -265,8 +265,14 @@ object Curate extends QueryModule {
     */
   def longestRepeat(docs: DataFrame): DataFrame = {
     val suf = docs.select(col("doc_id"), col("source"),
+      // Guarded: Spark's sequence(1, 0) defaults to step -1 and yields
+      // [1, 0] for an empty text, while the oracle's generate_series is
+      // empty — the CASE keeps a zero-length doc out of both engines.
       explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 20))"))
+        """CASE WHEN length(text) >= 1
+          |  THEN transform(sequence(1, length(text)),
+          |                 i -> substring(text, i, 20))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
         .as("s"))
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val lcp = suf

@@ -140,7 +140,10 @@ object Factorize extends QueryModule {
     val staged = docs
       .select(col("doc_id"), col("source"), col("n_chars"),
         words.cast("long").as("words"))
-      .withColumn("difficulty", expr("n_chars * 1000L DIV words"))
+      // Guarded: Spark DIV by zero is NULL while DuckDB // errors the
+      // whole oracle — a zero-word doc pins difficulty 0 on both sides.
+      .withColumn("difficulty",
+        expr("CASE WHEN words > 0 THEN n_chars * 1000L DIV words ELSE 0L END"))
       .withColumn("stage", ntile(4).over(
         Window.orderBy(col("difficulty"), col("doc_id"))))
     staged.groupBy("stage").agg(
@@ -165,8 +168,12 @@ object Factorize extends QueryModule {
         n_chars
       FROM documents),
     staged AS (
-      SELECT doc_id, source, words, n_chars * 1000 // words AS difficulty,
-        NTILE(4) OVER (ORDER BY n_chars * 1000 // words, doc_id) AS stage
+      SELECT doc_id, source, words,
+        CASE WHEN words > 0 THEN n_chars * 1000 // words ELSE 0 END
+          AS difficulty,
+        NTILE(4) OVER (
+          ORDER BY CASE WHEN words > 0 THEN n_chars * 1000 // words
+                        ELSE 0 END, doc_id) AS stage
       FROM d)
     SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_docs,
       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,

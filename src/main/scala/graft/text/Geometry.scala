@@ -227,17 +227,28 @@ object Geometry extends QueryModule {
   // ---------------------------------------------------------------- q290
 
   /** Triplet-margin audit (hard-negative mining statistics): for a
-    * deterministic 1% anchor sample (vec_id ≡ 0 mod 97), the nearest
+    * deterministic FIXED-SIZE anchor sample (the 64 vec_ids smallest
+    * under md5 order — an absolute budget, not a corpus fraction, so
+    * the broadcast stays O(64·dims) at any corpus size), the nearest
     * same-label and nearest different-label neighbors give the triplet
     * margin d²(neg) − d²(pos); the per-label report shows mean margin
     * and violation share — the metric-learning health check run before
     * mining contrastive training pairs. Distances are exact decimal
-    * sums; anchor sampling keeps the candidate join at |corpus|×|anchors|
-    * (the production shape: anchors broadcast, one corpus pass).
+    * sums. Anchor selection is a distributed TakeOrderedAndProject
+    * (per-partition top-64, driver merge — no global sort); the
+    * candidate join is one corpus pass against the broadcast anchors.
     */
-  def tripletMargins(emb: DataFrame): DataFrame = {
+  def tripletMargins(emb: DataFrame, nAnchors: Int = 64): DataFrame = {
     val x = explodeDims(emb)
-    val anchors = x.filter(col("vec_id") % 97 === 0)
+    // Absolute anchor budget: md5-ordered top-N over the un-exploded id
+    // set (one row per vector), picked via orderBy+limit → Spark plans
+    // TakeOrderedAndProject, never a single-partition window.
+    val anchorIds = emb
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nAnchors)
+      .select(col("vec_id").as("aid"))
+    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
       .select(col("vec_id").as("aid"), col("label").as("alabel"),
         col("dim"), col("xv").as("av"))
     val d2 = x.join(broadcast(anchors), Seq("dim"))
@@ -265,9 +276,12 @@ object Geometry extends QueryModule {
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS xv
       FROM embeddings),
+    anchor_ids AS (
+      SELECT vec_id AS aid FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
     anchors AS MATERIALIZED (
-      SELECT vec_id AS aid, label AS alabel, dim, xv AS av
-      FROM x WHERE vec_id % 97 = 0),
+      SELECT x.vec_id AS aid, label AS alabel, dim, xv AS av
+      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
     d2 AS MATERIALIZED (
       SELECT x.vec_id, x.label, a.aid, a.alabel,
         SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,10))) AS d2

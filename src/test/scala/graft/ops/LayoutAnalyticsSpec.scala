@@ -470,6 +470,25 @@ class LayoutAnalyticsSpec extends SparkSpec {
       assert(degraded.toSeq == native.toSeq,
         "fallback path must be output-identical to the native operator")
     } finally spark.conf.unset("graft.asof.maxRightRows")
+    // exact cap boundary: cap == |dim| must STAY on the native broadcast
+    // path (the guard is strictly-greater), cap == |dim|-1 must degrade —
+    // both output-identical
+    def planOf(cap: Int): (String, Seq[Seq[Any]]) = {
+      spark.conf.set("graft.asof.maxRightRows", cap.toString)
+      try {
+        val df = AsofLookup.asofLookup(facts, dim, col("t"), col("eff"))
+        (df.queryExecution.executedPlan.treeString,
+          df.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+      } finally spark.conf.unset("graft.asof.maxRightRows")
+    }
+    val (atCapPlan, atCapRows) = planOf(40)
+    assert(atCapPlan.contains("AsofLookup"),
+      s"cap == |dim| must stay native:\n$atCapPlan")
+    assert(atCapRows == native.toSeq)
+    val (belowCapPlan, belowCapRows) = planOf(39)
+    assert(!belowCapPlan.contains("AsofLookup"),
+      s"cap == |dim|-1 must route to the merge fallback:\n$belowCapPlan")
+    assert(belowCapRows == native.toSeq)
     // direct merge path with many partitions: exercises the carry-in era
     // for partitions whose head facts precede their first local dim
     val merged = AsofMerge.asofMergeJoin(facts, dim, col("t"), col("eff"), 16)

@@ -101,6 +101,23 @@ class GeometrySpec extends SparkSpec {
     }
   }
 
+  test("tripletMargins anchor budget is absolute: count independent of corpus size") {
+    // a corpus 4x larger must broadcast the SAME number of anchors —
+    // the budget is a count, not a fraction (the r7 %97 rule grew 4x)
+    def corpus(n: Int) = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(64)(d => ((i * 7 + d) % 13).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    def anchorTotal(n: Int): Long =
+      Geometry.tripletMargins(corpus(n)).collect()
+        .map(_.getAs[Long]("n_anchors")).sum
+    val small = anchorTotal(200)
+    val large = anchorTotal(800)
+    assert(small <= 64L && large <= 64L,
+      s"anchor totals must respect the 64 budget: $small / $large")
+    assert(small == large,
+      s"anchor count must not grow with the corpus: $small -> $large")
+  }
+
   test("tripletMargins on the corpus: violations bounded by anchors, margins finite") {
     val r = Geometry.tripletMargins(Tables.embeddings(spark, sf("sf0.01"))).collect()
     assert(r.nonEmpty)

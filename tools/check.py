@@ -81,11 +81,14 @@ def main():
     # memory limit a pathological oracle plan grows until the kernel
     # OOM-kills the whole checker (seen at 130 GB on an unmaterialized
     # graph-CTE inline at sf1); with one, DuckDB spills to disk instead.
+    mem_limit = os.environ.get("GRAFT_DUCKDB_MEMORY", "48GB")
+    spill_dir = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_check_spill")
     try:
-        con.execute("SET memory_limit='48GB'")
-        con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
-    except Exception:
-        pass
+        con.execute(f"SET memory_limit='{mem_limit}'")
+        con.execute(f"SET temp_directory='{spill_dir}'")
+    except Exception as e:
+        print(f"WARN: duckdb memory_limit/temp_directory not applied "
+              f"({e}); checker may use unbounded memory", file=sys.stderr)
     load_tables(con, sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
