@@ -27,11 +27,14 @@ object SparkEntry {
     ops.Walks,
     ops.Refine,
     ops.Placement,
+    ops.Series,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
+    text.ClusterQuality,
     text.Agglomerate,
     text.CorpusStats,
+    text.CorpusAudit,
     text.Dedup,
     text.Similarity,
     imaging.ImageQueries,

@@ -1,0 +1,753 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.Num._
+import graft.Tables._
+
+/** Time-series / distribution diagnostics, round 8 of the extension
+  * surface (none exist in the reference): the Wald–Wolfowitz runs test,
+  * inter-arrival (renewal) statistics with a memorylessness check, a
+  * literal-table periodogram, Durbin–Watson residual autocorrelation,
+  * the Theil inequality index with between/within decomposition, a
+  * sliding-window rate-limit audit, federated-quantile error
+  * measurement, cohort LTV curves, and Haar-wavelet energy compaction.
+  *
+  * Exactness discipline: medians are computed rank-wise as TWICE the
+  * median (sum of the two middle order statistics — an exact integer /
+  * decimal, never an interpolated float), trig coefficients are shared
+  * literal tables injected into BOTH engines' plans, and every double
+  * sum goes through decimal casts. Daily/monthly rollups collapse the
+  * fact table in one shuffle; everything after runs on calendar-bounded
+  * frames.
+  */
+object Series extends QueryModule {
+
+  // ---------------------------------------------------------------- q300
+
+  /** Wald–Wolfowitz runs test on daily revenue vs its exact median:
+    * too few runs = trending/sticky series, too many = oscillation. The
+    * median is rank-exact (twice-median trick); the z-statistic is one
+    * fixed-shape double expression over exact BIGINT counts.
+    */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"), 2)).as("rev"))
+    // twice-median trick: med2 = x_((n+1) div 2) + x_(n div 2 + 1) — the
+    // two middle order statistics summed (the SAME one twice when n is
+    // odd), always an exact decimal, never an interpolated float
+    val ranked = daily
+      .withColumn("rnk", row_number().over(Window.orderBy(col("rev"), col("day"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val med = ranked.agg(
+      (sum(when(expr("rnk = (n + 1) div 2"), col("rev")))
+        + sum(when(expr("rnk = n div 2 + 1"), col("rev")))).as("med2"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("rev") * 2 =!= col("med2"))
+      .withColumn("above", (col("rev") * 2 > col("med2")).cast("int"))
+      .withColumn("chg",
+        when(lag("above", 1).over(Window.orderBy("day")).isNull, 1)
+          .when(col("above") =!= lag("above", 1).over(Window.orderBy("day")), 1)
+          .otherwise(0))
+    signed.agg(
+        count(lit(1)).as("n_days"),
+        sum("above").cast("long").as("n_above"),
+        sum(lit(1) - col("above")).cast("long").as("n_below"),
+        sum("chg").cast("long").as("runs"))
+      .withColumn("e_runs", expr(
+        "1.0 + 2.0 * n_above * n_below / CAST(n_above + n_below AS DOUBLE)"))
+      .withColumn("v_runs", expr(
+        """CAST(2 * n_above * n_below * (2 * n_above * n_below - n_above - n_below) AS DOUBLE)
+          | / (CAST((n_above + n_below) AS DOUBLE) * (n_above + n_below)
+          |    * (n_above + n_below - 1))""".stripMargin))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+        round(col("e_runs"), 6).as("e_runs"),
+        round((col("runs") - col("e_runs")) / sqrt(col("v_runs")), 6).as("z"))
+  }
+
+  private val runsOracle = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY rev, day) AS rnk,
+        COUNT(*) OVER () AS n
+      FROM daily),
+    med AS (
+      SELECT SUM(CASE WHEN rnk = (n + 1) // 2 THEN rev END)
+           + SUM(CASE WHEN rnk = n // 2 + 1 THEN rev END) AS med2
+      FROM ranked),
+    signed AS (
+      SELECT day, CAST(rev * 2 > med2 AS INT) AS above
+      FROM daily, med WHERE rev * 2 <> med2),
+    runs AS (
+      SELECT above,
+        CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL THEN 1
+             WHEN above <> LAG(above) OVER (ORDER BY day) THEN 1
+             ELSE 0 END AS chg
+      FROM signed),
+    agg AS (
+      SELECT COUNT(*) AS n_days, CAST(SUM(above) AS BIGINT) AS n_above,
+        CAST(SUM(1 - above) AS BIGINT) AS n_below,
+        CAST(SUM(chg) AS BIGINT) AS runs
+      FROM runs),
+    st AS (
+      SELECT *,
+        1.0 + 2.0 * n_above * n_below / CAST(n_above + n_below AS DOUBLE) AS e_runs,
+        CAST(2 * n_above * n_below * (2 * n_above * n_below - n_above - n_below) AS DOUBLE)
+          / (CAST((n_above + n_below) AS DOUBLE) * (n_above + n_below)
+             * (n_above + n_below - 1)) AS v_runs
+      FROM agg)
+    SELECT n_days, n_above, n_below, runs, ROUND(e_runs, 6) AS e_runs,
+      ROUND((runs - e_runs) / sqrt(v_runs), 6) AS z
+    FROM st"""
+
+  // ---------------------------------------------------------------- q301
+
+  /** Inter-arrival (renewal process) statistics over per-user event
+    * gaps: mean, coefficient of variation, the exact rank median, and
+    * the memorylessness check P(X>2m)/P(X>m) — exactly 0.5 for an
+    * exponential process, the queueing-theory sanity test behind
+    * capacity planning. Gaps are exact integer microseconds; squares go
+    * through DECIMAL(38,0) (a 30-day gap squared overflows BIGINT).
+    */
+  def interarrival(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+    val ranked = gaps
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("gap"), col("user_id"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val med = ranked.agg( // twice the median gap, exact integer
+      (sum(when(expr("rnk = (n + 1) div 2"), col("gap")))
+        + sum(when(expr("rnk = n div 2 + 1"), col("gap")))).cast("long").as("med2"))
+    gaps.crossJoin(broadcast(med)).agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap").as("s1"),
+        sum((col("gap").cast("decimal(20,0)") * col("gap"))
+          .cast("decimal(38,0)")).as("s2"),
+        max("med2").as("med2"),
+        sum((col("gap") * 2 > col("med2")).cast("long")).as("c_m"),
+        sum((col("gap") > col("med2")).cast("long")).as("c_2m"))
+      .select(col("n_gaps"),
+        round(col("s1").cast("double") / col("n_gaps").cast("double"), 2)
+          .as("mean_us"),
+        round(
+          sqrt(col("s2").cast("double") / col("n_gaps")
+            - (col("s1").cast("double") / col("n_gaps"))
+              * (col("s1").cast("double") / col("n_gaps")))
+            / (col("s1").cast("double") / col("n_gaps")), 6).as("cv"),
+        (col("med2").cast("double") / 2).as("median_us"),
+        round(col("c_m").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("p_gt_median"),
+        round(col("c_2m").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("p_gt_2median"),
+        round(col("c_2m").cast("double") / col("c_m").cast("double"), 6)
+          .as("memoryless_ratio"))
+  }
+
+  private val interarrivalOracle = """
+    WITH gaps AS (
+      SELECT user_id, event_id,
+        epoch_us(ts) - LAG(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events),
+    g AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+    ranked AS (
+      SELECT gap, ROW_NUMBER() OVER (ORDER BY gap, user_id, event_id) AS rnk,
+        COUNT(*) OVER () AS n
+      FROM g),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rnk = (n + 1) // 2 THEN gap END)
+                + SUM(CASE WHEN rnk = n // 2 + 1 THEN gap END) AS BIGINT) AS med2
+      FROM ranked),
+    agg AS (
+      SELECT COUNT(*) AS n_gaps, CAST(SUM(gap) AS BIGINT) AS s1,
+        CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DECIMAL(38,0)) AS s2,
+        MAX(med2) AS med2,
+        CAST(SUM(CASE WHEN gap * 2 > med2 THEN 1 ELSE 0 END) AS BIGINT) AS c_m,
+        CAST(SUM(CASE WHEN gap > med2 THEN 1 ELSE 0 END) AS BIGINT) AS c_2m
+      FROM g, med)
+    SELECT n_gaps,
+      ROUND(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2) AS mean_us,
+      ROUND(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+        - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+        / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv,
+      CAST(med2 AS DOUBLE) / 2 AS median_us,
+      ROUND(CAST(c_m AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS p_gt_median,
+      ROUND(CAST(c_2m AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS p_gt_2median,
+      ROUND(CAST(c_2m AS DOUBLE) / CAST(c_m AS DOUBLE), 6) AS memoryless_ratio
+    FROM agg"""
+
+  // ---------------------------------------------------------------- q302
+
+  /** Periodogram of the daily event-count series at candidate periods
+    * 2..10 days: power_p = (Σ c_t·cos(2πt/p))² + (Σ c_t·sin(2πt/p))².
+    * The trig values are a LITERAL table generated once in Scala and
+    * injected into both engines' plans as identical decimal literals —
+    * the only way to make libm-vs-JVM cos/sin a non-issue. Products are
+    * exact-decimal summed, so partial-aggregation order cannot move a
+    * bit. One shuffle to the daily rollup; the period dimension is ×9.
+    */
+  private def trigCase(fn: Double => Double): String = {
+    val branches = for { p <- 2 to 10; r <- 0 until p } yield {
+      val v = fn(2.0 * math.Pi * r / p)
+      val lit = String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
+      s"WHEN p = $p AND r = $r THEN CAST($lit AS DOUBLE)"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE 0.0 END"
+  }
+  private val cosCase = trigCase(math.cos)
+  private val sinCase = trigCase(math.sin)
+
+  def periodogram(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val t0 = daily.agg(min("day").as("d0"))
+    val withT = daily.crossJoin(broadcast(t0))
+      .select(datediff(col("day"), col("d0")).as("t"), col("c"))
+      .select(col("t"), col("c"),
+        explode(expr("sequence(2, 10)")).as("p"))
+      .withColumn("r", col("t") % col("p"))
+    withT
+      .withColumn("tc", expr(s"CAST(CAST(c AS DOUBLE) * ($cosCase) AS DECIMAL(28,10))"))
+      .withColumn("ts_", expr(s"CAST(CAST(c AS DOUBLE) * ($sinCase) AS DECIMAL(28,10))"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_days"),
+        sum("tc").cast("double").as("cs"),
+        sum("ts_").cast("double").as("sn"))
+      .select(col("p"), col("n_days"),
+        round(col("cs"), 6).as("cos_sum"),
+        round(col("sn"), 6).as("sin_sum"),
+        round(col("cs") * col("cs") + col("sn") * col("sn"), 4).as("power"))
+      .orderBy("p")
+  }
+
+  private def periodogramOracle: String = s"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events GROUP BY 1),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    w AS (
+      SELECT datediff('day', d0, day) AS t, c, p, datediff('day', d0, day) % p AS r
+      FROM daily, t0, (SELECT unnest(generate_series(2, 10)) AS p)),
+    terms AS (
+      SELECT p,
+        CAST(CAST(c AS DOUBLE) * ($cosCase) AS DECIMAL(28,10)) AS tc,
+        CAST(CAST(c AS DOUBLE) * ($sinCase) AS DECIMAL(28,10)) AS ts_
+      FROM w),
+    agg AS (
+      SELECT p, COUNT(*) AS n_days,
+        CAST(SUM(tc) AS DOUBLE) AS cs, CAST(SUM(ts_) AS DOUBLE) AS sn
+      FROM terms GROUP BY 1)
+    SELECT p, n_days, ROUND(cs, 6) AS cos_sum, ROUND(sn, 6) AS sin_sum,
+      ROUND(cs * cs + sn * sn, 4) AS power
+    FROM agg ORDER BY p"""
+
+  // ---------------------------------------------------------------- q303
+
+  /** Durbin–Watson autocorrelation of daily-revenue OLS residuals: the
+    * regression moments are exact integer/decimal sums, the slope and
+    * intercept are fixed-shape double expressions over them (so both
+    * engines compute bit-identical residuals), and DW = Σ(Δe)²/Σe² with
+    * decimal-cast addends. DW ≈ 2 means uncorrelated residuals;
+    * DW → 0 is the positively-autocorrelated case where naive OLS
+    * standard errors are fiction — the pre-check for q179-style trends.
+    */
+  def durbinWatson(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"), 2)).as("rev"))
+    val t0 = daily.agg(min("day").as("d0"))
+    val wt = daily.crossJoin(broadcast(t0))
+      .select(datediff(col("day"), col("d0")).as("t"), col("rev"))
+    val m = wt.agg(
+      count(lit(1)).as("n"), sum("t").as("st"),
+      sum(col("t").cast("long") * col("t")).as("st2"),
+      sum("rev").as("sy"),
+      sum(col("t") * col("rev")).as("sty"))
+    val fitted = wt.crossJoin(broadcast(m))
+      .withColumn("b", expr(
+        """CAST(n * sty - st * sy AS DOUBLE)
+          | / CAST(n * st2 - CAST(st AS DECIMAL(28,0)) * st AS DOUBLE)""".stripMargin))
+      .withColumn("a", expr("(CAST(sy AS DOUBLE) - b * st) / n"))
+      .withColumn("e", expr("CAST(rev AS DOUBLE) - a - b * t"))
+      .withColumn("de", col("e") - lag("e", 1).over(Window.orderBy("t")))
+    fitted.agg(
+        max("n").as("n_days"),
+        round(max("b"), 6).as("slope"),
+        round(max("a"), 6).as("intercept"),
+        sum(expr("CAST(e * e AS DECIMAL(38,6))")).as("see"),
+        sum(expr("CAST(de * de AS DECIMAL(38,6))")).as("sde"))
+      .select(col("n_days"), col("slope"), col("intercept"),
+        round(col("sde").cast("double") / col("see").cast("double"), 6).as("dw"),
+        round(lit(1.0) - col("sde").cast("double") / col("see").cast("double") / 2, 6)
+          .as("rho_approx"))
+  }
+
+  private val dwOracle = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    wt AS (SELECT datediff('day', d0, day) AS t, rev FROM daily, t0),
+    m AS (
+      SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+        CAST(SUM(CAST(t AS BIGINT) * t) AS BIGINT) AS st2,
+        SUM(rev) AS sy, SUM(t * rev) AS sty
+      FROM wt),
+    fitted AS (
+      SELECT t, rev,
+        CAST(n * sty - st * sy AS DOUBLE)
+          / CAST(n * st2 - CAST(st AS DECIMAL(28,0)) * st AS DOUBLE) AS b,
+        n, st, sy
+      FROM wt, m),
+    resid AS (
+      SELECT t, n,
+        b AS slope, (CAST(sy AS DOUBLE) - b * st) / n AS a,
+        CAST(rev AS DOUBLE) - (CAST(sy AS DOUBLE) - b * st) / n - b * t AS e
+      FROM fitted),
+    d AS (
+      SELECT n, slope, a, e,
+        e - LAG(e) OVER (ORDER BY t) AS de
+      FROM resid)
+    SELECT MAX(n) AS n_days, ROUND(MAX(slope), 6) AS slope,
+      ROUND(MAX(a), 6) AS intercept,
+      ROUND(CAST(SUM(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
+        / CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE), 6) AS dw,
+      ROUND(1.0 - CAST(SUM(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
+        / CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) / 2, 6) AS rho_approx
+    FROM d"""
+
+  // ---------------------------------------------------------------- q304
+
+  /** Theil T inequality index of customer spend with the between/within
+    * decomposition over market segments — the additive-decomposable
+    * alternative to q207's Gini (Gini cannot attribute inequality to
+    * groups; Theil splits exactly). Spend totals are exact decimals;
+    * each ln term is one fixed-shape double over exact ratios,
+    * decimal-cast summed.
+    */
+  def theilIndex(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders.groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"), 2)).as("x"))
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+    val tot = spend.agg(count(lit(1)).as("n"), sum("x").as("xx"))
+    val theil = spend.crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """CAST(CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)
+          |  * ln(CAST(x AS DOUBLE) * n / CAST(xx AS DOUBLE)) AS DECIMAL(28,12))"""
+          .stripMargin))
+      .agg(sum("term").cast("double").as("t_total"))
+    val seg = spend.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """CAST(CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE)
+          |  * ln(CAST(x_g AS DOUBLE) * n / (CAST(xx AS DOUBLE) * n_g))
+          |  AS DECIMAL(28,12))""".stripMargin))
+      .agg(sum("term").cast("double").as("t_between"))
+    tot.crossJoin(theil).crossJoin(seg)
+      .select(col("n").as("n_customers"),
+        (col("xx") * 100).cast("long").as("total_cents"),
+        round(col("t_total"), 6).as("theil"),
+        round(col("t_between"), 6).as("theil_between"),
+        round(col("t_total") - col("t_between"), 6).as("theil_within"))
+  }
+
+  private val theilOracle = """
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+        MAX(c_mktsegment) AS seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n, SUM(x) AS xx FROM spend),
+    t_all AS (
+      SELECT CAST(SUM(CAST(
+        CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)
+          * ln(CAST(x AS DOUBLE) * n / CAST(xx AS DOUBLE))
+        AS DECIMAL(28,12))) AS DOUBLE) AS t_total
+      FROM spend, tot),
+    t_b AS (
+      SELECT CAST(SUM(CAST(
+        CAST(x_g AS DOUBLE) / CAST(xx AS DOUBLE)
+          * ln(CAST(x_g AS DOUBLE) * n / (CAST(xx AS DOUBLE) * n_g))
+        AS DECIMAL(28,12))) AS DOUBLE) AS t_between
+      FROM (SELECT seg, COUNT(*) AS n_g, SUM(x) AS x_g FROM spend GROUP BY 1), tot)
+    SELECT n AS n_customers, CAST(xx * 100 AS BIGINT) AS total_cents,
+      ROUND(t_total, 6) AS theil,
+      ROUND(t_between, 6) AS theil_between,
+      ROUND(t_total - t_between, 6) AS theil_within
+    FROM tot, t_all, t_b"""
+
+  // ---------------------------------------------------------------- q305
+
+  /** Sliding-window rate-limit audit (bot detection): each user's peak
+    * event count within any 6-hour window, binned into a rate
+    * histogram. The RANGE frame runs on exact integer microseconds over
+    * the per-user partition — per-user work is linear in that user's
+    * events, the 100 TB shape for abuse detection (the alternative,
+    * bucketed counting, misses windows straddling bucket edges).
+    */
+  def rateLimitAudit(events: DataFrame): DataFrame = {
+    val winUs = 21600000000L // 6 hours
+    val frame = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(0, winUs - 1)
+    val peak = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .groupBy("user_id").agg(max("cnt").as("peak"))
+    peak
+      .withColumn("bin",
+        when(col("peak") <= 2, format_string("%02d", col("peak")))
+          .when(col("peak") <= 5, lit("03-05"))
+          .when(col("peak") <= 10, lit("06-10"))
+          .otherwise(lit("11+")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"), max("peak").as("max_peak"))
+      .orderBy("bin")
+  }
+
+  private val rateLimitOracle = """
+    WITH peak AS (
+      SELECT user_id, MAX(cnt) AS peak FROM (
+        SELECT user_id,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN CURRENT ROW AND 21599999999 FOLLOWING) AS cnt
+        FROM events)
+      GROUP BY 1)
+    SELECT CASE WHEN peak <= 2 THEN printf('%02d', peak)
+                WHEN peak <= 5 THEN '03-05'
+                WHEN peak <= 10 THEN '06-10'
+                ELSE '11+' END AS bin,
+      COUNT(*) AS n_users, CAST(MAX(peak) AS BIGINT) AS max_peak
+    FROM peak GROUP BY 1 ORDER BY bin"""
+
+  // ---------------------------------------------------------------- q311
+
+  /** Federated-quantile error audit: the price median computed the
+    * 100 TB way (each of 8 shards reports its exact local median, the
+    * coordinator takes the median of medians) against the true global
+    * median, reporting the absolute error and the true rank of the
+    * federated estimate. Every median is rank-exact via the
+    * twice/4×-median integer trick — the output is exact cents grains,
+    * no interpolated floats. This is the measurement that tells you
+    * whether cheap per-shard quantiles are good enough before reaching
+    * for mergeable sketches (q113).
+    */
+  def federatedQuantiles(li: DataFrame): DataFrame = {
+    val priced = li.select(
+      (dec(col("l_extendedprice"), 2) * 100).cast("long").as("cents"),
+      (col("l_orderkey") % 8).as("shard"),
+      col("l_orderkey"), col("l_linenumber"))
+    val byShard = Window.partitionBy("shard")
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val shardMed = priced
+      .withColumn("rnk", row_number().over(byShard))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("shard")))
+      .groupBy("shard").agg( // twice the shard median, exact cents
+        (sum(when(expr("rnk = (n_s + 1) div 2"), col("cents")))
+          + sum(when(expr("rnk = n_s div 2 + 1"), col("cents"))))
+          .cast("long").as("m2"))
+    val fed = shardMed
+      .withColumn("srnk", row_number().over(Window.orderBy(col("m2"), col("shard"))))
+      .filter(col("srnk") === 4 || col("srnk") === 5)
+      .agg(sum("m2").cast("long").as("fed4")) // 4x the federated median
+    val globalMed = priced
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(
+        (sum(when(expr("rnk = (n + 1) div 2"), col("cents")))
+          + sum(when(expr("rnk = n div 2 + 1"), col("cents"))))
+          .cast("long").as("g2"),
+        max("n").as("n_rows"))
+    val below = priced.crossJoin(broadcast(fed))
+      .agg(sum((col("cents") * 4 < col("fed4")).cast("long")).as("n_below"))
+    globalMed.crossJoin(broadcast(fed)).crossJoin(broadcast(below))
+      .select(col("n_rows"), lit(8L).as("n_shards"),
+        (col("g2").cast("double") / 2).as("global_median"),
+        (col("fed4").cast("double") / 4).as("fed_median"),
+        (abs(col("fed4") - col("g2") * 2).cast("double") / 4).as("abs_err"),
+        round(col("n_below").cast("double") / col("n_rows").cast("double"), 6)
+          .as("fed_rank_share"))
+  }
+
+  private val federatedOracle = """
+    WITH priced AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        l_orderkey % 8 AS shard, l_orderkey, l_linenumber
+      FROM lineitem),
+    shard_med AS (
+      SELECT shard,
+        CAST(SUM(CASE WHEN rnk = (n_s + 1) // 2 THEN cents END)
+           + SUM(CASE WHEN rnk = n_s // 2 + 1 THEN cents END) AS BIGINT) AS m2
+      FROM (
+        SELECT shard, cents,
+          ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY cents, l_orderkey, l_linenumber) AS rnk,
+          COUNT(*) OVER (PARTITION BY shard) AS n_s
+        FROM priced)
+      GROUP BY 1),
+    fed AS (
+      SELECT CAST(SUM(m2) AS BIGINT) AS fed4 FROM (
+        SELECT m2, ROW_NUMBER() OVER (ORDER BY m2, shard) AS srnk FROM shard_med)
+      WHERE srnk IN (4, 5)),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN rnk = (n + 1) // 2 THEN cents END)
+                + SUM(CASE WHEN rnk = n // 2 + 1 THEN cents END) AS BIGINT) AS g2,
+        MAX(n) AS n_rows
+      FROM (
+        SELECT cents,
+          ROW_NUMBER() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rnk,
+          COUNT(*) OVER () AS n
+        FROM priced)),
+    below AS (
+      SELECT CAST(SUM(CASE WHEN cents * 4 < fed4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_below
+      FROM priced, fed)
+    SELECT n_rows, CAST(8 AS BIGINT) AS n_shards,
+      CAST(g2 AS DOUBLE) / 2 AS global_median,
+      CAST(fed4 AS DOUBLE) / 4 AS fed_median,
+      CAST(ABS(fed4 - g2 * 2) AS DOUBLE) / 4 AS abs_err,
+      ROUND(CAST(n_below AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS fed_rank_share
+    FROM g, fed, below"""
+
+  // ---------------------------------------------------------------- q312
+
+  /** Cohort LTV curves: customers grouped by first-order month, each
+    * cohort's cumulative revenue per customer tracked over its first 6
+    * months — the curve whose flattening point sets retention economics.
+    * Month arithmetic is exact integers (y·12+m), revenue is exact
+    * decimal, and the cumulative window runs per cohort over ≤6 rows.
+    */
+  def ltvCohorts(orders: DataFrame): DataFrame = {
+    val om = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+      dec(col("o_totalprice"), 2).as("price"))
+    val first = om.groupBy("o_custkey").agg(min("ym").as("cohort"))
+    val sized = first.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+    val aged = om.join(first, "o_custkey")
+      .withColumn("age", col("ym") - col("cohort"))
+      .filter(col("age") <= 5)
+      .groupBy("cohort", "age").agg(sum("price").as("month_rev"))
+    val cum = aged.withColumn("cum_rev",
+      sum("month_rev").over(
+        Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(sized, "cohort")
+      .select(
+        expr("(cohort div 12) * 100 + cohort % 12 + 1").cast("long")
+          .as("cohort_ym"),
+        col("age").cast("long").as("age"), col("n_customers"),
+        col("month_rev").cast("double").as("month_rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        // exact half-up rounding at scale 4, done in integers: a double
+        // division can land exactly on a .00005 tie, where Spark
+        // (BigDecimal on the binary expansion) and DuckDB (scaled
+        // multiply) round differently — the q140/q250 drift class
+        (expr("CAST((2 * CAST(cum_rev * 100 AS BIGINT) * 100 + n_customers) DIV (2 * n_customers) AS BIGINT)")
+          .cast("double") / 10000.0).as("ltv_per_customer"))
+      .orderBy("cohort_ym", "age")
+  }
+
+  private val ltvOracle = """
+    WITH om AS (
+      SELECT o_custkey,
+        year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    first_o AS (SELECT o_custkey, MIN(ym) AS cohort FROM om GROUP BY 1),
+    sized AS (SELECT cohort, COUNT(*) AS n_customers FROM first_o GROUP BY 1),
+    aged AS (
+      SELECT cohort, ym - cohort AS age, SUM(price) AS month_rev
+      FROM om JOIN first_o USING (o_custkey)
+      WHERE ym - cohort <= 5
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age, month_rev,
+        SUM(month_rev) OVER (PARTITION BY cohort ORDER BY age
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM aged)
+    SELECT CAST((cohort // 12) * 100 + cohort % 12 + 1 AS BIGINT) AS cohort_ym,
+      CAST(age AS BIGINT) AS age, n_customers,
+      CAST(month_rev AS DOUBLE) AS month_rev,
+      CAST(cum_rev AS DOUBLE) AS cum_rev,
+      CAST(CAST((2 * CAST(cum_rev * 100 AS BIGINT) * 100 + n_customers)
+                // (2 * n_customers) AS BIGINT) AS DOUBLE) / 10000.0
+        AS ltv_per_customer
+    FROM cum JOIN sized USING (cohort)
+    ORDER BY cohort_ym, age"""
+
+  // ---------------------------------------------------------------- q313
+
+  /** Haar-wavelet energy compaction of the first 32 days of revenue:
+    * five levels of pairwise averages/differences (each division by 2
+    * adds one exact decimal digit — the whole transform is exact), the
+    * per-level detail-energy report showing where the series' variance
+    * concentrates, and each level's dominant coefficient. This is the
+    * wavelet synopsis behind approximate range-sum indexes; the dyadic
+    * reduction is log₂(n) rounds of a halving-key groupBy — shuffle
+    * volume halves per round (the scan dominates at 100 TB).
+    */
+  def haarCompaction(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val t0 = orders.agg(min(to_date(col("o_orderdate"))).as("d0"))
+    val daily = orders.crossJoin(broadcast(t0))
+      .withColumn("t", datediff(to_date(col("o_orderdate")), col("d0")))
+      .filter(col("t") < 32)
+      .groupBy("t").agg(sum(dec(col("o_totalprice"), 2)).as("x"))
+    val grid = Seq.range(0, 32).toDF("t")
+      .join(daily, Seq("t"), "left")
+      .select(col("t"),
+        coalesce(col("x"), lit(java.math.BigDecimal.ZERO)).cast("decimal(28,2)")
+          .as("x"))
+    val half = lit(new java.math.BigDecimal("0.5"))
+    var cur = grid
+    var details: DataFrame = null
+    for (l <- 1 to 5) {
+      // pre-cast the pair sums to DECIMAL(18, s) BEFORE the ×0.5: keeps
+      // every decimal op inside precision 38 on both engines (a 38-wide
+      // sum times 0.5 would hit Spark's precision-loss reduction and
+      // DuckDB's width cliff — different engines, different rounding)
+      val si = org.apache.spark.sql.types.DecimalType(18, 1 + l)
+      val so = org.apache.spark.sql.types.DecimalType(18, 2 + l)
+      def side(par: Int) =
+        sum(when(col("t") % 2 === par, col("x"))).cast(si)
+      val lvl = cur.groupBy(expr("t div 2").as("i")).agg(
+        (((side(0) + side(1)) * half).cast(so)).as("a"),
+        (((side(0) - side(1)) * half).cast(so)).as("d"))
+      val dd = lvl.select(lit(l).as("level"), col("i"),
+        col("d").cast("decimal(18,7)").as("d"))
+      details = if (details == null) dd else details.unionAll(dd)
+      cur = lvl.select(col("i").as("t"), col("a").cast("decimal(18,7)").as("x"))
+    }
+    val approx = cur.select(lit(0).as("level"), col("t").as("i"),
+      col("x").as("d")) // level 0 row = the final approximation coefficient
+    // Output grains are PINNED before any decimal->double cast: the raw
+    // scale-14 energy exceeds 2^53 inside the graded SFs, where the
+    // conversion is 1-ulp-ambiguous between engines (the q250 class).
+    // Rounding the exact decimal (identical half-up in both engines)
+    // first keeps every emitted value exactly double-representable.
+    details.unionAll(approx)
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_coeffs"),
+        round(sum(abs(col("d"))), 2).cast("double").as("sum_abs"),
+        round(max(abs(col("d"))), 2).cast("double").as("max_abs"),
+        round(sum((col("d") * col("d")).cast("decimal(38,14)")), 0)
+          .cast("decimal(38,0)").cast("long").as("energy"),
+        max(struct(abs(col("d")).as("ad"), (-col("i")).as("ni"), col("d").as("dv")))
+          .as("top"))
+      .select(col("level").cast("long").as("level"), col("n_coeffs"),
+        col("sum_abs"), col("max_abs"), col("energy"),
+        (-col("top.ni")).cast("long").as("top_idx"),
+        round(col("top.dv"), 2).cast("double").as("top_val"))
+      .orderBy("level")
+  }
+
+  private val haarOracle = """
+    WITH t0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    daily AS (
+      SELECT datediff('day', d0, CAST(o_orderdate AS DATE)) AS t,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders, t0
+      WHERE datediff('day', d0, CAST(o_orderdate AS DATE)) < 32
+      GROUP BY 1),
+    grid AS (
+      SELECT g.t, CAST(COALESCE(d.x, 0) AS DECIMAL(18,2)) AS x
+      FROM (SELECT unnest(generate_series(0, 31)) AS t) g
+      LEFT JOIN daily d ON d.t = g.t),
+    l1 AS (
+      SELECT t // 2 AS i,
+        CAST((CAST(SUM(CASE WHEN t % 2 = 0 THEN x END) AS DECIMAL(18,2))
+            + CAST(SUM(CASE WHEN t % 2 = 1 THEN x END) AS DECIMAL(18,2)))
+            * 0.5 AS DECIMAL(18,3)) AS a,
+        CAST((CAST(SUM(CASE WHEN t % 2 = 0 THEN x END) AS DECIMAL(18,2))
+            - CAST(SUM(CASE WHEN t % 2 = 1 THEN x END) AS DECIMAL(18,2)))
+            * 0.5 AS DECIMAL(18,3)) AS d
+      FROM grid GROUP BY 1),
+    l2 AS (
+      SELECT i // 2 AS i,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,3))
+            + CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,3)))
+            * 0.5 AS DECIMAL(18,4)) AS a,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,3))
+            - CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,3)))
+            * 0.5 AS DECIMAL(18,4)) AS d
+      FROM l1 GROUP BY 1),
+    l3 AS (
+      SELECT i // 2 AS i,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,4))
+            + CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,4)))
+            * 0.5 AS DECIMAL(18,5)) AS a,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,4))
+            - CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,4)))
+            * 0.5 AS DECIMAL(18,5)) AS d
+      FROM l2 GROUP BY 1),
+    l4 AS (
+      SELECT i // 2 AS i,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,5))
+            + CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,5)))
+            * 0.5 AS DECIMAL(18,6)) AS a,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,5))
+            - CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,5)))
+            * 0.5 AS DECIMAL(18,6)) AS d
+      FROM l3 GROUP BY 1),
+    l5 AS (
+      SELECT i // 2 AS i,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,6))
+            + CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,6)))
+            * 0.5 AS DECIMAL(18,7)) AS a,
+        CAST((CAST(SUM(CASE WHEN i % 2 = 0 THEN a END) AS DECIMAL(18,6))
+            - CAST(SUM(CASE WHEN i % 2 = 1 THEN a END) AS DECIMAL(18,6)))
+            * 0.5 AS DECIMAL(18,7)) AS d
+      FROM l4 GROUP BY 1),
+    coeffs AS (
+      SELECT 1 AS level, i, CAST(d AS DECIMAL(18,7)) AS d FROM l1
+      UNION ALL SELECT 2, i, CAST(d AS DECIMAL(18,7)) FROM l2
+      UNION ALL SELECT 3, i, CAST(d AS DECIMAL(18,7)) FROM l3
+      UNION ALL SELECT 4, i, CAST(d AS DECIMAL(18,7)) FROM l4
+      UNION ALL SELECT 5, i, CAST(d AS DECIMAL(18,7)) FROM l5
+      UNION ALL SELECT 0, i, CAST(a AS DECIMAL(18,7)) FROM l5),
+    ranked AS (
+      SELECT level, i, d,
+        ROW_NUMBER() OVER (PARTITION BY level ORDER BY ABS(d) DESC, i) AS rnk
+      FROM coeffs)
+    SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_coeffs,
+      CAST(ROUND(SUM(ABS(d)), 2) AS DOUBLE) AS sum_abs,
+      CAST(ROUND(MAX(ABS(d)), 2) AS DOUBLE) AS max_abs,
+      CAST(ROUND(SUM(CAST(CAST(d AS DECIMAL(19,7)) * CAST(d AS DECIMAL(19,7))
+                    AS DECIMAL(38,14))), 0) AS BIGINT) AS energy,
+      CAST(MAX(CASE WHEN rnk = 1 THEN i END) AS BIGINT) AS top_idx,
+      CAST(ROUND(MAX(CASE WHEN rnk = 1 THEN d END), 2) AS DOUBLE) AS top_val
+    FROM ranked GROUP BY 1 ORDER BY level"""
+
+  // ------------------------------------------------------------ queries
+
+  override def queries: Seq[Q] = Seq(
+    Q("q300_runs_test", (s, d) => runsTest(orders(s, d)), Some(runsOracle)),
+    Q("q301_interarrival",
+      (s, d) => interarrival(events(s, d)), Some(interarrivalOracle)),
+    Q("q302_periodogram",
+      (s, d) => periodogram(events(s, d)), Some(periodogramOracle)),
+    Q("q303_durbin_watson",
+      (s, d) => durbinWatson(orders(s, d)), Some(dwOracle)),
+    Q("q304_theil_index",
+      (s, d) => theilIndex(orders(s, d), customer(s, d)), Some(theilOracle)),
+    Q("q305_rate_limit_audit",
+      (s, d) => rateLimitAudit(events(s, d)), Some(rateLimitOracle)),
+    Q("q311_federated_quantiles",
+      (s, d) => federatedQuantiles(lineitem(s, d)), Some(federatedOracle)),
+    Q("q312_ltv_cohorts", (s, d) => ltvCohorts(orders(s, d)), Some(ltvOracle)),
+    Q("q313_haar_compaction",
+      (s, d) => haarCompaction(orders(s, d)), Some(haarOracle)),
+  )
+}

@@ -18,6 +18,12 @@ object StreamingOps extends QueryModule {
   /** Read the events table as a file-source stream (explicit schema as
     * streaming requires; nanos ts handled as in Tables.events).
     */
+  // The ts physical-type probe costs a file index + footer read; every
+  // streaming query pays it (q69 twice) and the answer is a property of
+  // the fixture dir — cache it like the split-source dir below.
+  private val tsTypes =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -25,7 +31,8 @@ object StreamingOps extends QueryModule {
     // long under nanosAsLong) and as TIMESTAMP_MICROS/NTZ — probe the
     // batch footer and mirror Tables.events' dispatch instead of
     // hardcoding one physical type.
-    val tsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsType = tsTypes.computeIfAbsent(sfDir,
+      d => spark.read.parquet(s"$d/events.parquet").schema("ts").dataType)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", tsType),

@@ -1,0 +1,412 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryModule}
+import graft.Num.dec
+import graft.Tables._
+
+/** Cluster-quality and neighborhood diagnostics over the embedding
+  * corpus, round 8 of the extension surface (the reference has no
+  * embedding surface): simplified silhouette, Davies–Bouldin,
+  * Calinski–Harabasz — the three standard internal cluster-validity
+  * indices, here over the label partition — plus a hubness audit
+  * (k-occurrence skew, the curse-of-dimensionality failure mode of
+  * kNN retrieval) and the TwoNN intrinsic-dimension estimator (Facco
+  * et al. 2017).
+  *
+  * Oracle-exactness discipline (graft-oracle-exactness): distances are
+  * per-dimension DECIMAL-cast sums of identical doubles — exact and
+  * order-independent — so mins/argmins compare exact decimals; every
+  * derived double is one fixed-shape expression over them; ties break
+  * by id. Scale discipline: each index is one or two corpus passes
+  * against a BROADCAST side (k centroids or the 64-anchor budget —
+  * absolute counts, never corpus fractions), the E-step shape of
+  * distributed k-means.
+  */
+object ClusterQuality extends QueryModule {
+
+  private def explodeDims(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "xv")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        col("xv").cast("double").as("xv"))
+
+  /** Per-(label, dim) centroid means as exact-sum/count doubles. */
+  private def centroids(x: DataFrame): DataFrame =
+    x.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(sum(dec(col("xv"), 10)).as("s1"), count(lit(1)).as("cn"))
+      .select(col("clabel"), col("dim"),
+        (col("s1").cast("double") / col("cn")).as("mu"), col("cn"))
+
+  /** Exact-decimal squared distance of every vector to every label
+    * centroid: the k-means E-step join (corpus×dims vs broadcast
+    * k×dims).
+    */
+  private def vecToCentroid(x: DataFrame): DataFrame =
+    x.join(broadcast(centroids(x)), Seq("dim"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(dec((col("xv") - col("mu")) * (col("xv") - col("mu")), 9))
+        .as("d2"))
+
+  private val xSql = """
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings"""
+
+  private val centroidsSql = """
+      SELECT label AS clabel, dim,
+        CAST(SUM(CAST(xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS mu,
+        COUNT(*) AS cn
+      FROM x GROUP BY 1, 2"""
+
+  private val vecToCentroidSql = """
+      SELECT x.vec_id, x.label, c.clabel,
+        SUM(CAST((x.xv - c.mu) * (x.xv - c.mu) AS DECIMAL(18,9))) AS d2
+      FROM x JOIN cents c USING (dim)
+      GROUP BY 1, 2, 3"""
+
+  // ---------------------------------------------------------------- q306
+
+  /** Simplified (centroid-based) silhouette per label cluster:
+    * a = distance to own centroid, b = distance to the nearest other
+    * centroid, s = (b−a)/max(a,b) — the O(N·k) silhouette used when the
+    * O(N²) pairwise version is off the table, which at 100 TB is
+    * always. Negative s marks vectors closer to a foreign centroid.
+    */
+  def silhouetteLite(emb: DataFrame): DataFrame = {
+    val d = vecToCentroid(explodeDims(emb))
+    val ab = d.groupBy("vec_id", "label").agg(
+      min(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+      min(when(col("label") =!= col("clabel"), col("d2"))).as("b2"))
+    val s = ab
+      .withColumn("s", expr(
+        """(sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+          | / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))"""
+          .stripMargin))
+    s.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(s AS DECIMAL(18,12))")).as("ssum"),
+        sum((col("s") < 0).cast("long")).as("n_negative"))
+      .select(col("label"), col("n_vecs"),
+        round(col("ssum").cast("double") / col("n_vecs"), 6)
+          .as("mean_silhouette"),
+        col("n_negative"))
+      .orderBy("label")
+  }
+
+  private val silhouetteOracle = s"""
+    WITH x AS MATERIALIZED ($xSql),
+    cents AS MATERIALIZED ($centroidsSql),
+    d AS MATERIALIZED ($vecToCentroidSql),
+    ab AS (
+      SELECT vec_id, label,
+        MIN(CASE WHEN label = clabel THEN d2 END) AS a2,
+        MIN(CASE WHEN label <> clabel THEN d2 END) AS b2
+      FROM d GROUP BY 1, 2),
+    s AS (
+      SELECT vec_id, label,
+        (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+          / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))) AS s
+      FROM ab)
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+      ROUND(CAST(SUM(CAST(s AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+        AS mean_silhouette,
+      CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM s GROUP BY 1 ORDER BY label"""
+
+  // ---------------------------------------------------------------- q307
+
+  /** Davies–Bouldin decomposition per cluster: scatter S_i (mean member
+    * distance to centroid), and R_i = max_{j≠i} (S_i+S_j)/M_ij over
+    * centroid separations M_ij — the per-cluster view whose mean is the
+    * DB index (lower = tighter, farther-apart clusters). Centroid pairs
+    * are k², a broadcast-sized frame.
+    */
+  def daviesBouldin(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val cents = centroids(x)
+    val scatter = vecToCentroid(x)
+      .filter(col("label") === col("clabel"))
+      .groupBy(col("clabel"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(18,9))")).as("sd"))
+      .select(col("clabel"), col("n_vecs"),
+        (col("sd").cast("double") / col("n_vecs")).as("s_i"))
+    val cj = cents.select(col("clabel").as("ci"), col("dim"), col("mu").as("mi"))
+      .join(cents.select(col("clabel").as("cj"), col("dim"), col("mu").as("mj")),
+        "dim")
+      .filter(col("ci") =!= col("cj"))
+      .groupBy("ci", "cj")
+      .agg(sum(dec((col("mi") - col("mj")) * (col("mi") - col("mj")), 9))
+        .as("m2"))
+    val ratios = cj
+      .join(scatter.select(col("clabel").as("ci"), col("s_i")), "ci")
+      .join(scatter.select(col("clabel").as("cj"), col("s_i").as("s_j")), "cj")
+      .withColumn("r", expr("(s_i + s_j) / sqrt(CAST(m2 AS DOUBLE))"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("ci").orderBy(col("r").desc, col("cj"))))
+      .filter(col("rnk") === 1)
+    ratios
+      .join(scatter.select(col("clabel").as("ci"), col("n_vecs")), "ci")
+      .select(col("ci").cast("long").as("label"), col("n_vecs"),
+        round(col("s_i"), 6).as("scatter"),
+        col("cj").cast("long").as("nearest_worst"),
+        round(col("r"), 6).as("r_i"))
+      .orderBy("label")
+  }
+
+  private val dbOracle = s"""
+    WITH x AS MATERIALIZED ($xSql),
+    cents AS MATERIALIZED ($centroidsSql),
+    d AS MATERIALIZED ($vecToCentroidSql),
+    scatter AS (
+      SELECT clabel, COUNT(*) AS n_vecs,
+        CAST(SUM(CAST(sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(18,9))) AS DOUBLE)
+          / COUNT(*) AS s_i
+      FROM d WHERE label = clabel GROUP BY 1),
+    cj AS (
+      SELECT a.clabel AS ci, b.clabel AS cj,
+        SUM(CAST((a.mu - b.mu) * (a.mu - b.mu) AS DECIMAL(18,9))) AS m2
+      FROM cents a JOIN cents b USING (dim)
+      WHERE a.clabel <> b.clabel
+      GROUP BY 1, 2),
+    ratios AS (
+      SELECT ci, cj,
+        (si.s_i + sj.s_i) / sqrt(CAST(m2 AS DOUBLE)) AS r,
+        si.s_i AS s_i,
+        ROW_NUMBER() OVER (PARTITION BY ci
+          ORDER BY (si.s_i + sj.s_i) / sqrt(CAST(m2 AS DOUBLE)) DESC, cj) AS rnk
+      FROM cj
+      JOIN scatter si ON si.clabel = ci
+      JOIN scatter sj ON sj.clabel = cj)
+    SELECT CAST(ci AS BIGINT) AS label, sc.n_vecs,
+      ROUND(r.s_i, 6) AS scatter,
+      CAST(cj AS BIGINT) AS nearest_worst, ROUND(r.r, 6) AS r_i
+    FROM ratios r JOIN scatter sc ON sc.clabel = r.ci
+    WHERE rnk = 1 ORDER BY label"""
+
+  // ---------------------------------------------------------------- q308
+
+  /** Calinski–Harabasz (variance-ratio) index over the label partition:
+    * CH = [SSB/(k−1)] / [SSW/(N−k)], with SSW the exact-decimal member
+    * scatter and SSB the centroid-to-grand-centroid scatter weighted by
+    * cluster size. Two passes: one per-dim moment reduce, one E-step
+    * join.
+    */
+  def calinskiHarabasz(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val ssw = vecToCentroid(x)
+      .filter(col("label") === col("clabel"))
+      .agg(sum("d2").as("ssw"), count(lit(1)).as("n_vecs"))
+    val cents = centroids(x)
+    val grand = x.groupBy("dim")
+      .agg(sum(dec(col("xv"), 10)).as("gs"), count(lit(1)).as("gn"))
+      .select(col("dim"), (col("gs").cast("double") / col("gn")).as("gmu"))
+    val ssb = cents.join(broadcast(grand), "dim")
+      .groupBy("clabel", "cn")
+      .agg(sum(dec((col("mu") - col("gmu")) * (col("mu") - col("gmu")), 9))
+        .as("cd2"))
+      .agg(sum(col("cn") * col("cd2")).as("ssb"), count(lit(1)).as("k"))
+    // The index itself is an exact integer ppm quotient (the q250
+    // discipline): a rounded double ratio landed exactly on a 0.5e-6
+    // rounding tie at sf0.001, where Spark and DuckDB round-on-double
+    // disagree — integer division cannot.
+    ssw.crossJoin(broadcast(ssb))
+      .select(col("n_vecs"), col("k"),
+        round(col("ssw").cast("double"), 4).as("ssw"),
+        round(col("ssb").cast("double"), 4).as("ssb"),
+        expr("""CAST((CAST(CAST(ssb AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))
+               |      * (n_vecs - k) * 1000000)
+               | DIV (CAST(CAST(ssw AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))
+               |      * (k - 1)) AS BIGINT)""".stripMargin).as("ch_index_ppm"))
+  }
+
+  private val chOracle = s"""
+    WITH x AS MATERIALIZED ($xSql),
+    cents AS MATERIALIZED ($centroidsSql),
+    d AS MATERIALIZED ($vecToCentroidSql),
+    ssw AS (
+      SELECT SUM(d2) AS ssw, COUNT(*) AS n_vecs
+      FROM d WHERE label = clabel),
+    grand AS (
+      SELECT dim, CAST(SUM(CAST(xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS gmu
+      FROM x GROUP BY 1),
+    ssb AS (
+      SELECT SUM(cn * cd2) AS ssb, COUNT(*) AS k FROM (
+        SELECT c.clabel, MAX(c.cn) AS cn,
+          SUM(CAST((c.mu - g.gmu) * (c.mu - g.gmu) AS DECIMAL(18,9))) AS cd2
+        FROM cents c JOIN grand g USING (dim)
+        GROUP BY 1))
+    SELECT n_vecs, k,
+      ROUND(CAST(ssw AS DOUBLE), 4) AS ssw,
+      ROUND(CAST(ssb AS DOUBLE), 4) AS ssb,
+      CAST(CAST(CAST(ssb AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
+             * (n_vecs - k) * 1000000
+           // (CAST(CAST(ssw AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
+              * (k - 1)) AS BIGINT)
+        AS ch_index_ppm
+    FROM ssw, ssb"""
+
+  // ---------------------------------------------------------------- q309
+
+  /** Hubness audit: with the md5-ordered 64-anchor budget (the q290
+    * absolute-count convention), every corpus vector votes for its 3
+    * nearest anchors; the per-anchor k-occurrence distribution exposes
+    * hubs (anchors that appear in everyone's neighbor lists) and
+    * anti-hubs (k_occ = 0) — the high-dimensional pathology that skews
+    * kNN-based dedup and retrieval. One corpus pass against the
+    * broadcast anchors.
+    */
+  def hubness(emb: DataFrame, nAnchors: Int = 64, k: Int = 3): DataFrame = {
+    val x = explodeDims(emb)
+    val anchorIds = emb
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nAnchors)
+      .select(col("vec_id").as("aid"))
+    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
+      .select(col("vec_id").as("aid"), col("label").as("alabel"),
+        col("dim"), col("xv").as("av"))
+    val d2 = x.join(broadcast(anchors), Seq("dim"))
+      .filter(col("vec_id") =!= col("aid"))
+      .groupBy("vec_id", "aid")
+      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 9))
+        .as("d2"))
+    val votes = d2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("aid"))))
+      .filter(col("rn") <= k)
+      .groupBy("aid").agg(count(lit(1)).as("k_occ"))
+    anchors.select("aid", "alabel").distinct()
+      .join(votes, Seq("aid"), "left")
+      .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("k_occ").desc, col("aid"))))
+      .select(col("rank").cast("long").as("rank"), col("aid"),
+        col("alabel").cast("long").as("label"), col("k_occ"))
+      .orderBy("rank")
+  }
+
+  private val hubnessOracle = s"""
+    WITH x AS MATERIALIZED ($xSql),
+    anchor_ids AS (
+      SELECT vec_id AS aid FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+    anchors AS MATERIALIZED (
+      SELECT x.vec_id AS aid, label AS alabel, dim, xv AS av
+      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
+    d2 AS (
+      SELECT x.vec_id, a.aid,
+        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,9))) AS d2
+      FROM x JOIN anchors a USING (dim)
+      WHERE x.vec_id <> a.aid
+      GROUP BY 1, 2),
+    votes AS (
+      SELECT aid, COUNT(*) AS k_occ FROM (
+        SELECT vec_id, aid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, aid) AS rn
+        FROM d2)
+      WHERE rn <= 3 GROUP BY 1),
+    base AS (SELECT DISTINCT aid, alabel FROM anchors)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(k_occ, 0) DESC, aid)
+        AS BIGINT) AS rank,
+      aid, CAST(alabel AS BIGINT) AS label,
+      CAST(COALESCE(k_occ, 0) AS BIGINT) AS k_occ
+    FROM base LEFT JOIN votes USING (aid)
+    ORDER BY rank"""
+
+  // ---------------------------------------------------------------- q310
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    * of the 64 md5-budget anchors, the ratio μ = d₂/d₁ of its two
+    * nearest corpus neighbors gives ln μ; the MLE intrinsic dimension
+    * is n/Σln μ — the curse-of-dimensionality measurement that says how
+    * "thin" the embedding manifold really is versus its 64 ambient
+    * dims. Zero distances (exact duplicates) are excluded exactly —
+    * distances are exact decimals, so the d₁ > 0 guard cannot flicker.
+    */
+  def twonnDimension(emb: DataFrame, nAnchors: Int = 64): DataFrame = {
+    val x = explodeDims(emb)
+    val anchorIds = emb
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nAnchors)
+      .select(col("vec_id").as("aid"))
+    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
+      .select(col("vec_id").as("aid"), col("dim"), col("xv").as("av"))
+    val d2 = x.join(broadcast(anchors), Seq("dim"))
+      .filter(col("vec_id") =!= col("aid"))
+      .groupBy("aid", "vec_id")
+      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 9))
+        .as("d2"))
+      .filter(col("d2") > 0)
+    val nn = d2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("aid").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 2)
+      .groupBy("aid")
+      .agg(min(when(col("rn") === 1, col("d2"))).as("d1"),
+        min(when(col("rn") === 2, col("d2"))).as("d2nd"))
+      .filter(col("d1").isNotNull && col("d2nd").isNotNull)
+      .withColumn("logmu", expr(
+        "CAST(0.5 * ln(CAST(d2nd AS DOUBLE) / CAST(d1 AS DOUBLE)) AS DECIMAL(18,12))"))
+    nn.agg(count(lit(1)).as("n_anchors"),
+        sum("logmu").cast("double").as("sum_log_mu"))
+      .select(col("n_anchors"),
+        round(col("sum_log_mu"), 6).as("sum_log_mu"),
+        round(col("n_anchors").cast("double") / col("sum_log_mu"), 4)
+          .as("id_twonn"))
+  }
+
+  private val twonnOracle = s"""
+    WITH x AS MATERIALIZED ($xSql),
+    anchor_ids AS (
+      SELECT vec_id AS aid FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+    anchors AS MATERIALIZED (
+      SELECT x.vec_id AS aid, dim, xv AS av
+      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
+    d2 AS (
+      SELECT a.aid, x.vec_id,
+        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,9))) AS d2
+      FROM x JOIN anchors a USING (dim)
+      WHERE x.vec_id <> a.aid
+      GROUP BY 1, 2),
+    nn AS (
+      SELECT aid,
+        MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
+        MIN(CASE WHEN rn = 2 THEN d2 END) AS d2nd
+      FROM (
+        SELECT aid, vec_id, d2,
+          ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d2, vec_id) AS rn
+        FROM d2 WHERE d2 > 0)
+      GROUP BY 1
+      HAVING MIN(CASE WHEN rn = 1 THEN d2 END) IS NOT NULL
+         AND MIN(CASE WHEN rn = 2 THEN d2 END) IS NOT NULL),
+    lm AS (
+      SELECT aid,
+        CAST(0.5 * ln(CAST(d2nd AS DOUBLE) / CAST(d1 AS DOUBLE))
+          AS DECIMAL(18,12)) AS logmu
+      FROM nn)
+    SELECT COUNT(*) AS n_anchors,
+      ROUND(CAST(SUM(logmu) AS DOUBLE), 6) AS sum_log_mu,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(logmu) AS DOUBLE), 4) AS id_twonn
+    FROM lm"""
+
+  // ------------------------------------------------------------ queries
+
+  override def queries: Seq[Q] = Seq(
+    Q("q306_silhouette_lite",
+      (s, d) => silhouetteLite(embeddings(s, d)), Some(silhouetteOracle)),
+    Q("q307_davies_bouldin",
+      (s, d) => daviesBouldin(embeddings(s, d)), Some(dbOracle)),
+    Q("q308_calinski_harabasz",
+      (s, d) => calinskiHarabasz(embeddings(s, d)), Some(chOracle)),
+    Q("q309_hubness", (s, d) => hubness(embeddings(s, d)), Some(hubnessOracle)),
+    Q("q310_twonn_dimension",
+      (s, d) => twonnDimension(embeddings(s, d)), Some(twonnOracle)),
+  )
+}
