@@ -261,20 +261,20 @@ object ClusterQuality extends QueryModule {
     * broadcast anchors.
     */
   def hubness(emb: DataFrame, nAnchors: Int = 64, k: Int = 3): DataFrame = {
-    val x = explodeDims(emb)
     val anchorIds = emb
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nAnchors)
       .select(col("vec_id").as("aid"))
-    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
-      .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("dim"), col("xv").as("av"))
-    val d2 = x.join(broadcast(anchors), Seq("dim"))
+    val anchors = emb.join(broadcast(anchorIds), col("vec_id") === col("aid"))
+      .select(col("aid"), col("label").as("alabel"),
+        col("embedding").as("aemb"))
+    // one corpus pass × broadcast anchor ARRAYS (VecDist fold — no
+    // dims-explode, no corpus×anchors×dims aggregation shuffle)
+    val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
-      .groupBy("vec_id", "aid")
-      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 9))
-        .as("d2"))
+      .select(col("vec_id"), col("aid"),
+        VecDist.d2Fold("embedding", "aemb").as("d2"))
     val votes = d2
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("aid"))))
@@ -300,7 +300,9 @@ object ClusterQuality extends QueryModule {
       FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
     d2 AS (
       SELECT x.vec_id, a.aid,
-        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,9))) AS d2
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          (acc, v) -> acc + v) AS d2
       FROM x JOIN anchors a USING (dim)
       WHERE x.vec_id <> a.aid
       GROUP BY 1, 2),
@@ -329,19 +331,18 @@ object ClusterQuality extends QueryModule {
     * distances are exact decimals, so the d₁ > 0 guard cannot flicker.
     */
   def twonnDimension(emb: DataFrame, nAnchors: Int = 64): DataFrame = {
-    val x = explodeDims(emb)
     val anchorIds = emb
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nAnchors)
       .select(col("vec_id").as("aid"))
-    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
-      .select(col("vec_id").as("aid"), col("dim"), col("xv").as("av"))
-    val d2 = x.join(broadcast(anchors), Seq("dim"))
+    val anchors = emb.join(broadcast(anchorIds), col("vec_id") === col("aid"))
+      .select(col("aid"), col("embedding").as("aemb"))
+    // one corpus pass × broadcast anchor ARRAYS (VecDist fold)
+    val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
-      .groupBy("aid", "vec_id")
-      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 9))
-        .as("d2"))
+      .select(col("aid"), col("vec_id"),
+        VecDist.d2Fold("embedding", "aemb").as("d2"))
       .filter(col("d2") > 0)
     val nn = d2
       .withColumn("rn", row_number().over(
@@ -371,7 +372,9 @@ object ClusterQuality extends QueryModule {
       FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
     d2 AS (
       SELECT a.aid, x.vec_id,
-        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,9))) AS d2
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          (acc, v) -> acc + v) AS d2
       FROM x JOIN anchors a USING (dim)
       WHERE x.vec_id <> a.aid
       GROUP BY 1, 2),

@@ -239,7 +239,6 @@ object Geometry extends QueryModule {
     * candidate join is one corpus pass against the broadcast anchors.
     */
   def tripletMargins(emb: DataFrame, nAnchors: Int = 64): DataFrame = {
-    val x = explodeDims(emb)
     // Absolute anchor budget: md5-ordered top-N over the un-exploded id
     // set (one row per vector), picked via orderBy+limit → Spark plans
     // TakeOrderedAndProject, never a single-partition window.
@@ -248,14 +247,16 @@ object Geometry extends QueryModule {
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(nAnchors)
       .select(col("vec_id").as("aid"))
-    val anchors = x.join(broadcast(anchorIds), col("vec_id") === col("aid"))
-      .select(col("vec_id").as("aid"), col("label").as("alabel"),
-        col("dim"), col("xv").as("av"))
-    val d2 = x.join(broadcast(anchors), Seq("dim"))
+    val anchors = emb.join(broadcast(anchorIds), col("vec_id") === col("aid"))
+      .select(col("aid"), col("label").as("alabel"),
+        col("embedding").as("aemb"))
+    // one corpus pass × broadcast anchor ARRAYS: the distance is a
+    // codegen'd zip_with fold (VecDist), value-identical to the exploded
+    // per-dim decimal sum but with no dims-explode shuffle
+    val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
-      .groupBy("vec_id", "label", "aid", "alabel")
-      .agg(sum(dec((col("xv") - col("av")) * (col("xv") - col("av")), 10))
-        .as("d2"))
+      .select(col("vec_id"), col("label"), col("aid"), col("alabel"),
+        VecDist.d2Fold("embedding", "aemb").as("d2"))
     val perAnchor = d2.groupBy("aid", "alabel").agg(
       min(when(col("label") === col("alabel"), col("d2"))).as("dpos"),
       min(when(col("label") =!= col("alabel"), col("d2"))).as("dneg"))
@@ -264,9 +265,11 @@ object Geometry extends QueryModule {
       .withColumn("margin", col("dneg") - col("dpos"))
       .groupBy(col("alabel").cast("long").as("label"))
       .agg(count(lit(1)).as("n_anchors"),
-        round((sum(col("margin")).cast("double") / count(lit(1))), 6)
+        // margins are deterministic doubles (ordered-fold distances);
+        // the cross-anchor sum is dec-cast for order independence
+        round((sum(dec(col("margin"), 9)).cast("double") / count(lit(1))), 6)
           .as("mean_margin"),
-        round(min(col("margin")).cast("double"), 6).as("min_margin"),
+        round(min(col("margin")), 6).as("min_margin"),
         sum((col("margin") <= 0).cast("long")).as("n_violations"))
       .orderBy("label")
   }
@@ -284,7 +287,9 @@ object Geometry extends QueryModule {
       FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
     d2 AS MATERIALIZED (
       SELECT x.vec_id, x.label, a.aid, a.alabel,
-        SUM(CAST((x.xv - a.av) * (x.xv - a.av) AS DECIMAL(18,10))) AS d2
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          (acc, v) -> acc + v) AS d2
       FROM x JOIN anchors a USING (dim)
       WHERE x.vec_id <> a.aid
       GROUP BY 1, 2, 3, 4),
@@ -294,8 +299,9 @@ object Geometry extends QueryModule {
         MIN(CASE WHEN label <> alabel THEN d2 END) AS dneg
       FROM d2 GROUP BY 1, 2)
     SELECT CAST(alabel AS BIGINT) AS label, COUNT(*) AS n_anchors,
-      ROUND(CAST(SUM(dneg - dpos) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
-      ROUND(CAST(MIN(dneg - dpos) AS DOUBLE), 6) AS min_margin,
+      ROUND(CAST(SUM(CAST(dneg - dpos AS DECIMAL(18,9))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_margin,
+      ROUND(MIN(dneg - dpos), 6) AS min_margin,
       CAST(SUM(CAST(dneg - dpos <= 0 AS BIGINT)) AS BIGINT) AS n_violations
     FROM per_anchor
     WHERE dpos IS NOT NULL AND dneg IS NOT NULL

@@ -82,7 +82,7 @@ class AdvancedSpec extends SparkSpec {
       .toDF("user_id", "event_type", "ts", "value")
     val r = Advanced.amsF2(df).collect()(0)
     assert(r.getAs[java.math.BigDecimal]("f2_exact").longValueExact() == 37L * 37L)
-    assert(r.getAs[Double]("est_ratio") == 1.0)
+    assert(r.getAs[Long]("est_ratio_ppm") == 1000000L)
   }
 
   test("rollingHampel: exactly the planted spike is flagged on a flat series") {
