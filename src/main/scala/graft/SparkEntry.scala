@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Refine,
     ops.Placement,
     ops.Series,
+    ops.Experiment,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,

@@ -730,6 +730,327 @@ object Series extends QueryModule {
       CAST(ROUND(MAX(CASE WHEN rnk = 1 THEN d END), 2) AS DOUBLE) AS top_val
     FROM ranked GROUP BY 1 ORDER BY level"""
 
+  // ---------------------------------------------------------------- q315
+
+  /** Tukey-fence (boxplot) outlier audit per event type: rank-exact
+    * Type-1 quartiles (x_⌈n/4⌉ / x_⌈3n/4⌉ — order statistics, never an
+    * interpolated float), IQR, and the 1.5·IQR fence exceedance counts.
+    * The 1.5 multiplier is an exact ×3×0.5 decimal product; every
+    * comparison is exact-decimal. One shuffle to per-type partitions;
+    * ranking is per-type distributed.
+    */
+  def tukeyFences(events: DataFrame): DataFrame = {
+    val v = events.select(col("event_type"), dec(col("value"), 6).as("x"),
+      col("event_id"))
+    val byType = Window.partitionBy("event_type").orderBy(col("x"), col("event_id"))
+    val ranked = v
+      .withColumn("rnk", row_number().over(byType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val quart = ranked.groupBy("event_type").agg(
+      max("n").as("n"),
+      max(when(expr("rnk = (n + 3) div 4"), col("x"))).as("q1"),
+      max(when(expr("rnk = (3 * n + 3) div 4"), col("x"))).as("q3"))
+    val fenced = v.join(quart, "event_type")
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - expr(
+        "CAST((q3 - q1) * 3 * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(28,7))"))
+      .withColumn("hi", col("q3") + expr(
+        "CAST((q3 - q1) * 3 * CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(28,7))"))
+    fenced.groupBy("event_type").agg(
+        max("n").as("n_events"),
+        max(col("q1").cast("double")).as("q1"),
+        max(col("q3").cast("double")).as("q3"),
+        max(col("iqr").cast("double")).as("iqr"),
+        sum((col("x") < col("lo")).cast("long")).as("n_low_outliers"),
+        sum((col("x") > col("hi")).cast("long")).as("n_high_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val tukeyOracle = """
+    WITH v AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x, event_id
+      FROM events),
+    ranked AS (
+      SELECT event_type, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rnk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    quart AS (
+      SELECT event_type, MAX(n) AS n,
+        MAX(CASE WHEN rnk = (n + 3) // 4 THEN x END) AS q1,
+        MAX(CASE WHEN rnk = (3 * n + 3) // 4 THEN x END) AS q3
+      FROM ranked GROUP BY 1),
+    fenced AS (
+      SELECT v.event_type, v.x, q.n, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+        q.q1 - CAST((q.q3 - q.q1) * 3 * CAST(0.5 AS DECIMAL(2,1))
+                    AS DECIMAL(28,7)) AS lo,
+        q.q3 + CAST((q.q3 - q.q1) * 3 * CAST(0.5 AS DECIMAL(2,1))
+                    AS DECIMAL(28,7)) AS hi
+      FROM v JOIN quart q USING (event_type))
+    SELECT event_type, MAX(n) AS n_events,
+      CAST(MAX(q1) AS DOUBLE) AS q1, CAST(MAX(q3) AS DOUBLE) AS q3,
+      CAST(MAX(iqr) AS DOUBLE) AS iqr,
+      CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+      CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM fenced GROUP BY 1 ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q317
+
+  /** Peaks-over-threshold GPD tail fit (extreme-value method of
+    * moments): the threshold is the exact Type-1 p90 order statistic,
+    * exceedance moments are exact integer-cent sums, and the fitted
+    * shape ξ / scale β imply a p99.9 quantile checked against the exact
+    * empirical one — the tail-risk model behind outlier budgets and
+    * SLA sizing. Everything is one ranked pass + one moment reduce.
+    */
+  def gpdTail(orders: DataFrame): DataFrame = {
+    val priced = orders.select(
+      (dec(col("o_totalprice"), 2) * 100).cast("long").as("cents"),
+      col("o_orderkey"))
+    val ranked = priced
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cents"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val thr = ranked.agg(
+      max("n").as("n"),
+      max(when(expr("rnk = (9 * n + 9) div 10"), col("cents"))).as("u"),
+      max(when(expr("rnk = (999 * n + 999) div 1000"), col("cents")))
+        .as("actual_p999_cents"))
+    val fit = priced.crossJoin(broadcast(thr))
+      .filter(col("cents") > col("u"))
+      .withColumn("y", col("cents") - col("u"))
+      .agg(count(lit(1)).as("m"),
+        sum("y").as("s1"),
+        sum((col("y").cast("decimal(20,0)") * col("y")).cast("decimal(38,0)"))
+          .as("s2"),
+        max("n").as("n"), max("u").as("u"),
+        max("actual_p999_cents").as("actual_p999_cents"))
+    fit
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / m"))
+      .withColumn("varr", expr(
+        "CAST(s2 AS DOUBLE) / m - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m)"))
+      .withColumn("ratio", expr("mean * mean / varr"))
+      .withColumn("xi", expr("0.5 * (1.0 - ratio)"))
+      .withColumn("beta", expr("0.5 * mean * (ratio + 1.0)"))
+      .select(col("n").as("n_orders"), col("u").as("threshold_cents"),
+        col("m").as("n_exceed"),
+        round(col("xi"), 6).as("xi"),
+        round(col("beta"), 2).as("beta"),
+        round(expr(
+          """(u + beta / xi * (pow((0.001 * n) / m, -xi) - 1.0)) / 100.0"""),
+          2).as("implied_p999"),
+        (col("actual_p999_cents").cast("double") / 100).as("actual_p999"))
+  }
+
+  private val gpdOracle = """
+    WITH priced AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        o_orderkey
+      FROM orders),
+    ranked AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
+        COUNT(*) OVER () AS n
+      FROM priced),
+    thr AS (
+      SELECT MAX(n) AS n,
+        MAX(CASE WHEN rnk = (9 * n + 9) // 10 THEN cents END) AS u,
+        MAX(CASE WHEN rnk = (999 * n + 999) // 1000 THEN cents END)
+          AS actual_p999_cents
+      FROM ranked),
+    fit AS (
+      SELECT COUNT(*) AS m, CAST(SUM(cents - u) AS BIGINT) AS s1,
+        CAST(SUM(CAST(cents - u AS HUGEINT) * (cents - u)) AS DECIMAL(38,0)) AS s2,
+        MAX(n) AS n, MAX(u) AS u, MAX(actual_p999_cents) AS actual_p999_cents
+      FROM priced, thr WHERE cents > u),
+    st AS (
+      SELECT *, CAST(s1 AS DOUBLE) / m AS mean,
+        CAST(s2 AS DOUBLE) / m
+          - (CAST(s1 AS DOUBLE) / m) * (CAST(s1 AS DOUBLE) / m) AS varr
+      FROM fit),
+    st2 AS (
+      SELECT *, mean * mean / varr AS ratio FROM st),
+    st3 AS (
+      SELECT *, 0.5 * (1.0 - ratio) AS xi,
+        0.5 * mean * (ratio + 1.0) AS beta
+      FROM st2)
+    SELECT n AS n_orders, u AS threshold_cents, m AS n_exceed,
+      ROUND(xi, 6) AS xi, ROUND(beta, 2) AS beta,
+      ROUND((u + beta / xi * (pow((0.001 * n) / m, -xi) - 1.0)) / 100.0, 2)
+        AS implied_p999,
+      CAST(actual_p999_cents AS DOUBLE) / 100 AS actual_p999
+    FROM st3"""
+
+  // ---------------------------------------------------------------- q320
+
+  /** Lag-1 Granger-style causality test between the daily purchase and
+    * error series: does yesterday's error count improve today's
+    * purchase forecast beyond yesterday's purchases? Restricted
+    * (AR(1)) vs unrestricted (AR(1)+error lag) OLS — every normal-
+    * equation moment is an exact BIGINT sum of counts (n-scaled
+    * centered sums, DECIMAL(38,0) cross products), coefficients are
+    * fixed-shape doubles, and the F statistic compares decimal-cast
+    * residual sums. The daily rollup is the only corpus-sized shuffle.
+    */
+  def grangerLite(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "purchase").cast("long")).as("p"),
+        sum((col("event_type") === "error").cast("long")).as("e"))
+    val byDay = Window.orderBy("day")
+    val lagged = daily
+      .withColumn("x1", lag("p", 1).over(byDay))
+      .withColumn("x2", lag("e", 1).over(byDay))
+      .filter(col("x1").isNotNull)
+      .select(col("p").as("y"), col("x1"), col("x2"))
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum("y").as("sy"), sum("x1").as("s1"), sum("x2").as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    // n-scaled centered sums: S_ab = n*s_ab - s_a*s_b (exact BIGINT)
+    val c = m.select(col("n"), col("sy"), col("s1"), col("s2"),
+      expr("n * s11 - s1 * s1").as("c11"),
+      expr("n * s12 - s1 * s2").as("c12"),
+      expr("n * s22 - s2 * s2").as("c22"),
+      expr("n * s1y - s1 * sy").as("c1y"),
+      expr("n * s2y - s2 * sy").as("c2y"))
+    val fitted = lagged.crossJoin(broadcast(c))
+      .withColumn("br", expr("CAST(c1y AS DOUBLE) / CAST(c11 AS DOUBLE)"))
+      .withColumn("ar", expr("(CAST(sy AS DOUBLE) - br * s1) / n"))
+      .withColumn("b1", expr(
+        """CAST(CAST(c1y AS DECIMAL(38,0)) * c22 - CAST(c2y AS DECIMAL(38,0)) * c12 AS DOUBLE)
+          | / CAST(CAST(c11 AS DECIMAL(38,0)) * c22 - CAST(c12 AS DECIMAL(38,0)) * c12 AS DOUBLE)"""
+          .stripMargin))
+      .withColumn("b2", expr(
+        """CAST(CAST(c2y AS DECIMAL(38,0)) * c11 - CAST(c1y AS DECIMAL(38,0)) * c12 AS DOUBLE)
+          | / CAST(CAST(c11 AS DECIMAL(38,0)) * c22 - CAST(c12 AS DECIMAL(38,0)) * c12 AS DOUBLE)"""
+          .stripMargin))
+      .withColumn("au", expr("(CAST(sy AS DOUBLE) - b1 * s1 - b2 * s2) / n"))
+      .withColumn("er", expr("CAST(y AS DOUBLE) - ar - br * x1"))
+      .withColumn("eu", expr("CAST(y AS DOUBLE) - au - b1 * x1 - b2 * x2"))
+    fitted.agg(
+        max("n").as("n_days"),
+        round(max("br"), 6).as("ar1_coef"),
+        round(max("b1"), 6).as("purchase_lag_coef"),
+        round(max("b2"), 6).as("error_lag_coef"),
+        sum(expr("CAST(er * er AS DECIMAL(38,6))")).as("rss_r"),
+        sum(expr("CAST(eu * eu AS DECIMAL(38,6))")).as("rss_u"))
+      .select(col("n_days"), col("ar1_coef"), col("purchase_lag_coef"),
+        col("error_lag_coef"),
+        // a perfect unrestricted fit (RSS_u = 0, possible on planted
+        // series) must degrade identically on both engines: NULL, not
+        // Spark's ANSI divide error / DuckDB's IEEE infinity
+        round(expr(
+          """CASE WHEN CAST(rss_u AS DOUBLE) = 0 THEN CAST(NULL AS DOUBLE)
+            | ELSE (CAST(rss_r AS DOUBLE) - CAST(rss_u AS DOUBLE))
+            |      / (CAST(rss_u AS DOUBLE) / (n_days - 3)) END""".stripMargin), 4)
+          .as("f_stat"))
+  }
+
+  private val grangerOracle = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT p AS y, LAG(p) OVER (ORDER BY day) AS x1,
+        LAG(e) OVER (ORDER BY day) AS x2
+      FROM daily QUALIFY x1 IS NOT NULL),
+    m AS (
+      SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+        CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+        CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+        CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      FROM lagged),
+    c AS (
+      SELECT n, sy, s1, s2,
+        n * s11 - s1 * s1 AS c11, n * s12 - s1 * s2 AS c12,
+        n * s22 - s2 * s2 AS c22, n * s1y - s1 * sy AS c1y,
+        n * s2y - s2 * sy AS c2y
+      FROM m),
+    fitted AS (
+      SELECT l.y, l.x1, l.x2, c.n, c.sy, c.s1, c.s2,
+        CAST(c1y AS DOUBLE) / CAST(c11 AS DOUBLE) AS br,
+        CAST(CAST(c1y AS HUGEINT) * c22 - CAST(c2y AS HUGEINT) * c12 AS DOUBLE)
+          / CAST(CAST(c11 AS HUGEINT) * c22 - CAST(c12 AS HUGEINT) * c12 AS DOUBLE)
+          AS b1,
+        CAST(CAST(c2y AS HUGEINT) * c11 - CAST(c1y AS HUGEINT) * c12 AS DOUBLE)
+          / CAST(CAST(c11 AS HUGEINT) * c22 - CAST(c12 AS HUGEINT) * c12 AS DOUBLE)
+          AS b2
+      FROM lagged l, c),
+    resid AS (
+      SELECT n,
+        br, b1, b2,
+        CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) - br * s1) / n - br * x1 AS er,
+        CAST(y AS DOUBLE) - (CAST(sy AS DOUBLE) - b1 * s1 - b2 * s2) / n
+          - b1 * x1 - b2 * x2 AS eu
+      FROM fitted)
+    SELECT MAX(n) AS n_days, ROUND(MAX(br), 6) AS ar1_coef,
+      ROUND(MAX(b1), 6) AS purchase_lag_coef,
+      ROUND(MAX(b2), 6) AS error_lag_coef,
+      ROUND(CASE WHEN CAST(SUM(CAST(eu * eu AS DECIMAL(38,6))) AS DOUBLE) = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE (CAST(SUM(CAST(er * er AS DECIMAL(38,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(eu * eu AS DECIMAL(38,6))) AS DOUBLE))
+              / (CAST(SUM(CAST(eu * eu AS DECIMAL(38,6))) AS DOUBLE)
+                 / (MAX(n) - 3)) END, 4) AS f_stat
+    FROM resid"""
+
+  // ---------------------------------------------------------------- q321
+
+  /** Log₂-bucketed inter-arrival latency histogram (the HdrHistogram
+    * shape): per-user event gaps in exact integer microseconds fall
+    * into power-of-two buckets, reported with exact shares and
+    * cumulative shares — the latency-distribution summary whose buckets
+    * merge trivially across 1000 executors (bucket counts are the whole
+    * state). floor(log₂) of an integer only flickers within ~1e-13 of
+    * an exact power of two, which integer microsecond gaps cannot hit.
+    */
+  def latencyHistogram(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(byUser))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+    val tot = gaps.agg(count(lit(1)).as("n_total"))
+    val hist = gaps
+      .withColumn("bucket", floor(log2(col("gap").cast("double"))).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("n_gaps").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"),
+        expr("shiftleft(1L, CAST(bucket AS INT))").as("lo_us"),
+        col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("n_total"), 6).as("share"),
+        round(col("cum").cast("double") / col("n_total"), 6).as("cum_share"))
+      .orderBy("bucket")
+  }
+
+  private val latencyOracle = """
+    WITH gaps AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts))
+          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL AND gap > 0),
+    tot AS (SELECT COUNT(*) AS n_total FROM g),
+    hist AS (
+      SELECT CAST(FLOOR(log2(CAST(gap AS DOUBLE))) AS BIGINT) AS bucket,
+        COUNT(*) AS n_gaps
+      FROM g GROUP BY 1)
+    SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INT) AS lo_us, n_gaps,
+      ROUND(CAST(n_gaps AS DOUBLE) / n_total, 6) AS share,
+      ROUND(CAST(SUM(n_gaps) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / n_total, 6) AS cum_share
+    FROM hist, tot ORDER BY bucket"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -749,5 +1070,12 @@ object Series extends QueryModule {
     Q("q312_ltv_cohorts", (s, d) => ltvCohorts(orders(s, d)), Some(ltvOracle)),
     Q("q313_haar_compaction",
       (s, d) => haarCompaction(orders(s, d)), Some(haarOracle)),
+    Q("q315_tukey_fences",
+      (s, d) => tukeyFences(events(s, d)), Some(tukeyOracle)),
+    Q("q317_gpd_tail", (s, d) => gpdTail(orders(s, d)), Some(gpdOracle)),
+    Q("q320_granger_lite",
+      (s, d) => grangerLite(events(s, d)), Some(grangerOracle)),
+    Q("q321_latency_histogram",
+      (s, d) => latencyHistogram(events(s, d)), Some(latencyOracle)),
   )
 }

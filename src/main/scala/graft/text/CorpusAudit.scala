@@ -425,6 +425,71 @@ object CorpusAudit extends QueryModule {
       CAST(SUM(CASE WHEN n_oov * 100 > n * 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over_30pct
     FROM per_doc GROUP BY 1 ORDER BY source"""
 
+  // ---------------------------------------------------------------- q318
+
+  /** Positional-index phrase search: token postings carry positions,
+    * and a two-word phrase resolves by joining the two words' postings
+    * per document and intersecting positions offset by one — the
+    * classic positional inverted-index algorithm (token-level exact
+    * phrase semantics, unlike q298's substring counting). The postings
+    * are filtered to the queried words BEFORE the join, so the shuffle
+    * carries only the phrase vocabulary's postings — at 100 TB that is
+    * the standard term-sharded search shape.
+    */
+  def phraseSearch(docs: DataFrame): DataFrame = {
+    val phrases = Seq(("slow", "scan"), ("big", "join"), ("fast", "merge"))
+    val words = phrases.flatMap(p => Seq(p._1, p._2)).distinct
+    val postings = docs.select(col("doc_id"), col("source"),
+        posexplode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as(Seq("pos0", "tok")))
+      .filter(col("tok").isin(words: _*))
+      .select(col("doc_id"), col("source"), (col("pos0") + 1).as("pos"),
+        col("tok"))
+    val phraseDf = phrases
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (w1, w2)) =>
+        val hits = postings.filter(col("tok") === w1)
+          .select(col("doc_id"), col("source"), col("pos"))
+          .join(postings.filter(col("tok") === w2)
+              .select(col("doc_id"), (col("pos") - 1).as("pos")),
+            Seq("doc_id", "pos"))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .select(lit(s"$w1 $w2").as("phrase"), col("source"),
+            col("n_docs"), col("n_occurrences"))
+        Some(acc.map(_.unionAll(hits)).getOrElse(hits))
+      }.get
+    phraseDf.orderBy("phrase", "source")
+  }
+
+  private val phraseOracle = """
+    WITH postings AS (
+      SELECT doc_id, source, pos, tok FROM (
+        SELECT doc_id, source,
+          generate_subscripts(list_filter(string_split(text, ' '),
+            t -> t <> ''), 1) AS pos,
+          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents)
+      WHERE tok IN ('slow', 'scan', 'big', 'join', 'fast', 'merge')),
+    pairs AS (
+      SELECT 'slow scan' AS phrase, a.doc_id, a.source
+      FROM postings a JOIN postings b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'slow' AND b.tok = 'scan'
+      UNION ALL
+      SELECT 'big join', a.doc_id, a.source
+      FROM postings a JOIN postings b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'big' AND b.tok = 'join'
+      UNION ALL
+      SELECT 'fast merge', a.doc_id, a.source
+      FROM postings a JOIN postings b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.tok = 'fast' AND b.tok = 'merge')
+    SELECT phrase, source, COUNT(DISTINCT doc_id) AS n_docs,
+      COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY 1, 2 ORDER BY phrase, source"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -439,5 +504,7 @@ object CorpusAudit extends QueryModule {
     Q("q298_blocklist_audit",
       (s, d) => blocklistAudit(documents(s, d)), Some(blocklistOracle)),
     Q("q299_oov_rate", (s, d) => oovRate(documents(s, d)), Some(oovOracle)),
+    Q("q318_phrase_search",
+      (s, d) => phraseSearch(documents(s, d)), Some(phraseOracle)),
   )
 }

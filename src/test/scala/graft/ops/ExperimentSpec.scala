@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+/** Laws for the experimentation/evaluation operators: CUPED identities
+  * on a planted perfectly-correlated pre-period, attribution picks on a
+  * planted touch sequence, and gains-table conservation.
+  */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cupedPreflight: arms partition users; planted y=2x gives theta=2, rho2=1") {
+    val r = Experiment.cupedPreflight(Tables.events(spark, sf("sf0.001"))).collect()(0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == r.getAs[Long]("n_users"))
+    val vr = r.getAs[Double]("variance_reduction")
+    assert(vr >= 0 && vr <= 1 + 1e-9)
+    // planted: every user has pre value x and post value exactly 2x
+    val ev = (1 to 40).flatMap { u =>
+      Seq(
+        (u.toLong * 2, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+          u.toLong, "view", u * 1.5, "{}"),
+        (u.toLong * 2 + 1, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          u.toLong, "view", u * 3.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val p = Experiment.cupedPreflight(ev).collect()(0)
+    assert(math.abs(p.getAs[Double]("cuped_theta") - 2.0) < 1e-6)
+    assert(math.abs(p.getAs[Double]("variance_reduction") - 1.0) < 1e-6)
+  }
+
+  test("funnelAttribution: planted view->click->purchase credits view first, click last") {
+    val ev = Seq(
+      (1L, "2024-01-10 00:00:00", 7L, "view", 0.0),
+      (2L, "2024-01-11 00:00:00", 7L, "click", 0.0),
+      (3L, "2024-01-12 00:00:00", 7L, "purchase", 50.0),
+      // a touch OUTSIDE the 7-day lookback must not attribute
+      (4L, "2024-01-01 00:00:00", 8L, "click", 0.0),
+      (5L, "2024-01-12 00:00:00", 8L, "purchase", 10.0)
+    ).map { case (id, ts, u, t, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Experiment.funnelAttribution(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_purchases"))
+      .toMap
+    assert(rows(("first_touch", "view")) == 1L)
+    assert(rows(("last_touch", "click")) == 1L)
+    assert(!rows.contains(("last_touch", "view")))
+    // user 8's purchase has no in-window touch: absent from both models
+    assert(rows.values.sum == 2L)
+  }
+
+  test("gainsTable: deciles partition the orders; capture reaches 1.0; lift decreasing-ish") {
+    val rows = Experiment.gainsTable(Tables.orders(spark, sf("sf0.001"))).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n")).sum == 1500L)
+    val last = rows.maxBy(_.getAs[Long]("decile"))
+    assert(math.abs(last.getAs[Double]("capture_rate") - 1.0) < 1e-9)
+    assert(math.abs(last.getAs[Double]("cum_lift") - 1.0) < 1e-9)
+    val captures = rows.sortBy(_.getAs[Long]("decile"))
+      .map(_.getAs[Double]("capture_rate"))
+    captures.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-12, "capture must be cumulative")
+      case _ =>
+    }
+  }
+}

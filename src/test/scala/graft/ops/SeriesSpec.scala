@@ -121,6 +121,65 @@ class SeriesSpec extends SparkSpec {
     }
   }
 
+  test("tukeyFences: planted uniform block with one spike flags exactly the spike") {
+    val ev = ((1 to 100).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1L, "view",
+      (i % 10).toDouble + 10, "{}")) :+
+      (999L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1L, "view",
+        10000.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Series.tukeyFences(ev).collect()(0)
+    assert(r.getAs[Long]("n_high_outliers") == 1L, s"spike must be flagged: $r")
+    assert(r.getAs[Long]("n_low_outliers") == 0L)
+    assert(r.getAs[Double]("q3") >= r.getAs[Double]("q1"))
+  }
+
+  test("gpdTail: exceedance count matches the p90 rank split; tail quantiles positive") {
+    val r = Series.gpdTail(Tables.orders(spark, sf("sf0.001"))).collect()(0)
+    val (n, m) = (r.getAs[Long]("n_orders"), r.getAs[Long]("n_exceed"))
+    assert(m <= n / 10 + 1 && m > 0, s"~10% exceed the p90 threshold: $r")
+    assert(r.getAs[Double]("actual_p999") > 0)
+    assert(r.getAs[Double]("implied_p999") > r.getAs[Long]("threshold_cents") / 100.0)
+  }
+
+  test("grangerLite: a planted p_t = e_(t-1) dependence yields a huge F") {
+    val ev = (0 until 28).flatMap { day =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+      val errs = (day * 7 + 3) % 11 + 1
+      val purch = if (day == 0) 5 else ((day - 1) * 7 + 3) % 11 + 1
+      (0 until errs).map(k => (day.toLong * 1000 + k,
+        java.sql.Timestamp.valueOf(d.atTime(10, 0)), 1L, "error", 1.0, "{}")) ++
+        (0 until purch).map(k => (day.toLong * 1000 + 500 + k,
+          java.sql.Timestamp.valueOf(d.atTime(11, 0)), 1L, "purchase", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Series.grangerLite(ev).collect()(0)
+    // a PERFECT lag fit drives RSS_u to exactly 0 -> the guarded NULL
+    val f = r.getAs[java.lang.Double]("f_stat")
+    assert(f == null || f > 100, s"perfect lag dependence must dominate: $r")
+    assert(math.abs(r.getAs[Double]("error_lag_coef") - 1.0) < 1e-3)
+    // and the real corpus exercises the finite branch
+    val corpus = Series.grangerLite(
+      graft.Tables.events(spark, sf("sf0.001"))).collect()(0)
+    assert(corpus.getAs[java.lang.Double]("f_stat") != null)
+  }
+
+  test("latencyHistogram: shares sum to 1, buckets are powers of two, cum monotone") {
+    val rows = Series.latencyHistogram(Tables.events(spark, sf("sf0.001"))).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares must sum to ~1: $shareSum")
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("lo_us")
+      assert((lo & (lo - 1)) == 0L, s"bucket floor must be a power of two: $lo")
+    }
+    val cums = rows.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("cum_share"))
+    cums.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a)
+      case _ =>
+    }
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+  }
+
   test("haarCompaction: constant series puts all energy in the approximation") {
     val rows = (0 until 32).map(d => (d.toLong, 100.0, ""))
     val r = Series.haarCompaction(ordersOf(rows)).collect()

@@ -95,6 +95,19 @@ class CorpusAuditSpec extends SparkSpec {
     assert(r("slow scan") == 0L)
   }
 
+  test("phraseSearch: token-level phrase semantics, not substring semantics") {
+    val planted = Seq(
+      (1L, "the slow scan ran", "en", "a", 20L),
+      (2L, "slowx scan here", "en", "b", 15L), // substring would match, tokens must not
+      (3L, "slow scan slow scan", "en", "a", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusAudit.phraseSearch(planted).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (row.getAs[Long]("n_docs"), row.getAs[Long]("n_occurrences"))).toMap
+    assert(r(("slow scan", "a")) == ((2L, 3L)), s"got $r")
+    assert(!r.contains(("slow scan", "b")), "token phrase must not match 'slowx scan'")
+  }
+
   test("oovRate: rates bounded, corpus-wide OOV consistent with per-source sums") {
     val rows = CorpusAudit.oovRate(Tables.documents(spark, sf("sf0.001"))).collect()
     assert(rows.nonEmpty)
