@@ -248,6 +248,116 @@ object Experiment extends QueryModule {
       ROUND(CAST(cum_resp AS DOUBLE) / tr, 6) AS capture_rate
     FROM cum ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q323
+
+  /** Bradley–Terry preference strengths over event types: each
+    * (user, day) is a match — type a beats type b when the user fired
+    * more a-events that day — and three synchronous fixed-point
+    * MM iterations from a uniform start (the q275 fixed-iteration
+    * convention: deterministic, not converged-to-tolerance) yield
+    * comparative strengths. The corpus collapses to the 5×5 win matrix
+    * in one shuffle; iterations run on the item-sized frame with
+    * decimal-cast term sums (order-independent double folds).
+    */
+  def bradleyTerry(events: DataFrame, iters: Int = 3): DataFrame = {
+    val daily = events.groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type")).agg(count(lit(1)).as("c"))
+    val wins = daily.as("a").join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+          && col("a.event_type") =!= col("b.event_type")
+          && col("a.c") > col("b.c"))
+      .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+      .agg(count(lit(1)).as("w_ij"))
+    val matrix = wins.unionAll(
+        wins.select(col("j").as("i"), col("i").as("j"), lit(0L).as("w_ij")))
+      .groupBy("i", "j").agg(sum("w_ij").as("w_ij"))
+    val nij = matrix.as("m").join(
+        matrix.select(col("i").as("j2"), col("j").as("i2"),
+          col("w_ij").as("w_ji")),
+        col("i") === col("i2") && col("j") === col("j2"))
+      .select(col("i"), col("j"), col("w_ij"),
+        (col("w_ij") + col("w_ji")).as("n_ij"))
+    val wTot = nij.groupBy("i").agg(sum("w_ij").as("w"))
+    var p = wTot.select(col("i").as("item"), lit(1.0).as("p"))
+    for (_ <- 1 to iters) {
+      val terms = nij
+        .join(p.select(col("item").as("i"), col("p").as("pi")), "i")
+        .join(p.select(col("item").as("j"), col("p").as("pj")), "j")
+        .groupBy("i")
+        .agg(sum(expr("CAST(n_ij / (pi + pj) AS DECIMAL(28,9))")).as("denom"))
+      val raw = wTot.join(terms, "i")
+        .select(col("i").as("item"),
+          expr("CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)").as("praw"))
+      val z = raw.agg(sum(expr("CAST(praw AS DECIMAL(28,9))")).as("z"))
+      p = raw.crossJoin(broadcast(z))
+        .select(col("item"), expr("praw / CAST(z AS DOUBLE)").as("p"))
+    }
+    wTot.select(col("i").as("item"), col("w")).join(p, "item")
+      .select(col("item"), col("w").as("total_wins"),
+        round(col("p"), 6).as("strength"))
+      .orderBy("item")
+  }
+
+  private val btOracle = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2, 3),
+    wins0 AS (
+      SELECT a.event_type AS i, b.event_type AS j, COUNT(*) AS w_ij
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.day = b.day
+        AND a.event_type <> b.event_type AND a.c > b.c
+      GROUP BY 1, 2),
+    matrix AS (
+      SELECT i, j, CAST(SUM(w_ij) AS BIGINT) AS w_ij FROM (
+        SELECT i, j, w_ij FROM wins0
+        UNION ALL SELECT j, i, 0 FROM wins0)
+      GROUP BY 1, 2),
+    nij AS (
+      SELECT m.i, m.j, m.w_ij, m.w_ij + r.w_ij AS n_ij
+      FROM matrix m JOIN matrix r ON m.i = r.j AND m.j = r.i),
+    w_tot AS (SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w FROM nij GROUP BY 1),
+    p0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS p FROM w_tot),
+    t1 AS (
+      SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) AS denom
+      FROM nij n JOIN p0 pi ON n.i = pi.item JOIN p0 pj ON n.j = pj.item
+      GROUP BY 1),
+    r1 AS (
+      SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
+      FROM w_tot w JOIN t1 t ON w.i = t.i),
+    p1 AS (
+      SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) FROM r1) AS DOUBLE) AS p
+      FROM r1),
+    t2 AS (
+      SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) AS denom
+      FROM nij n JOIN p1 pi ON n.i = pi.item JOIN p1 pj ON n.j = pj.item
+      GROUP BY 1),
+    r2 AS (
+      SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
+      FROM w_tot w JOIN t2 t ON w.i = t.i),
+    p2 AS (
+      SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) FROM r2) AS DOUBLE) AS p
+      FROM r2),
+    t3 AS (
+      SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) AS denom
+      FROM nij n JOIN p2 pi ON n.i = pi.item JOIN p2 pj ON n.j = pj.item
+      GROUP BY 1),
+    r3 AS (
+      SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
+      FROM w_tot w JOIN t3 t ON w.i = t.i),
+    p3 AS (
+      SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
+        AS DECIMAL(38,9)) FROM r3) AS DOUBLE) AS p
+      FROM r3)
+    SELECT w.i AS item, w.w AS total_wins, ROUND(p.p, 6) AS strength
+    FROM w_tot w JOIN p3 p ON w.i = p.item
+    ORDER BY item"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -256,5 +366,7 @@ object Experiment extends QueryModule {
     Q("q316_funnel_attribution",
       (s, d) => funnelAttribution(events(s, d)), Some(attributionOracle)),
     Q("q319_gains_table", (s, d) => gainsTable(orders(s, d)), Some(gainsOracle)),
+    Q("q323_bradley_terry",
+      (s, d) => bradleyTerry(events(s, d)), Some(btOracle)),
   )
 }

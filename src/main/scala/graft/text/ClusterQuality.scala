@@ -17,11 +17,12 @@ import graft.Tables._
   * kNN retrieval) and the TwoNN intrinsic-dimension estimator (Facco
   * et al. 2017).
   *
-  * Oracle-exactness discipline (graft-oracle-exactness): distances are
-  * per-dimension DECIMAL-cast sums of identical doubles — exact and
-  * order-independent — so mins/argmins compare exact decimals; every
-  * derived double is one fixed-shape expression over them; ties break
-  * by id. Scale discipline: each index is one or two corpus passes
+  * Oracle-exactness discipline (graft-oracle-exactness): centroid
+  * distances are per-dimension DECIMAL-cast sums (exact,
+  * order-independent); the anchor-distance paths (hubness, TwoNN) use
+  * VecDist.d2Fold — a pure-double fold in array (dim) order whose
+  * DuckDB twin performs the bit-identical IEEE add sequence. Every
+  * derived double is one fixed-shape expression; ties break by id. Scale discipline: each index is one or two corpus passes
   * against a BROADCAST side (k centroids or the 64-anchor budget —
   * absolute counts, never corpus fractions), the E-step shape of
   * distributed k-means.

@@ -490,6 +490,61 @@ object CorpusAudit extends QueryModule {
       COUNT(*) AS n_occurrences
     FROM pairs GROUP BY 1, 2 ORDER BY phrase, source"""
 
+  // ---------------------------------------------------------------- q322
+
+  /** KV-cache prefix-sharing audit: with a 16-token shared-prefix
+    * window (the inference-serving prefix-cache unit), documents
+    * grouping on an identical prefix serve (g−1)·plen of their prefill
+    * tokens from cache. Docs shorter than the window share on their
+    * full token sequence. The report gives the corpus-wide saving share
+    * — the number that decides whether radix-tree prefix caching pays
+    * for a serving fleet. One groupBy on the prefix string; exact
+    * integers throughout.
+    */
+  def prefixCacheAudit(docs: DataFrame, p: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    val pre = toks.select(col("doc_id"), size(col("toks")).as("n"),
+      least(size(col("toks")), lit(p)).as("plen"),
+      concat_ws(" ", expr(s"slice(toks, 1, $p)")).as("prefix"))
+    val groups = pre.groupBy("prefix")
+      .agg(count(lit(1)).as("g"), max("plen").as("plen"))
+    groups.crossJoin(broadcast(pre.agg(sum("n").as("tokens_total"),
+        count(lit(1)).as("n_docs"))))
+      .agg(max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("g") >= 2, col("g")).otherwise(0L)).as("n_shared_docs"),
+        max("tokens_total").as("tokens_total"),
+        sum((col("g") - 1) * col("plen")).as("tokens_saved"),
+        max(col("g")).as("max_group"))
+      .select(col("n_docs"), col("n_groups"), col("n_shared_docs"),
+        col("tokens_total"), col("tokens_saved"), col("max_group"),
+        round(col("tokens_saved").cast("double")
+          / col("tokens_total").cast("double"), 6).as("saving_share"))
+  }
+
+  private val prefixCacheOracle = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents),
+    pre AS (
+      SELECT doc_id, len(toks) AS n, LEAST(len(toks), 16) AS plen,
+        array_to_string(toks[1:16], ' ') AS prefix
+      FROM toks),
+    groups AS (
+      SELECT prefix, COUNT(*) AS g, MAX(plen) AS plen
+      FROM pre GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tokens_total,
+              COUNT(*) AS n_docs FROM pre)
+    SELECT MAX(n_docs) AS n_docs, COUNT(*) AS n_groups,
+      CAST(SUM(CASE WHEN g >= 2 THEN g ELSE 0 END) AS BIGINT) AS n_shared_docs,
+      MAX(tokens_total) AS tokens_total,
+      CAST(SUM((g - 1) * plen) AS BIGINT) AS tokens_saved,
+      CAST(MAX(g) AS BIGINT) AS max_group,
+      ROUND(CAST(SUM((g - 1) * plen) AS DOUBLE)
+        / CAST(MAX(tokens_total) AS DOUBLE), 6) AS saving_share
+    FROM groups, tot"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
@@ -506,5 +561,7 @@ object CorpusAudit extends QueryModule {
     Q("q299_oov_rate", (s, d) => oovRate(documents(s, d)), Some(oovOracle)),
     Q("q318_phrase_search",
       (s, d) => phraseSearch(documents(s, d)), Some(phraseOracle)),
+    Q("q322_prefix_cache_audit",
+      (s, d) => prefixCacheAudit(documents(s, d)), Some(prefixCacheOracle)),
   )
 }

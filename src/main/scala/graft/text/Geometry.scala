@@ -15,11 +15,14 @@ import graft.Num.dec
   * curation (q269 is combinatorial bucket sparsity; these are metric).
   * The reference has no embedding surface at all.
   *
-  * Oracle-exactness discipline (graft-oracle-exactness): every distance
-  * and score accumulates per-dimension DECIMAL casts of identical
-  * double operands — order-independent exact sums — so ranking and
-  * argmax decisions compare exact decimals, never free-floating
-  * doubles; ties break by vec_id.
+  * Oracle-exactness discipline (graft-oracle-exactness): distances and
+  * scores accumulate either per-dimension DECIMAL casts (exact,
+  * order-independent — the k-center/Mahalanobis argmax paths) or, on
+  * the anchor-distance hot paths, a pure-double fold in ARRAY (dim)
+  * order whose DuckDB twin `list_reduce(list(term ORDER BY dim))`
+  * performs the bit-identical IEEE add sequence (VecDist.d2Fold);
+  * cross-row sums of those doubles are decimal-cast; ties break by
+  * vec_id.
   *
   * Scale discipline: each greedy round touches the corpus once
   * (exploded rows×dims joined to the ≤k-row selected set — at 100 TB

@@ -48,6 +48,23 @@ class ExperimentSpec extends SparkSpec {
     assert(rows.values.sum == 2L)
   }
 
+  test("bradleyTerry: a dominant item earns the top strength; strengths normalize") {
+    // user 1 fires 5 'view', 3 'click', 1 'error' EVERY day: view beats all
+    val ev = (0 until 20).flatMap { day =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+      def burst(t: String, n: Int, base: Int) = (0 until n).map(k =>
+        (day.toLong * 100 + base + k, java.sql.Timestamp.valueOf(d.atTime(9, 0)),
+          1L, t, 1.0, "{}"))
+      burst("view", 5, 0) ++ burst("click", 3, 10) ++ burst("error", 1, 20)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = Experiment.bradleyTerry(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(rows("view") > rows("click") && rows("click") > rows("error"),
+      s"dominance order must hold: $rows")
+    assert(math.abs(rows.values.sum - 1.0) < 1e-3,
+      "normalized strengths must sum to ~1")
+  }
+
   test("gainsTable: deciles partition the orders; capture reaches 1.0; lift decreasing-ish") {
     val rows = Experiment.gainsTable(Tables.orders(spark, sf("sf0.001"))).collect()
     assert(rows.length == 10)

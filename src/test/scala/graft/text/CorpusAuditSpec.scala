@@ -108,6 +108,24 @@ class CorpusAuditSpec extends SparkSpec {
     assert(!r.contains(("slow scan", "b")), "token phrase must not match 'slowx scan'")
   }
 
+  test("prefixCacheAudit: planted shared prefixes save (g-1)*plen tokens") {
+    val shared = "a b c d e f g h i j k l m n o p" // exactly 16 tokens
+    val planted = Seq(
+      (1L, shared + " tail one here", "en", "a", 60L),
+      (2L, shared + " different tail", "en", "b", 60L),
+      (3L, shared + " third variant", "en", "c", 60L),
+      (4L, "totally unshared text", "en", "d", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusAudit.prefixCacheAudit(planted).collect()(0)
+    assert(r.getAs[Long]("tokens_saved") == 32L, s"(3-1)*16 expected: $r") // 2 extra docs x 16
+    assert(r.getAs[Long]("n_shared_docs") == 3L)
+    assert(r.getAs[Long]("max_group") == 3L)
+    val solo = Seq((1L, "just one doc", "en", "a", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(CorpusAudit.prefixCacheAudit(solo).collect()(0)
+      .getAs[Long]("tokens_saved") == 0L)
+  }
+
   test("oovRate: rates bounded, corpus-wide OOV consistent with per-source sums") {
     val rows = CorpusAudit.oovRate(Tables.documents(spark, sf("sf0.001"))).collect()
     assert(rows.nonEmpty)
