@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Placement,
     ops.Series,
     ops.Experiment,
+    ops.Governance,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,

@@ -252,4 +252,14 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length <= 1,
       "the corpus is scanned at most once (rollup is checkpointed)")
   }
+
+  test("q118: VARIANT is parsed once — five variant_gets share one parse_json") {
+    // CollapseProject must NOT inline the non-cheap parseJson into each
+    // consuming variant_get (5x re-parse per row otherwise)
+    val p = plan("q118_variant_suite")
+    assert("parseJson".r.findAllIn(p).length == 1,
+      s"expected exactly one parse_json evaluation:\n${p.take(1500)}")
+    assert("variant_get".r.findAllIn(p).length >= 4,
+      "the typed path extractions consume the shared variant column")
+  }
 }
