@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Series,
     ops.Experiment,
     ops.Governance,
+    ops.Evaluate,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
