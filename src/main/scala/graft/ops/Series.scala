@@ -1053,7 +1053,81 @@ object Series extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q334
+
+  /** Weibull reliability fit per event_type via median-rank regression
+    * (the standard probability-plot estimator): values rank ascending,
+    * the Bernard median rank F_i = (i−0.3)/(n+0.4) maps each point to
+    * (x, y) = (ln v, ln(−ln(1−F_i))), and OLS on (x, y) gives the shape
+    * k (slope) and scale λ = exp(−intercept/k). All five OLS moments
+    * are decimal-cast sums (order-free); the rank window is per-group
+    * (q129's documented oracle form of a range-partitioned rank).
+    */
+  def weibullFit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val pts = events.filter(col("value") > 0)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("x", log(col("value")))
+      .withColumn("yv", log(-log(
+        lit(1.0) - (col("i").cast("double") - 0.3) / (col("n").cast("double") + 0.4))))
+    pts.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"), 12)).as("sx"), sum(dec(col("yv"), 12)).as("sy"),
+        sum((dec(col("x"), 12) * dec(col("x"), 12)).cast("decimal(38,12)")).as("sxx"),
+        sum((dec(col("x"), 12) * dec(col("yv"), 12)).cast("decimal(38,12)")).as("sxy"),
+        sum((dec(col("yv"), 12) * dec(col("yv"), 12)).cast("decimal(38,12)")).as("syy"))
+      .withColumn("k", expr(
+        "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"))
+      .withColumn("c0", expr("(CAST(sy AS DOUBLE) - k * CAST(sx AS DOUBLE)) / n"))
+      .select(col("event_type"), col("n"),
+        round(col("k"), 6).as("shape"),
+        round(exp(-col("c0") / col("k")), 6).as("scale"),
+        round(expr(
+          "(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"), 6)
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  private val weibullOracle = """
+    WITH pts AS (
+      SELECT event_type,
+        ln(value) AS x,
+        ln(-ln(1.0 - (CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS DOUBLE) - 0.3)
+            / (CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) + 0.4)))
+          AS yv
+      FROM events WHERE value > 0),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(18,12))) AS sx,
+        SUM(CAST(yv AS DECIMAL(18,12))) AS sy,
+        SUM(CAST(CAST(x AS DECIMAL(18,12)) * CAST(x AS DECIMAL(18,12))
+          AS DECIMAL(38,12))) AS sxx,
+        SUM(CAST(CAST(x AS DECIMAL(18,12)) * CAST(yv AS DECIMAL(18,12))
+          AS DECIMAL(38,12))) AS sxy,
+        SUM(CAST(CAST(yv AS DECIMAL(18,12)) * CAST(yv AS DECIMAL(18,12))
+          AS DECIMAL(38,12))) AS syy
+      FROM pts GROUP BY event_type),
+    st AS (
+      SELECT *,
+        (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          AS k
+      FROM agg)
+    SELECT event_type, n, ROUND(k, 6) AS shape,
+      ROUND(exp(-((CAST(sy AS DOUBLE) - k * CAST(sx AS DOUBLE)) / n) / k), 6)
+        AS scale,
+      ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS r2
+    FROM st ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q334_weibull_fit",
+      (s, d) => weibullFit(events(s, d)), Some(weibullOracle)),
     Q("q300_runs_test", (s, d) => runsTest(orders(s, d)), Some(runsOracle)),
     Q("q301_interarrival",
       (s, d) => interarrival(events(s, d)), Some(interarrivalOracle)),

@@ -369,6 +369,83 @@ object Training extends QueryModule {
     FROM deg d LEFT JOIN tri t ON d.n = t.n
     ORDER BY nationkey"""
 
+  // ---------------------------------------------------------------- q333
+
+  /** 3-hop-bounded harmonic centrality over the same nation trade graph
+    * as q268/q275: exact BFS distances by two rounds of min-merge edge
+    * relaxation (all ≤3-hop walks reach the true ≤3-hop distance), then
+    * per-source reach, eccentricity and Σ 1/d — the distance-based
+    * centrality family (closeness/harmonic) that complements the
+    * spectral ones (q261 HITS, q275 PageRank). Each 1/d term is an
+    * exact integer ppm quotient, so the score is an exact integer.
+    * Scale: the corpus collapses to the dimension-bounded edge set in
+    * one shuffle; relaxation joins are |V|²-sized frames.
+    */
+  def harmonicCentrality(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val edges = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        least(col("s_nationkey"), col("c_nationkey")).as("a"),
+        greatest(col("s_nationkey"), col("c_nationkey")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val und = edges.select(col("a").as("s"), col("b").as("t"))
+      .unionAll(edges.select(col("b").as("s"), col("a").as("t")))
+      .localCheckpoint() // dimension-bounded; reused by both relaxations
+    var dist = und.select(col("s"), col("t"), lit(1L).as("d"))
+    for (_ <- 2 to 3) {
+      val ext = dist.join(und.select(col("s").as("m"), col("t").as("t2")),
+          col("t") === col("m"))
+        .filter(col("s") =!= col("t2"))
+        .select(col("s"), col("t2").as("t"), (col("d") + 1L).as("d"))
+      dist = dist.unionAll(ext).groupBy("s", "t").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy("s")
+      .agg(count(lit(1)).as("reach3"),
+        sum(expr("1000000 DIV d")).as("harmonic_ppm"),
+        max("d").as("ecc3"))
+      .select(col("s").as("nationkey"), col("reach3"),
+        col("harmonic_ppm"), col("ecc3"))
+      .orderBy("nationkey")
+  }
+
+  private val harmonicOracle = """
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+        GREATEST(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE LEAST(s.s_nationkey, c.c_nationkey)
+          < GREATEST(s.s_nationkey, c.c_nationkey)),
+    und AS MATERIALIZED (
+      SELECT a AS s, b AS t FROM edges
+      UNION ALL SELECT b AS s, a AS t FROM edges),
+    d1 AS (SELECT s, t, 1 AS d FROM und),
+    d2 AS MATERIALIZED (
+      SELECT s, t, MIN(d) AS d FROM (
+        SELECT * FROM d1
+        UNION ALL
+        SELECT p.s, u.t, p.d + 1 FROM d1 p JOIN und u ON p.t = u.s
+        WHERE u.t <> p.s)
+      GROUP BY s, t),
+    d3 AS (
+      SELECT s, t, MIN(d) AS d FROM (
+        SELECT * FROM d2
+        UNION ALL
+        SELECT p.s, u.t, p.d + 1 FROM d2 p JOIN und u ON p.t = u.s
+        WHERE u.t <> p.s)
+      GROUP BY s, t)
+    SELECT s AS nationkey, COUNT(*) AS reach3,
+      CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
+      CAST(MAX(d) AS BIGINT) AS ecc3
+    FROM d3 GROUP BY s ORDER BY nationkey"""
+
   // ---------------------------------------------------------------- q269
 
   /** LSH-bucket density outliers over the embedding corpus: vectors
@@ -436,6 +513,10 @@ object Training extends QueryModule {
       (s, d) => clusteringCoeff(lineitem(s, d), orders(s, d), supplier(s, d),
         customer(s, d)),
       Some(clusteringOracle)),
+    Q("q333_harmonic_centrality",
+      (s, d) => harmonicCentrality(lineitem(s, d), orders(s, d),
+        supplier(s, d), customer(s, d)),
+      Some(harmonicOracle)),
     Q("q269_density_outliers",
       (s, d) => densityOutliers(embeddings(s, d)), Some(densityOracle)),
   )

@@ -547,7 +547,56 @@ object CorpusAudit extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q335
+
+  /** Gopher-style within-document repetition gate (Rae et al. 2021
+    * §A1.1): the fraction of a document's word trigrams that are
+    * duplicates (1 − distinct/total), the screen that drops
+    * boilerplate/looped text before training. Per-source rollup: mean
+    * duplicate fraction and the share of documents over the 20% gate.
+    * Every fraction is an exact integer ppm quotient. One native
+    * WordNGrams pass + one postings-shaped groupBy — never doc×doc.
+    * Documents under 3 words have no trigrams and are excluded (the
+    * corpus invariant: no empty/short docs — see oracle-exactness notes).
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    import graft.functions.WordNGrams.word_ngrams
+    val per = docs
+      .select(col("doc_id"), col("source"),
+        explode(word_ngrams(col("text"), 3)).as("g"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("total"), countDistinct("g").as("dis"))
+      .withColumn("dup_ppm", expr("(total - dis) * 1000000 DIV total"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(dup_ppm) DIV count(1)").as("avg_dup_ppm"),
+        sum((col("dup_ppm") > 200000L).cast("long")).as("n_flagged"),
+        max("dup_ppm").as("max_dup_ppm"))
+      .orderBy("source")
+  }
+
+  private val gopherOracle = """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+        unnest(list_transform(range(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM toks WHERE len(t) >= 3),
+    per AS (
+      SELECT doc_id, source, COUNT(*) AS total, COUNT(DISTINCT g) AS dis,
+        (COUNT(*) - COUNT(DISTINCT g)) * 1000000 // COUNT(*) AS dup_ppm
+      FROM grams GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(dup_ppm) // COUNT(*) AS BIGINT) AS avg_dup_ppm,
+      CAST(SUM(CASE WHEN dup_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_flagged,
+      CAST(MAX(dup_ppm) AS BIGINT) AS max_dup_ppm
+    FROM per GROUP BY source ORDER BY source"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q335_gopher_repetition",
+      (s, d) => gopherRepetition(documents(s, d)), Some(gopherOracle)),
     Q("q293_mattr", (s, d) => mattr(documents(s, d)), Some(mattrOracle)),
     Q("q294_gries_dp", (s, d) => griesDp(documents(s, d)), Some(griesDpOracle)),
     Q("q295_vocab_coverage",

@@ -408,7 +408,62 @@ object Geometry extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q332
+
+  /** Embedding-space anisotropy audit (Ethayarajh 2019 / Mu & Viswanath
+    * 2018): the mean pairwise cosine of the whole corpus, computed in
+    * ONE pass via the Gram identity  Σᵢⱼ v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖², so the
+    * n²-pair statistic costs one per-dim decimal sum. Unit-norm vectors
+    * have ‖v̂‖² = 1 up to <1e-12 float error — the identity treats the
+    * diagonal as exactly n on BOTH engines, so the tiny bias is shared
+    * and the comparison is exact. High mean cosine = a collapsed /
+    * anisotropic embedding space (embeddings occupy a narrow cone).
+    */
+  def anisotropy(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val norms = x.groupBy("vec_id")
+      .agg(sum(dec(col("xv") * col("xv"), 10)).as("n2"))
+    val unit = x.join(norms, "vec_id")
+      .select(col("dim"), (col("xv") / sqrt(col("n2").cast("double"))).as("u"))
+    val dims = unit.groupBy("dim")
+      .agg(sum(dec(col("u"), 12)).as("sd"), count(lit(1)).as("n"))
+    dims.agg(max("n").as("n"),
+        sum(expr("CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS DECIMAL(38,12))"))
+          .as("s"))
+      .select(col("n").as("n_vecs"),
+        round(expr("(CAST(s AS DOUBLE) - n) / (CAST(n AS DOUBLE) * (n - 1))"), 6)
+          .as("mean_pairwise_cos"),
+        round(expr("sqrt(CAST(s AS DOUBLE)) / n"), 6).as("mean_vector_norm"))
+  }
+
+  private val anisotropyOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, SUM(CAST(xv * xv AS DECIMAL(18,10))) AS n2
+      FROM x GROUP BY 1),
+    unitv AS (
+      SELECT dim, x.xv / sqrt(CAST(n2 AS DOUBLE)) AS u
+      FROM x JOIN norms USING (vec_id)),
+    dims AS (
+      SELECT dim, SUM(CAST(u AS DECIMAL(18,12))) AS sd, COUNT(*) AS n
+      FROM unitv GROUP BY 1),
+    agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+        SUM(CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS DECIMAL(38,12)))
+          AS s
+      FROM dims)
+    SELECT n AS n_vecs,
+      ROUND((CAST(s AS DOUBLE) - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+        AS mean_pairwise_cos,
+      ROUND(sqrt(CAST(s AS DOUBLE)) / n, 6) AS mean_vector_norm
+    FROM agg"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q332_anisotropy",
+      (s, d) => anisotropy(embeddings(s, d)), Some(anisotropyOracle)),
     Q("q279_kcenter_seeds",
       (s, d) => kcenterSeeds(s, embeddings(s, d)), Some(kcenterOracle)),
     Q("q280_mahalanobis",

@@ -190,4 +190,21 @@ class SeriesSpec extends SparkSpec {
     }
     assert(byLevel(0L).getAs[Long]("energy") > 0)
   }
+
+  test("weibullFit: data generated at the estimator's plotting positions is recovered exactly") {
+    import spark.implicits._
+    // v_i = lambda * (-ln(1 - F_i))^(1/k) with F_i = (i-0.3)/(n+0.4):
+    // the probability plot is then exactly linear -> r2 = 1, shape = k
+    val (k, lambda, n) = (2.0, 10.0, 60)
+    val rows = (1 to n).map { i =>
+      val f = (i - 0.3) / (n + 0.4)
+      val v = lambda * math.pow(-math.log(1 - f), 1 / k)
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+        "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Series.weibullFit(rows).collect()(0)
+    assert(math.abs(r.getAs[Double]("shape") - k) < 1e-6)
+    assert(math.abs(r.getAs[Double]("scale") - lambda) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
 }

@@ -134,4 +134,21 @@ class TrainingSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("harmonicCentrality: a planted path graph 0-1-2-3 gives exact BFS distances") {
+    import spark.implicits._
+    // edge i-(i+1) realized as supplier-nation i trading with customer-nation i+1
+    val li = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("l_orderkey", "l_suppkey")
+    val ords = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("o_orderkey", "o_custkey")
+    val sup = Seq((10L, 0L), (20L, 1L), (30L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val cust = Seq((100L, 1L), (200L, 2L), (300L, 3L)).toDF("c_custkey", "c_nationkey")
+    val r = Training.harmonicCentrality(li, ords, sup, cust).collect()
+      .map(x => x.getAs[Long]("nationkey") ->
+        (x.getAs[Long]("reach3"), x.getAs[Long]("harmonic_ppm"),
+          x.getAs[Long]("ecc3"))).toMap
+    // node 0: d(1)=1, d(2)=2, d(3)=3 -> 1000000 + 500000 + 333333
+    assert(r(0L) == ((3L, 1833333L, 3L)))
+    // node 1: d(0)=1, d(2)=1, d(3)=2 -> 1000000 + 1000000 + 500000
+    assert(r(1L) == ((3L, 2500000L, 2L)))
+  }
 }

@@ -136,4 +136,18 @@ class CorpusAuditSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs_over_30pct") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("gopherRepetition: looped text flags, novel text does not") {
+    import spark.implicits._
+    val docs = Seq(
+      // 9 words "a b c" x3: 7 trigrams, 3 distinct -> dup = 4/7 = 571428 ppm
+      (1L, "a b c a b c a b c", "en", "looped", 9L),
+      (2L, "one two three four five six", "en", "novel", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusAudit.gopherRepetition(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("avg_dup_ppm"), x.getAs[Long]("n_flagged"))).toMap
+    assert(r("looped") == ((571428L, 1L)))
+    assert(r("novel") == ((0L, 0L)))
+  }
 }

@@ -126,4 +126,16 @@ class GeometrySpec extends SparkSpec {
       assert(x.getAs[Double]("min_margin") <= x.getAs[Double]("mean_margin"))
     }
   }
+
+  test("anisotropy: identical directions give cos 1, orthonormal give cos 0") {
+    def v(a: Float, b: Float) = Seq(a, b) ++ Seq.fill(62)(0f)
+    val same = Seq((1L, v(3f, 0f), 0), (2L, v(7f, 0f), 0), (3L, v(2f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rs = Geometry.anisotropy(same).collect()(0)
+    assert(math.abs(rs.getAs[Double]("mean_pairwise_cos") - 1.0) < 1e-9)
+    val orth = Seq((1L, v(5f, 0f), 0), (2L, v(0f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val ro = Geometry.anisotropy(orth).collect()(0)
+    assert(math.abs(ro.getAs[Double]("mean_pairwise_cos")) < 1e-9)
+  }
 }
