@@ -31,6 +31,7 @@ object SparkEntry {
     ops.Experiment,
     ops.Governance,
     ops.Evaluate,
+    ops.Diagnose,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,

@@ -402,7 +402,113 @@ object ClusterQuality extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q338
+
+  /** Semi-supervised label spreading over the sign-LSH bucket graph
+    * (the q269 family): vec_id % 17 keeps its true label as a seed;
+    * round 1 assigns each unlabeled vector the majority seed label of
+    * its own bucket; round 2 covers seedless buckets from the majority
+    * over their 8 Hamming-1 neighbor buckets. Ties break to the
+    * smallest label — fully deterministic. The report scores the
+    * propagation against the held-out truth per true label. Scale:
+    * bucket→label histograms are 2^bits·|labels| rows; the corpus is
+    * scanned twice and never self-joined.
+    */
+  def labelSpreading(emb: DataFrame): DataFrame = {
+    val bucketExpr = (0 until 8).map(i =>
+      (element_at(col("embedding"), i + 1) >= 0f).cast("int") * lit(1 << i))
+      .reduce(_ + _)
+    val b = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      bucketExpr.as("bucket"),
+      (col("vec_id") % 17 === 0).cast("int").as("is_seed"))
+    val seedHist = b.filter(col("is_seed") === 1)
+      .groupBy("bucket", "label").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // <= 2^8 * |labels| rows; feeds r1 + r2
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("c").desc, col("label").asc)
+    val r1 = seedHist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("bucket"), col("label").as("pred1"))
+    val nbr = seedHist
+      .select(explode(expr(
+        "transform(sequence(0, 7), k -> cast(bucket as int) ^ shiftleft(1, k))"))
+        .as("nb"), col("label"), col("c"))
+      .groupBy(col("nb").as("bucket"), col("label"))
+      .agg(sum("c").as("c"))
+    val w2 = Window.partitionBy("bucket")
+      .orderBy(col("c").desc, col("label").asc)
+    val r2 = nbr.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1).select(col("bucket"), col("label").as("pred2"))
+    b.join(broadcast(r1), Seq("bucket"), "left")
+      .join(broadcast(r2), Seq("bucket"), "left")
+      .withColumn("pred", when(col("is_seed") === 1, col("label"))
+        .otherwise(coalesce(col("pred1"), col("pred2"))))
+      .withColumn("round", when(col("is_seed") === 1, lit(0))
+        .when(col("pred1").isNotNull, lit(1))
+        .when(col("pred2").isNotNull, lit(2)).otherwise(lit(-1)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("is_seed").cast("long").as("n_seeds"),
+        sum((col("round") === 1).cast("long")).as("n_r1"),
+        sum((col("round") === 2).cast("long")).as("n_r2"),
+        sum(col("pred").isNull.cast("long")).as("n_unassigned"),
+        sum((col("pred") === col("label")).cast("long")).as("n_correct"))
+      .withColumn("acc_ppm", expr(
+        "n_correct * 1000000 DIV (n_vecs - n_unassigned)"))
+      .orderBy("label")
+  }
+
+  private val spreadingOracle = """
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        CAST(embedding[1] >= 0 AS INT) * 1 + CAST(embedding[2] >= 0 AS INT) * 2
+        + CAST(embedding[3] >= 0 AS INT) * 4 + CAST(embedding[4] >= 0 AS INT) * 8
+        + CAST(embedding[5] >= 0 AS INT) * 16 + CAST(embedding[6] >= 0 AS INT) * 32
+        + CAST(embedding[7] >= 0 AS INT) * 64 + CAST(embedding[8] >= 0 AS INT) * 128
+          AS bucket,
+        CAST(vec_id % 17 = 0 AS INT) AS is_seed
+      FROM embeddings),
+    hist AS MATERIALIZED (
+      SELECT bucket, label, COUNT(*) AS c FROM b WHERE is_seed = 1
+      GROUP BY 1, 2),
+    r1 AS (
+      SELECT bucket, label AS pred1 FROM (
+        SELECT bucket, label,
+          ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn
+        FROM hist) WHERE rn = 1),
+    nbr AS (
+      SELECT xor(h.bucket, 1 << k.k) AS bucket, h.label, SUM(h.c) AS c
+      FROM hist h, (SELECT UNNEST(generate_series(0, 7)) AS k) k
+      GROUP BY 1, 2),
+    r2 AS (
+      SELECT bucket, label AS pred2 FROM (
+        SELECT bucket, label,
+          ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY c DESC, label) AS rn
+        FROM nbr) WHERE rn = 1),
+    scored AS (
+      SELECT b.label, b.is_seed,
+        CASE WHEN b.is_seed = 1 THEN b.label
+             ELSE COALESCE(r1.pred1, r2.pred2) END AS pred,
+        CASE WHEN b.is_seed = 1 THEN 0
+             WHEN r1.pred1 IS NOT NULL THEN 1
+             WHEN r2.pred2 IS NOT NULL THEN 2 ELSE -1 END AS round
+      FROM b LEFT JOIN r1 ON b.bucket = r1.bucket
+             LEFT JOIN r2 ON b.bucket = r2.bucket)
+    SELECT label, COUNT(*) AS n_vecs,
+      CAST(SUM(is_seed) AS BIGINT) AS n_seeds,
+      CAST(SUM(CASE WHEN round = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+      CAST(SUM(CASE WHEN round = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+      CAST(SUM(CASE WHEN pred IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unassigned,
+      CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1000000
+        // (COUNT(*) - SUM(CASE WHEN pred IS NULL THEN 1 ELSE 0 END))
+        AS BIGINT) AS acc_ppm
+    FROM scored GROUP BY label ORDER BY label"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q338_label_spreading",
+      (s, d) => labelSpreading(embeddings(s, d)), Some(spreadingOracle)),
     Q("q306_silhouette_lite",
       (s, d) => silhouetteLite(embeddings(s, d)), Some(silhouetteOracle)),
     Q("q307_davies_bouldin",

@@ -72,4 +72,20 @@ class ClusterQualitySpec extends SparkSpec {
     assert(r2.getAs[Long]("n_anchors") > 0)
     assert(!r2.getAs[Double]("id_twonn").isNaN)
   }
+
+  test("labelSpreading: seeds stay correct; counts partition every vector") {
+    val r = ClusterQuality.labelSpreading(
+      Tables.embeddings(spark, sf("sf0.001"))).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (n, seeds, r1, r2x, un) = (x.getAs[Long]("n_vecs"),
+        x.getAs[Long]("n_seeds"), x.getAs[Long]("n_r1"),
+        x.getAs[Long]("n_r2"), x.getAs[Long]("n_unassigned"))
+      assert(seeds + r1 + r2x + un == n,
+        s"rounds must partition: $seeds+$r1+$r2x+$un != $n")
+      // seeds predict themselves -> correct count at least the seed count
+      assert(x.getAs[Long]("n_correct") >= seeds)
+      assert(x.getAs[Long]("acc_ppm") <= 1000000L)
+    }
+  }
 }
