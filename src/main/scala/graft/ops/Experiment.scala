@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -358,9 +358,135 @@ object Experiment extends QueryModule {
     FROM w_tot w JOIN p3 p ON w.i = p.item
     ORDER BY item"""
 
+  // ---------------------------------------------------------------- q340
+
+  /** Propensity-bucket 1:1 matching audit: users carry a covariate
+    * (their exact decimal spend), split into treatment/control by the
+    * md5 coin, stratify into covariate deciles, and match treated[i] ↔
+    * control[i] by within-(decile, arm) rank. The report contrasts the
+    * standardized mean difference of the covariate before vs after
+    * matching per decile — the balance diagnostic every observational
+    * study prints. Matching is rank-equijoin (never pairwise); deciles
+    * are the documented global-ntile oracle form (q129 convention).
+    */
+  def propensityMatching(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(sum(dec(col("value"), 6)).cast("decimal(28,6)").as("x"))
+      .withColumn("arm", expr(
+        "ascii(substring(md5(cast(cast(user_id as string) as binary)), 1, 1)) % 2"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("x"), col("user_id"))).cast("long"))
+      .localCheckpoint() // user-sized; feeds both the match and the moments
+    val ranked = users.withColumn("rk", row_number().over(
+      Window.partitionBy("decile", "arm").orderBy(col("x"), col("user_id"))))
+    val matched = ranked.filter(col("arm") === 1)
+      .select(col("decile"), col("rk"), col("x").as("xt"))
+      .join(ranked.filter(col("arm") === 0)
+        .select(col("decile"), col("rk"), col("x").as("xc")),
+        Seq("decile", "rk"))
+    val sq = (c: Column) => (c.cast("decimal(18,6)") * c.cast("decimal(18,6)"))
+      .cast("decimal(38,12)")
+    val moments = users.groupBy("decile")
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("x")).otherwise(lit(0)))
+          .cast("decimal(28,6)").as("st"),
+        sum(when(col("arm") === 0, col("x")).otherwise(lit(0)))
+          .cast("decimal(28,6)").as("sc"),
+        sum(when(col("arm") === 1, sq(col("x")))
+          .otherwise(lit(0))).cast("decimal(38,12)").as("qt"),
+        sum(when(col("arm") === 0, sq(col("x")))
+          .otherwise(lit(0))).cast("decimal(38,12)").as("qc"))
+    val after = matched.groupBy("decile")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("xt")).cast("decimal(28,6)").as("sat"),
+        sum(col("xc")).cast("decimal(28,6)").as("sac"),
+        sum(sq(col("xt"))).cast("decimal(38,12)").as("qat"),
+        sum(sq(col("xc"))).cast("decimal(38,12)").as("qac"))
+    val smdExpr = (n1: String, s1: String, q1: String,
+                   n2: String, s2: String, q2: String) => {
+      val d1 = s"nullif($n1, 0)"; val d2 = s"nullif($n2, 0)"
+      s"""(CAST($s1 AS DOUBLE) / $d1 - CAST($s2 AS DOUBLE) / $d2)
+        / nullif(sqrt(((CAST($q1 AS DOUBLE) / $d1
+            - (CAST($s1 AS DOUBLE) / $d1) * (CAST($s1 AS DOUBLE) / $d1))
+          + (CAST($q2 AS DOUBLE) / $d2
+            - (CAST($s2 AS DOUBLE) / $d2) * (CAST($s2 AS DOUBLE) / $d2))) / 2), 0.0)"""
+    }
+    moments.join(after, Seq("decile"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .select(col("decile"), col("n_t"), col("n_c"), col("n_matched"),
+        round(expr(smdExpr("n_t", "st", "qt", "n_c", "sc", "qc")), 6)
+          .as("smd_before"),
+        round(expr(smdExpr("n_matched", "sat", "qat", "n_matched", "sac", "qac")), 6)
+          .as("smd_after"))
+      .orderBy("decile")
+  }
+
+  private val propensityOracle = """
+    WITH users AS (
+      SELECT user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS x,
+        ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+      FROM events GROUP BY user_id),
+    deciled AS (
+      SELECT *, CAST(NTILE(10) OVER (ORDER BY x, user_id) AS BIGINT) AS decile
+      FROM users),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY decile, arm ORDER BY x, user_id) AS rk
+      FROM deciled),
+    matched AS (
+      SELECT t.decile, t.x AS xt, c.x AS xc
+      FROM (SELECT * FROM ranked WHERE arm = 1) t
+      JOIN (SELECT * FROM ranked WHERE arm = 0) c
+        ON t.decile = c.decile AND t.rk = c.rk),
+    mom AS (
+      SELECT decile,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DECIMAL(28,6)) AS st,
+        CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DECIMAL(28,6)) AS sc,
+        CAST(SUM(CASE WHEN arm = 1 THEN CAST(CAST(x AS DECIMAL(19,6))
+          * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE 0 END)
+          AS DECIMAL(38,12)) AS qt,
+        CAST(SUM(CASE WHEN arm = 0 THEN CAST(CAST(x AS DECIMAL(19,6))
+          * CAST(x AS DECIMAL(19,6)) AS DECIMAL(38,12)) ELSE 0 END)
+          AS DECIMAL(38,12)) AS qc
+      FROM deciled GROUP BY decile),
+    aft AS (
+      SELECT decile, COUNT(*) AS n_matched,
+        CAST(SUM(xt) AS DECIMAL(28,6)) AS sat,
+        CAST(SUM(xc) AS DECIMAL(28,6)) AS sac,
+        CAST(SUM(CAST(CAST(xt AS DECIMAL(19,6)) * CAST(xt AS DECIMAL(19,6))
+          AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qat,
+        CAST(SUM(CAST(CAST(xc AS DECIMAL(19,6)) * CAST(xc AS DECIMAL(19,6))
+          AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS qac
+      FROM matched GROUP BY decile)
+    SELECT m.decile, m.n_t, m.n_c,
+      CAST(COALESCE(a.n_matched, 0) AS BIGINT) AS n_matched,
+      ROUND((CAST(st AS DOUBLE) / nullif(n_t, 0) - CAST(sc AS DOUBLE) / nullif(n_c, 0))
+        / nullif(sqrt(((CAST(qt AS DOUBLE) / nullif(n_t, 0)
+            - (CAST(st AS DOUBLE) / nullif(n_t, 0)) * (CAST(st AS DOUBLE) / nullif(n_t, 0)))
+          + (CAST(qc AS DOUBLE) / nullif(n_c, 0)
+            - (CAST(sc AS DOUBLE) / nullif(n_c, 0)) * (CAST(sc AS DOUBLE) / nullif(n_c, 0)))) / 2),
+          0.0), 6) AS smd_before,
+      ROUND((CAST(sat AS DOUBLE) / a.n_matched
+           - CAST(sac AS DOUBLE) / a.n_matched)
+        / nullif(sqrt(((CAST(qat AS DOUBLE) / a.n_matched
+            - (CAST(sat AS DOUBLE) / a.n_matched)
+              * (CAST(sat AS DOUBLE) / a.n_matched))
+          + (CAST(qac AS DOUBLE) / a.n_matched
+            - (CAST(sac AS DOUBLE) / a.n_matched)
+              * (CAST(sac AS DOUBLE) / a.n_matched))) / 2), 0.0), 6)
+        AS smd_after
+    FROM mom m LEFT JOIN aft a ON m.decile = a.decile
+    ORDER BY m.decile"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q340_propensity_matching",
+      (s, d) => propensityMatching(events(s, d)), Some(propensityOracle)),
     Q("q314_cuped_preflight",
       (s, d) => cupedPreflight(events(s, d)), Some(cupedOracle)),
     Q("q316_funnel_attribution",

@@ -291,7 +291,66 @@ object Layout extends QueryModule {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM snap GROUP BY version ORDER BY version"""
 
+  // ---------------------------------------------------------------- q342
+
+  /** SCD Type-2 dimension build from the event stream: each user's
+    * event_type is the tracked attribute; consecutive duplicates
+    * collapse (lag-based change detection), each version gets
+    * [valid_from, valid_to) from the next change, the last version per
+    * user stays open (is_current). The report audits the built
+    * dimension per attribute value: version count, open-version count,
+    * and the exact mean closed-version duration (integer µs DIV). One
+    * per-user window pass — the standard merge-free SCD2 derivation.
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val versions = changes
+      .withColumn("valid_to_us", lead("us", 1).over(w2))
+    versions.groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("valid_to_us").isNull.cast("long")).as("n_current"),
+        sum(when(col("valid_to_us").isNotNull,
+          col("valid_to_us") - col("us")).otherwise(lit(0L))).as("dur_us"),
+        sum(col("valid_to_us").isNotNull.cast("long")).as("n_closed"))
+      .select(col("event_type"), col("n_versions"), col("n_current"),
+        expr("CASE WHEN n_closed > 0 THEN dur_us DIV n_closed END")
+          .as("avg_dur_us"))
+      .orderBy("event_type")
+  }
+
+  private val scd2Oracle = """
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        LAG(event_type, 1) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, event_id, us
+      FROM ordered WHERE prev IS NULL OR prev <> event_type),
+    versions AS (
+      SELECT user_id, event_type, us,
+        LEAD(us, 1) OVER
+          (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+      FROM changes)
+    SELECT event_type, COUNT(*) AS n_versions,
+      CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_current,
+      CASE WHEN SUM(CASE WHEN valid_to_us IS NOT NULL THEN 1 ELSE 0 END) > 0
+        THEN CAST(SUM(CASE WHEN valid_to_us IS NOT NULL
+                      THEN valid_to_us - us ELSE 0 END)
+          // SUM(CASE WHEN valid_to_us IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) END AS avg_dur_us
+    FROM versions GROUP BY event_type ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q342_scd2_build",
+      (s, d) => scd2Build(events(s, d)), Some(scd2Oracle)),
     Q("q177_time_travel",
       (s, d) => timeTravel(s, d), Some(timeTravelOracle)),
     Q("q142_table_diff",

@@ -1125,9 +1125,61 @@ object Series extends QueryModule {
         6) AS r2
     FROM st ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q343
+
+  /** Gumbel fit of daily block maxima (classical EVT, the block-maxima
+    * dual of q317's peaks-over-threshold GPD): per-day max order price,
+    * then method-of-moments β = s·√6/π and μ = m − γβ, plus the 30-day
+    * return level μ − β·ln(−ln(1 − 1/30)). Block maxima are exact
+    * (MAX of 2-dp prices); the two moments are decimal-cast sums; the
+    * constants (π, Euler–Mascheroni) are shared literals/pi().
+    */
+  def gumbelMaxima(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(col("o_orderdate"))
+      .agg(max(dec(col("o_totalprice"), 2)).as("mx"))
+    daily.agg(count(lit(1)).as("n_blocks"),
+      sum("mx").cast("decimal(28,2)").as("s1"),
+      sum((col("mx").cast("decimal(18,2)") * col("mx").cast("decimal(18,2)"))
+        .cast("decimal(38,4)")).as("s2"))
+      .withColumn("m", expr("CAST(s1 AS DOUBLE) / n_blocks"))
+      .withColumn("sd", expr(
+        "sqrt(CAST(s2 AS DOUBLE) / n_blocks - m * m)"))
+      .withColumn("beta", expr("sd * sqrt(6.0) / pi()"))
+      .withColumn("mu", expr("m - 0.5772156649 * beta"))
+      .select(col("n_blocks"),
+        round(col("mu"), 6).as("mu"), round(col("beta"), 6).as("beta"),
+        round(expr("mu - beta * ln(-ln(1.0 - CAST(1 AS DOUBLE) / 30))"), 6)
+          .as("return_level_30"))
+  }
+
+  private val gumbelOracle = """
+    WITH daily AS (
+      SELECT o_orderdate, MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx
+      FROM orders GROUP BY 1),
+    agg AS (
+      SELECT COUNT(*) AS n_blocks,
+        CAST(SUM(mx) AS DECIMAL(28,2)) AS s1,
+        SUM(CAST(CAST(mx AS DECIMAL(18,2)) * CAST(mx AS DECIMAL(18,2))
+          AS DECIMAL(38,4))) AS s2
+      FROM daily),
+    st AS (
+      SELECT n_blocks, CAST(s1 AS DOUBLE) / n_blocks AS m,
+        sqrt(CAST(s2 AS DOUBLE) / n_blocks
+          - (CAST(s1 AS DOUBLE) / n_blocks) * (CAST(s1 AS DOUBLE) / n_blocks))
+          * sqrt(6.0) / pi() AS beta
+      FROM agg)
+    SELECT n_blocks,
+      ROUND(m - 0.5772156649 * beta, 6) AS mu,
+      ROUND(beta, 6) AS beta,
+      ROUND((m - 0.5772156649 * beta)
+        - beta * ln(-ln(1.0 - CAST(1 AS DOUBLE) / 30)), 6) AS return_level_30
+    FROM st"""
+
   override def queries: Seq[Q] = Seq(
     Q("q334_weibull_fit",
       (s, d) => weibullFit(events(s, d)), Some(weibullOracle)),
+    Q("q343_gumbel_maxima",
+      (s, d) => gumbelMaxima(orders(s, d)), Some(gumbelOracle)),
     Q("q300_runs_test", (s, d) => runsTest(orders(s, d)), Some(runsOracle)),
     Q("q301_interarrival",
       (s, d) => interarrival(events(s, d)), Some(interarrivalOracle)),

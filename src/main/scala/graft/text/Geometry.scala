@@ -461,7 +461,128 @@ object Geometry extends QueryModule {
       ROUND(sqrt(CAST(s AS DOUBLE)) / n, 6) AS mean_vector_norm
     FROM agg"""
 
+  // ---------------------------------------------------------------- q341
+
+  /** Contrastive-representation alignment & uniformity (Wang & Isola
+    * 2020): alignment = mean ‖û−v̂‖² over positive pairs (same label,
+    * consecutive by vec_id — a deterministic linear-size sample of the
+    * quadratic pair set), uniformity = ln of the mean of exp(−2‖û−v̂‖²)
+    * over label-agnostic pairs (consecutive in md5 order — the portable
+    * shuffled sample). ‖û−v̂‖² = 2 − 2·cos via per-pair decimal dot
+    * sums of unit components; both statistics are decimal-cast sums of
+    * deterministic doubles. Low alignment + low (more negative)
+    * uniformity = the healthy contrastive regime.
+    */
+  def alignmentUniformity(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val norms = x.groupBy("vec_id")
+      .agg(sum(dec(col("xv") * col("xv"), 10)).as("n2"))
+    val unit = x.join(norms, "vec_id")
+      .select(col("vec_id"), col("label"), col("dim"),
+        (col("xv") / sqrt(col("n2").cast("double"))).as("u"))
+      .localCheckpoint() // reused by both pairings
+    def pairD2(ranked: DataFrame): DataFrame = {
+      // rank established upstream; pair 2k-1 <-> 2k
+      val lhs = ranked.filter(col("rk") % 2 === 1)
+        .select((col("rk") + 1).as("rk2"), col("vec_id").as("a"))
+      val rhs = ranked.filter(col("rk") % 2 === 0)
+        .select(col("rk").as("rk2"), col("vec_id").as("b"))
+      val pairs = lhs.join(rhs, "rk2").select("a", "b")
+      pairs.join(unit.select(col("vec_id").as("a"), col("dim"),
+          col("u").as("ua")), "a")
+        .join(unit.select(col("vec_id").as("b"), col("dim"),
+          col("u").as("ub")), Seq("b", "dim"))
+        .groupBy("a", "b")
+        .agg(sum(dec(col("ua") * col("ub"), 12)).as("dot"))
+        .select((lit(2.0) - lit(2.0) * col("dot").cast("double")).as("d2"))
+    }
+    val ids = emb.select(col("vec_id"), col("label"))
+    val posRank = ids.withColumn("rk", row_number().over(
+      Window.partitionBy("label").orderBy("vec_id")))
+      .withColumn("rk", col("rk").cast("long"))
+      .withColumn("rk",
+        // make ranks globally unique per label block: label * 2^40 + rk
+        col("label").cast("long") * lit(1099511627776L) + col("rk"))
+    val posD2 = pairD2(posRank)
+    val rndRank = ids
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+    val rndD2 = pairD2(rndRank)
+    val align = posD2.agg(count(lit(1)).as("n_pos_pairs"),
+      sum(dec(col("d2"), 12)).as("sa"))
+    val unif = rndD2.agg(count(lit(1)).as("n_rand_pairs"),
+      sum(dec(exp(lit(-2.0) * col("d2")), 12)).as("se"))
+    align.crossJoin(broadcast(unif))
+      .select(col("n_pos_pairs"),
+        round(expr("CAST(sa AS DOUBLE) / n_pos_pairs"), 6).as("alignment"),
+        col("n_rand_pairs"),
+        round(expr("ln(CAST(se AS DOUBLE) / n_rand_pairs)"), 6)
+          .as("uniformity"))
+  }
+
+  private val alignUnifOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, SUM(CAST(xv * xv AS DECIMAL(18,10))) AS n2
+      FROM x GROUP BY 1),
+    unitv AS MATERIALIZED (
+      SELECT x.vec_id, x.label, dim, x.xv / sqrt(CAST(n2 AS DOUBLE)) AS u
+      FROM x JOIN norms USING (vec_id)),
+    pos_rank AS (
+      SELECT vec_id,
+        CAST(label AS BIGINT) * 1099511627776
+          + ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+      FROM embeddings),
+    pos_pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b
+      FROM (SELECT rk + 1 AS rk2, vec_id FROM pos_rank WHERE rk % 2 = 1) l
+      JOIN (SELECT rk AS rk2, vec_id FROM pos_rank WHERE rk % 2 = 0) r
+        USING (rk2)),
+    rnd_rank AS (
+      SELECT vec_id,
+        CAST(ROW_NUMBER() OVER
+          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+      FROM embeddings),
+    rnd_pairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b
+      FROM (SELECT rk + 1 AS rk2, vec_id FROM rnd_rank WHERE rk % 2 = 1) l
+      JOIN (SELECT rk AS rk2, vec_id FROM rnd_rank WHERE rk % 2 = 0) r
+        USING (rk2)),
+    pos_d2 AS (
+      SELECT 2.0 - 2.0 * CAST(SUM(CAST(ua.u * ub.u AS DECIMAL(18,12)))
+          AS DOUBLE) AS d2
+      FROM pos_pairs p
+      JOIN unitv ua ON p.a = ua.vec_id
+      JOIN unitv ub ON p.b = ub.vec_id AND ua.dim = ub.dim
+      GROUP BY p.a, p.b),
+    rnd_d2 AS (
+      SELECT 2.0 - 2.0 * CAST(SUM(CAST(ua.u * ub.u AS DECIMAL(18,12)))
+          AS DOUBLE) AS d2
+      FROM rnd_pairs p
+      JOIN unitv ua ON p.a = ua.vec_id
+      JOIN unitv ub ON p.b = ub.vec_id AND ua.dim = ub.dim
+      GROUP BY p.a, p.b),
+    al AS (
+      SELECT COUNT(*) AS n_pos_pairs,
+        SUM(CAST(d2 AS DECIMAL(18,12))) AS sa
+      FROM pos_d2),
+    un AS (
+      SELECT COUNT(*) AS n_rand_pairs,
+        SUM(CAST(exp(-2.0 * d2) AS DECIMAL(18,12))) AS se
+      FROM rnd_d2)
+    SELECT n_pos_pairs,
+      ROUND(CAST(sa AS DOUBLE) / n_pos_pairs, 6) AS alignment,
+      n_rand_pairs,
+      ROUND(ln(CAST(se AS DOUBLE) / n_rand_pairs), 6) AS uniformity
+    FROM al, un"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q341_alignment_uniformity",
+      (s, d) => alignmentUniformity(embeddings(s, d)), Some(alignUnifOracle)),
     Q("q332_anisotropy",
       (s, d) => anisotropy(embeddings(s, d)), Some(anisotropyOracle)),
     Q("q279_kcenter_seeds",

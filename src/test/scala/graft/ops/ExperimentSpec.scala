@@ -79,4 +79,14 @@ class ExperimentSpec extends SparkSpec {
       case _ =>
     }
   }
+  test("propensityMatching: matched pairs = min(arm sizes) per decile") {
+    val r = Experiment.propensityMatching(
+      graft.Tables.events(spark, sf("sf0.001"))).collect()
+    assert(r.length == 10)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_matched") ==
+        math.min(x.getAs[Long]("n_t"), x.getAs[Long]("n_c")))
+    }
+  }
+
 }

@@ -596,4 +596,19 @@ class LayoutAnalyticsSpec extends SparkSpec {
       .orderBy("c_mktsegment", "event_type").collect().map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
   }
+  test("scd2Build: planted A,A,B,B,A collapses to three versions with A current") {
+    import spark.implicits._
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-0$i 00:00:00")
+    val ev = Seq(
+      (1L, ts(1), 7L, "A", 0.0, "{}"), (2L, ts(2), 7L, "A", 0.0, "{}"),
+      (3L, ts(3), 7L, "B", 0.0, "{}"), (4L, ts(4), 7L, "B", 0.0, "{}"),
+      (5L, ts(5), 7L, "A", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Layout.scd2Build(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_versions"), x.getAs[Long]("n_current"))).toMap
+    assert(r("A") == ((2L, 1L))) // versions at t1 and t5; t5 open
+    assert(r("B") == ((1L, 0L)))
+  }
+
 }

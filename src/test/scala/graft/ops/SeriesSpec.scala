@@ -207,4 +207,13 @@ class SeriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("scale") - lambda) < 1e-4)
     assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
   }
+  test("gumbelMaxima: constant block maxima give beta 0 and return level = mu") {
+    val rows = (0 until 30).map(d => (d.toLong, 500.0, ""))
+    val r = Series.gumbelMaxima(ordersOf(rows)).collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 30L)
+    assert(r.getAs[Double]("beta") == 0.0)
+    assert(r.getAs[Double]("mu") == 500.0)
+    assert(r.getAs[Double]("return_level_30") == 500.0)
+  }
+
 }

@@ -138,4 +138,15 @@ class GeometrySpec extends SparkSpec {
     val ro = Geometry.anisotropy(orth).collect()(0)
     assert(math.abs(ro.getAs[Double]("mean_pairwise_cos")) < 1e-9)
   }
+  test("alignmentUniformity: identical same-label vectors give alignment 0, uniformity 0") {
+    def v(a: Float) = Seq(a) ++ Seq.fill(63)(0f)
+    // all vectors identical direction -> every pair distance 0
+    val emb = (1L to 8L).map(i => (i, v(2f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Geometry.alignmentUniformity(emb).collect()(0)
+    assert(math.abs(r.getAs[Double]("alignment")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("uniformity")) < 1e-9)
+    assert(r.getAs[Long]("n_pos_pairs") == 4L)
+    assert(r.getAs[Long]("n_rand_pairs") == 4L)
+  }
+
 }
