@@ -32,6 +32,8 @@ object SparkEntry {
     ops.Governance,
     ops.Evaluate,
     ops.Diagnose,
+    ops.Fit,
+    ops.Warehouse,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
