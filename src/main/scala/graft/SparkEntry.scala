@@ -34,6 +34,8 @@ object SparkEntry {
     ops.Diagnose,
     ops.Fit,
     ops.Warehouse,
+    ops.Lifecycle,
+    text.Represent,
     text.TextAnalysis,
     text.Tokenizer,
     text.Geometry,
