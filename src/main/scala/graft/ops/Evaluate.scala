@@ -343,7 +343,60 @@ object Evaluate extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q350
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09), k=60, of two
+    * document rankers — length (n_chars desc) and lexical diversity
+    * (distinct-word ratio desc): rrf = 1/(60+r_len) + 1/(60+r_div),
+    * top 15. The standard zero-tuning ensemble for merging retrieval
+    * runs. Ranks are pinned by (metric desc, doc_id); the fused score
+    * is a fixed two-term double sum — bit-identical on both engines.
+    * Ranking is inherently a distributed sort at scale; the fusion
+    * itself adds a doc-keyed join, no extra pass.
+    */
+  def rrfFusion(docs: DataFrame, k: Int = 60, top: Int = 15): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("n_chars"),
+      (size(array_distinct(split(col("text"), " "))).cast("double")
+        / size(split(col("text"), " ")).cast("double")).as("div_ratio"))
+    val rLen = scored.withColumn("r_len", row_number().over(
+      Window.orderBy(col("n_chars").desc, col("doc_id"))))
+    val fused = rLen.withColumn("r_div", row_number().over(
+        Window.orderBy(col("div_ratio").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_len"), col("r_div"),
+        (lit(1.0) / (lit(k.toDouble) + col("r_len").cast("double"))
+          + lit(1.0) / (lit(k.toDouble) + col("r_div").cast("double")))
+          .as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(top)
+      .select(col("doc_id"), col("r_len"), col("r_div"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  private def rrfOracle(k: Int = 60, top: Int = 15): String = s"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS div_ratio
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+        ROW_NUMBER() OVER (ORDER BY div_ratio DESC, doc_id) AS r_div
+      FROM scored),
+    fused AS (
+      SELECT doc_id, r_len, r_div,
+        1.0 / ($k + CAST(r_len AS DOUBLE))
+          + 1.0 / ($k + CAST(r_div AS DOUBLE)) AS rrf
+      FROM ranked)
+    SELECT doc_id, CAST(r_len AS BIGINT) AS r_len,
+      CAST(r_div AS BIGINT) AS r_div, ROUND(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT $top"""
+
+  // ------------------------------------------------------------ queries
+
   override def queries: Seq[Q] = Seq(
+    Q("q350_rrf_fusion",
+      (s, d) => rrfFusion(documents(s, d)), Some(rrfOracle())),
     Q("q327_power_analysis",
       (s, d) => powerAnalysis(events(s, d)), Some(powerOracle)),
     Q("q328_average_precision",

@@ -169,9 +169,104 @@ object Warehouse extends QueryModule {
       ON r.event_type = a.event_type AND r.rk = (a.n * 19 + 19) // 20
     ORDER BY a.event_type"""
 
+  // ---------------------------------------------------------------- q353
+
+  /** Predicate-selectivity correlation audit: for every pair of four
+    * canonical lineitem predicates, the attribute-independence estimate
+    * sel(A)·sel(B)·n the optimizer would use vs the actual conjunctive
+    * count, with the q-error max(est/act, act/est) — the measurement
+    * that tells you which column pairs need correlated statistics
+    * (CORRELATE hints / multi-column stats) before join planning at
+    * 100 TB. ONE corpus scan computes all four marginal and six
+    * pairwise counts as conditional sums; the pair lattice is built
+    * from the 1-row aggregate.
+    */
+  def selectivityAudit(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val preds = Seq(
+      "qty_gt_25" -> (col("l_quantity") > 25),
+      "disc_gt_05" -> (col("l_discount") > 0.05),
+      "flag_r" -> (col("l_returnflag") === "R"),
+      "ship_1995" -> (year(col("l_shipdate")) === 1995))
+    val aggs = count(lit(1)).as("n") +:
+      (preds.map { case (nm, c) => sum(c.cast("long")).as(s"c_$nm") } ++
+        preds.combinations(2).map { pair =>
+          val Seq((na, ca), (nb, cb)) = pair
+          sum((ca && cb).cast("long")).as(s"c_${na}__$nb")
+        }.toSeq)
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = preds.combinations(2).map { pair =>
+      val Seq((na, _), (nb, _)) = pair
+      one.select(lit(s"$na & $nb").as("pair"), col("n"),
+        col(s"c_$na").as("n_a"), col(s"c_$nb").as("n_b"),
+        col(s"c_${na}__$nb").as("actual"),
+        round(col(s"c_$na").cast("double") * col(s"c_$nb").cast("double")
+          / col("n").cast("double"), 2).as("est_independent"))
+    }.toSeq
+    rows.reduce(_ unionAll _)
+      .withColumn("q_error",
+        when(col("actual") > 0 && col("est_independent") > 0,
+          round(greatest(
+            col("est_independent") / col("actual").cast("double"),
+            col("actual").cast("double") / col("est_independent")), 3)))
+      .orderBy("pair")
+  }
+
+  private val selectivityOracle = """
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c_qty,
+        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS c_disc,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+          AS c_flag,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_ship,
+        CAST(SUM(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_qty_disc,
+        CAST(SUM(CASE WHEN l_quantity > 25 AND l_returnflag = 'R'
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_qty_flag,
+        CAST(SUM(CASE WHEN l_quantity > 25 AND year(l_shipdate) = 1995
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_qty_ship,
+        CAST(SUM(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_disc_flag,
+        CAST(SUM(CASE WHEN l_discount > 0.05 AND year(l_shipdate) = 1995
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_disc_ship,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' AND year(l_shipdate) = 1995
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_flag_ship
+      FROM lineitem),
+    pairs AS (
+      SELECT 'qty_gt_25 & disc_gt_05' AS pair, n, c_qty AS n_a,
+        c_disc AS n_b, c_qty_disc AS actual FROM one
+      UNION ALL SELECT 'qty_gt_25 & flag_r', n, c_qty, c_flag, c_qty_flag
+        FROM one
+      UNION ALL SELECT 'qty_gt_25 & ship_1995', n, c_qty, c_ship,
+        c_qty_ship FROM one
+      UNION ALL SELECT 'disc_gt_05 & flag_r', n, c_disc, c_flag,
+        c_disc_flag FROM one
+      UNION ALL SELECT 'disc_gt_05 & ship_1995', n, c_disc, c_ship,
+        c_disc_ship FROM one
+      UNION ALL SELECT 'flag_r & ship_1995', n, c_flag, c_ship,
+        c_flag_ship FROM one),
+    est AS (
+      SELECT pair, n, n_a, n_b, actual,
+        ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          / CAST(n AS DOUBLE), 2) AS est_independent
+      FROM pairs)
+    SELECT pair, n, n_a, n_b, actual, est_independent,
+      CASE WHEN actual > 0 AND est_independent > 0 THEN
+        ROUND(GREATEST(est_independent / CAST(actual AS DOUBLE),
+          CAST(actual AS DOUBLE) / est_independent), 3)
+      END AS q_error
+    FROM est ORDER BY pair"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q353_selectivity_audit",
+      (s, d) => selectivityAudit(lineitem(s, d)), Some(selectivityOracle)),
     Q("q345_data_contract",
       (s, d) => dataContract(lineitem(s, d), orders(s, d), customer(s, d)),
       Some(contractOracle)),
