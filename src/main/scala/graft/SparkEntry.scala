@@ -35,6 +35,7 @@ object SparkEntry {
     ops.Fit,
     ops.Warehouse,
     ops.Lifecycle,
+    ops.Supervision,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,

@@ -271,13 +271,17 @@ object Experiment extends QueryModule {
     val matrix = wins.unionAll(
         wins.select(col("j").as("i"), col("i").as("j"), lit(0L).as("w_ij")))
       .groupBy("i", "j").agg(sum("w_ij").as("w_ij"))
+    // materialize the item²-sized frames once: every MM iteration joins
+    // p TWICE, so an unmaterialized lineage doubles per iteration and
+    // the final plan recomputes the corpus shuffle 2^iters times
     val nij = matrix.as("m").join(
         matrix.select(col("i").as("j2"), col("j").as("i2"),
           col("w_ij").as("w_ji")),
         col("i") === col("i2") && col("j") === col("j2"))
       .select(col("i"), col("j"), col("w_ij"),
         (col("w_ij") + col("w_ji")).as("n_ij"))
-    val wTot = nij.groupBy("i").agg(sum("w_ij").as("w"))
+      .localCheckpoint()
+    val wTot = nij.groupBy("i").agg(sum("w_ij").as("w")).localCheckpoint()
     var p = wTot.select(col("i").as("item"), lit(1.0).as("p"))
     for (_ <- 1 to iters) {
       val terms = nij
@@ -291,6 +295,7 @@ object Experiment extends QueryModule {
       val z = raw.agg(sum(expr("CAST(praw AS DECIMAL(28,9))")).as("z"))
       p = raw.crossJoin(broadcast(z))
         .select(col("item"), expr("praw / CAST(z AS DOUBLE)").as("p"))
+        .localCheckpoint() // |items| rows; keeps the iteration tree flat
     }
     wTot.select(col("i").as("item"), col("w")).join(p, "item")
       .select(col("item"), col("w").as("total_wins"),

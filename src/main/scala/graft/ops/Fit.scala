@@ -225,36 +225,53 @@ object Fit extends QueryModule {
           .as("ps1"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
           .as("ps2")))
       .localCheckpoint() // 33 rows; the whole DP runs on this lattice
-    val lo = prefix.select(col("j").as("i"), col("pn").as("n0"),
-      col("ps1").as("a0"), col("ps2").as("b0"))
-    val hi = prefix.select(col("j"), col("pn").as("n1"),
-      col("ps1").as("a1"), col("ps2").as("b1"))
-    // ps2 diffs exceed 2^53: BigDecimal->double (Spark) and int128->double
-    // (DuckDB) round such casts differently (the q140 hazard), so split
-    // into exact <2^53 hi/lo parts and reassemble in IEEE double ops,
-    // which ARE bit-deterministic across engines
-    val sse = lo.crossJoin(hi).filter(col("i") < col("j"))
-      .select(col("i"), col("j"),
-        expr("""CASE WHEN n1 - n0 > 0 THEN
-            (CAST((b1 - b0) DIV 67108864 AS DOUBLE) * CAST(67108864 AS DOUBLE)
-              + CAST((b1 - b0) % 67108864 AS DOUBLE))
-              - CAST(a1 - a0 AS DOUBLE) * CAST(a1 - a0 AS DOUBLE) / (n1 - n0)
-          ELSE 0.0 END""").as("c"))
-      .localCheckpoint()
-    var best = sse.filter(col("i") === 0).select(col("j"), col("c"))
-      .localCheckpoint()
-    val out = Seq.newBuilder[DataFrame]
-    out += best.filter(col("j") === 32).select(lit(1L).as("r"),
-      round(expr("c / 10000.0"), 4).as("sse_dollars2"))
-    for (r <- 2 to 8) {
-      best = best.select(col("j").as("i"), col("c").as("c0"))
-        .join(sse, "i")
-        .groupBy("j").agg(min(expr("c0 + c")).as("c"))
-        .localCheckpoint()
-      out += best.filter(col("j") === 32).select(lit(r.toLong).as("r"),
-        round(expr("c / 10000.0"), 4).as("sse_dollars2"))
+    // The DP runs on the driver over the COLLECTED 33-row prefix
+    // lattice (bounded by construction: 33 rows regardless of corpus
+    // size) — 8 rounds of 3-row Spark jobs cost seconds of scheduler
+    // time for microseconds of arithmetic. ps2 diffs exceed 2^53:
+    // BigDecimal->double (Spark) and int128->double (DuckDB) round such
+    // casts differently (the q140 hazard), so split into exact <2^53
+    // hi/lo parts and reassemble in IEEE double ops — bit-identical to
+    // the oracle's identical formula.
+    val lattice = prefix.orderBy("j").collect().map { r =>
+      (r.getAs[Long]("j").toInt, r.getAs[Long]("pn"),
+        r.getAs[java.math.BigDecimal]("ps1").toBigInteger,
+        r.getAs[java.math.BigDecimal]("ps2").toBigInteger)
     }
-    out.result().reduce(_ unionAll _).orderBy("r")
+    val pn = lattice.map(_._2); val ps1 = lattice.map(_._3)
+    val ps2 = lattice.map(_._4)
+    val M = java.math.BigInteger.valueOf(67108864L)
+    def sse(i: Int, j: Int): Double = {
+      val dn = pn(j) - pn(i)
+      if (dn <= 0) 0.0
+      else {
+        val db = ps2(j).subtract(ps2(i))
+        val Array(hi, lo) = db.divideAndRemainder(M)
+        val da = ps1(j).subtract(ps1(i)).doubleValue()
+        hi.doubleValue() * 67108864.0 + lo.doubleValue() - da * da / dn
+      }
+    }
+    var best = Array.tabulate(33)(j => if (j >= 1) sse(0, j) else Double.NaN)
+    val out = Seq.newBuilder[(Long, Double)]
+    out += ((1L, best(32)))
+    for (r <- 2 to 8) {
+      val next = Array.fill(33)(Double.NaN)
+      for (j <- 2 to 32) {
+        var m = Double.PositiveInfinity
+        for (i <- 1 until j) {
+          val v = best(i) + sse(i, j)
+          if (v < m) m = v
+        }
+        next(j) = m
+      }
+      best = next
+      out += ((r.toLong, best(32)))
+    }
+    val s = orders.sparkSession
+    import s.implicits._
+    out.result().toDF("r", "c")
+      .select(col("r"), round(expr("c / 10000.0"), 4).as("sse_dollars2"))
+      .orderBy("r")
   }
 
   private val voptOracle = """

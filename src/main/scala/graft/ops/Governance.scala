@@ -219,7 +219,85 @@ object Governance extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q355
+
+  /** Population-uniqueness disclosure-risk audit: over the
+    * quasi-identifier (nationkey, mktsegment, acctbal-kiloband), the
+    * deterministic half-sample (portable md5 hash parity — the q314
+    * coin discipline) yields sample uniques; the naive inverse-rate
+    * scale-up (uniques/p) is reported AGAINST the true population
+    * uniques and the count of sample uniques that really are population
+    * unique (disclosure precision). The audit that shows why sample
+    * uniqueness overstates population risk — run before any release
+    * decision at 100 TB, where only the sample is cheap. One scan
+    * builds both spectra; everything is exact integer counts.
+    */
+  def uniquenessRisk(customer: DataFrame): DataFrame = {
+    val h = expr(
+      "aggregate(transform(split(md5(cast(cast(c_custkey as string) as binary)), ''), " +
+        "c -> cast(ascii(c) as bigint)), cast(-1 as bigint), " +
+        "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))")
+    val qi = customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .withColumn("in_sample", (h % 2 === 0).cast("long"))
+    val classes = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("pop_size"), sum("in_sample").as("smp_size"))
+      .localCheckpoint()
+    classes.agg(
+        sum("pop_size").as("n_pop"),
+        sum("smp_size").as("n_sample"),
+        count(lit(1)).as("pop_classes"),
+        sum((col("pop_size") === 1).cast("long")).as("pop_uniques"),
+        sum((col("smp_size") === 1).cast("long")).as("sample_uniques"),
+        sum((col("smp_size") === 1 && col("pop_size") === 1).cast("long"))
+          .as("true_unique_hits"))
+      .select(col("n_pop"), col("n_sample"), col("pop_classes"),
+        col("pop_uniques"), col("sample_uniques"),
+        (col("sample_uniques") * 2).as("naive_pop_uniques_est"),
+        col("true_unique_hits"),
+        when(col("sample_uniques") > 0,
+          round(col("true_unique_hits").cast("double") * 100.0
+            / col("sample_uniques").cast("double"), 3))
+          .as("disclosure_precision_pct"))
+  }
+
+  private val uniquenessOracle = """
+    WITH qi AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        CASE WHEN list_reduce(list_transform(
+            string_split_regex(md5(CAST(c_custkey AS VARCHAR)), ''),
+            c -> CAST(ascii(c) AS BIGINT)),
+            (h, a) -> (h * 31 + a) % 1000000007) % 2 = 0
+          THEN 1 ELSE 0 END AS in_sample
+      FROM customer),
+    classes AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+        COUNT(*) AS pop_size, SUM(in_sample) AS smp_size
+      FROM qi GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT CAST(SUM(pop_size) AS BIGINT) AS n_pop,
+        CAST(SUM(smp_size) AS BIGINT) AS n_sample,
+        COUNT(*) AS pop_classes,
+        CAST(SUM(CASE WHEN pop_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS pop_uniques,
+        CAST(SUM(CASE WHEN smp_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS sample_uniques,
+        CAST(SUM(CASE WHEN smp_size = 1 AND pop_size = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS true_unique_hits
+      FROM classes)
+    SELECT n_pop, n_sample, pop_classes, pop_uniques, sample_uniques,
+      sample_uniques * 2 AS naive_pop_uniques_est, true_unique_hits,
+      CASE WHEN sample_uniques > 0 THEN
+        ROUND(CAST(true_unique_hits AS DOUBLE) * 100.0
+          / CAST(sample_uniques AS DOUBLE), 3)
+      END AS disclosure_precision_pct
+    FROM agg"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q355_uniqueness_risk",
+      (s, d) => uniquenessRisk(customer(s, d)), Some(uniquenessOracle)),
     Q("q324_l_diversity",
       (s, d) => lDiversity(events(s, d)), Some(lDiversityOracle)),
     Q("q325_t_closeness",

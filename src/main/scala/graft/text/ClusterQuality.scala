@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SquaredL2.squared_l2
 
 import graft.{Q, QueryModule}
 import graft.Num.dec
@@ -275,7 +276,7 @@ object ClusterQuality extends QueryModule {
     val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
       .select(col("vec_id"), col("aid"),
-        VecDist.d2Fold("embedding", "aemb").as("d2"))
+        squared_l2(col("embedding"), col("aemb")).as("d2"))
     val votes = d2
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("aid"))))
@@ -343,7 +344,7 @@ object ClusterQuality extends QueryModule {
     val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
       .select(col("aid"), col("vec_id"),
-        VecDist.d2Fold("embedding", "aemb").as("d2"))
+        squared_l2(col("embedding"), col("aemb")).as("d2"))
       .filter(col("d2") > 0)
     val nn = d2
       .withColumn("rn", row_number().over(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
+import graft.Num.dec
 import graft.Tables._
 
 /** Corpus-comparison statistics for training-data curation (SURVEY.md
@@ -292,7 +293,59 @@ object CorpusStats extends QueryModule {
       ROUND(CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score
     FROM score GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---------------------------------------------------------------- q357
+
+  /** word2vec-style negative-sampling table: unigram counts raised to
+    * the 3/4 power (Mikolov et al. NIPS'13), normalized to ppm
+    * weights, for the top 20 tokens by count. The ¾ power flattens the
+    * Zipf head so rare tokens get sampled; the report shows each
+    * token's raw frequency share vs its smoothed sampling share — the
+    * table a pretraining pipeline materializes once per corpus. The
+    * normalizer is an exact decimal sum of per-token pow() doubles
+    * (order-free); shares are doubles of that exact pair.
+    */
+  def negativeSampling(docs: DataFrame, top: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = counts.agg(
+      sum("c").as("n_tokens"),
+      sum(dec(pow(col("c").cast("double"), 0.75), 6)).cast("decimal(28,6)")
+        .as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("c").as("count"),
+        round(col("c").cast("double") * 1000000.0
+          / col("n_tokens").cast("double"), 1).as("freq_ppm"),
+        round(pow(col("c").cast("double"), 0.75) * 1000000.0
+          / col("z").cast("double"), 1).as("sample_ppm"))
+      .orderBy(col("count").desc, col("token"))
+      .limit(top)
+  }
+
+  private def negSamplingOracle(top: Int = 20): String = s"""
+    WITH counts AS MATERIALIZED (
+      SELECT token, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE len(token) > 0 GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(pow(CAST(c AS DOUBLE), 0.75) AS DECIMAL(18,6)))
+          AS DECIMAL(28,6)) AS z
+      FROM counts)
+    SELECT token, c AS count,
+      ROUND(CAST(c AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 1)
+        AS freq_ppm,
+      ROUND(pow(CAST(c AS DOUBLE), 0.75) * 1000000.0 / CAST(z AS DOUBLE), 1)
+        AS sample_ppm
+    FROM counts, tot
+    ORDER BY count DESC, token LIMIT $top"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q357_negative_sampling",
+      (s, d) => negativeSampling(documents(s, d)),
+      Some(negSamplingOracle())),
     Q("q229_llr_keyness", (s, d) => llrKeyness(documents(s, d)), Some(llrOracle)),
     Q("q231_pmi_collocations", (s, d) => pmiCollocations(documents(s, d)), Some(pmiOracle)),
     Q("q232_lexical_richness", (s, d) => lexicalRichness(documents(s, d)), Some(richnessOracle)),

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SquaredL2.squared_l2
 
 import graft.{Q, QueryModule}
 import graft.Tables._
@@ -259,7 +260,7 @@ object Geometry extends QueryModule {
     val d2 = emb.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
       .select(col("vec_id"), col("label"), col("aid"), col("alabel"),
-        VecDist.d2Fold("embedding", "aemb").as("d2"))
+        squared_l2(col("embedding"), col("aemb")).as("d2"))
     val perAnchor = d2.groupBy("aid", "alabel").agg(
       min(when(col("label") === col("alabel"), col("d2"))).as("dpos"),
       min(when(col("label") =!= col("alabel"), col("d2"))).as("dneg"))

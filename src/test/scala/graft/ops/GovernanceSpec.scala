@@ -50,4 +50,16 @@ class GovernanceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_positive") ==
       r.getAs[Long]("n_blocked") + r.getAs[Long]("n_false_pos"))
   }
+
+  test("uniquenessRisk: counts reconcile and precision is a valid rate") {
+    val r = Governance.uniquenessRisk(
+      graft.Tables.customer(spark, sf("sf0.001"))).collect()(0)
+    assert(r.getAs[Long]("n_pop") == 150L)
+    assert(r.getAs[Long]("true_unique_hits") <= r.getAs[Long]("sample_uniques"))
+    assert(r.getAs[Long]("true_unique_hits") <= r.getAs[Long]("pop_uniques"))
+    assert(r.getAs[Long]("naive_pop_uniques_est") ==
+      2L * r.getAs[Long]("sample_uniques"))
+    val p = r.getAs[Double]("disclosure_precision_pct")
+    assert(p >= 0.0 && p <= 100.0)
+  }
 }

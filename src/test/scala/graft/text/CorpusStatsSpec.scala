@@ -73,4 +73,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r("en") > 0.0)  // 'aa' bigrams concentrate in the target slice
     assert(r("zh") < 0.0)
   }
+
+  test("negativeSampling: the 3/4 power flattens the head (sample < freq share)") {
+    val docs = (1 to 50).map(i =>
+        (i.toLong, "en", if (i <= 45) "common common common rare" + i
+                         else "x" + i + " y" + i, "web", 20L))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val r = CorpusStats.negativeSampling(docs, top = 5).collect()
+    val head = r(0)
+    assert(head.getAs[String]("token") == "common")
+    // smoothing must shrink the most frequent token's share
+    assert(head.getAs[Double]("sample_ppm") < head.getAs[Double]("freq_ppm"))
+  }
 }
