@@ -36,6 +36,7 @@ object SparkEntry {
     ops.Warehouse,
     ops.Lifecycle,
     ops.Supervision,
+    ops.Modeling,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,

@@ -1175,7 +1175,72 @@ object Series extends QueryModule {
         - beta * ln(-ln(1.0 - CAST(1 AS DOUBLE) / 30)), 6) AS return_level_30
     FROM st"""
 
+  // ---------------------------------------------------------------- q360
+
+  /** Multi-window SLO burn-rate audit (the SRE error-budget alerting
+    * arithmetic): per hour bucket, error share vs a 99% availability
+    * SLO gives the 1-hour burn rate; a trailing 6-bucket window gives
+    * the long-window rate; a page fires when BOTH exceed the classic
+    * (14.4, 6) multi-window thresholds — fast burn confirmed by
+    * sustained burn. Counts are exact integers; rates are doubles of
+    * exact pairs; the trailing window is a bounded 6-row frame per
+    * bucket. Reports only hours with at least one alert condition
+    * plus the worst-burn hour, keeping the result audit-sized.
+    */
+  def sloBurn(events: DataFrame): DataFrame = {
+    val slo = 0.01 // 1% error budget
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("n_err"))
+    val w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    val rated = hourly
+      .withColumn("burn_1h",
+        col("n_err").cast("double") / col("n").cast("double") / slo)
+      .withColumn("n6", sum("n").over(w6))
+      .withColumn("e6", sum("n_err").over(w6))
+      .withColumn("burn_6h",
+        col("e6").cast("double") / col("n6").cast("double") / slo)
+      .withColumn("page",
+        (col("burn_1h") > 14.4 && col("burn_6h") > 6.0).cast("long"))
+    rated
+      .withColumn("worst", row_number().over(
+        Window.orderBy(col("burn_1h").desc, col("hour"))))
+      .filter(col("page") === 1 || col("worst") === 1)
+      .select(col("hour"), col("n"), col("n_err"),
+        round(col("burn_1h"), 4).as("burn_1h"),
+        round(col("burn_6h"), 4).as("burn_6h"), col("page"))
+      .orderBy("hour")
+  }
+
+  private val sloOracle = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    rated AS (
+      SELECT hour, n, n_err,
+        CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) / 0.01 AS burn_1h,
+        CAST(SUM(n_err) OVER (ORDER BY hour
+            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(SUM(n) OVER (ORDER BY hour
+            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / 0.01 AS burn_6h
+      FROM hourly),
+    flagged AS (
+      SELECT *,
+        CASE WHEN burn_1h > 14.4 AND burn_6h > 6.0 THEN 1 ELSE 0 END AS page,
+        ROW_NUMBER() OVER (ORDER BY burn_1h DESC, hour) AS worst
+      FROM rated)
+    SELECT hour, n, n_err, ROUND(burn_1h, 4) AS burn_1h,
+      ROUND(burn_6h, 4) AS burn_6h, CAST(page AS BIGINT) AS page
+    FROM flagged
+    WHERE page = 1 OR worst = 1
+    ORDER BY hour"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q360_slo_burn", (s, d) => sloBurn(events(s, d)), Some(sloOracle)),
     Q("q334_weibull_fit",
       (s, d) => weibullFit(events(s, d)), Some(weibullOracle)),
     Q("q343_gumbel_maxima",

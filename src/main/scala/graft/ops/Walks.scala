@@ -350,9 +350,94 @@ object Walks extends QueryModule {
       ROUND(CAST(pi AS DOUBLE) / 1e6, 6) AS stationary
     FROM pi3 ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q361
+
+  /** Expected steps to absorption in the per-user event-type chain,
+    * with 'purchase' absorbing: E = 1 + Q·E restricted to transient
+    * states, run as six q284-style micro-unit fixed-point iterations
+    * from E⁰ = 0 (monotone increasing; fixed iteration count, not
+    * converged-to-tolerance — documented audit semantics). The
+    * truncating per-term `e·c DIV rs` keeps every iteration exact
+    * integer micro-steps on both engines. Answers "how many more
+    * actions until a user converts, given where they are now".
+    */
+  def absorbingSteps(events: DataFrame, iters: Int = 6): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("nxt", lead("event_type", 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("a") =!= "purchase") // rows OUT of transient states only
+      .localCheckpoint()
+    val rows = trans.groupBy("a").agg(sum("c").as("rs")).localCheckpoint()
+    var e = rows.select(col("a").as("st"), lit(0L).as("e"))
+    for (_ <- 1 to iters) {
+      val qe = trans
+        .join(e.select(col("st").as("b"), col("e")), "b") // transient b only
+        .groupBy("a")
+        .agg(sum(expr("e * c")).as("sec"))
+      e = rows.join(qe, Seq("a"), "left")
+        .select(col("a").as("st"),
+          (lit(1000000L) + coalesce(expr("sec DIV rs"), lit(0L))).as("e"))
+        .localCheckpoint() // |transient| rows; keeps the tree flat
+    }
+    e.select(col("st").as("event_type"), col("e").as("e_steps_micro"),
+        round(col("e").cast("double") / 1e6, 4).as("expected_steps"))
+      .orderBy("event_type")
+  }
+
+  private val absorbingOracle = """
+    WITH seq AS (
+      SELECT event_type AS a,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS b
+      FROM events),
+    trans AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS c FROM seq
+      WHERE b IS NOT NULL AND a <> 'purchase' GROUP BY 1, 2),
+    rows_ AS MATERIALIZED (
+      SELECT a, CAST(SUM(c) AS BIGINT) AS rs FROM trans GROUP BY 1),
+    e0 AS (SELECT a AS st, CAST(0 AS BIGINT) AS e FROM rows_),
+    e1 AS MATERIALIZED (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e0 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a),
+    e2 AS MATERIALIZED (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e1 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a),
+    e3 AS MATERIALIZED (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e2 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a),
+    e4 AS MATERIALIZED (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e3 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a),
+    e5 AS MATERIALIZED (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e4 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a),
+    e6 AS (
+      SELECT r.a AS st, 1000000 + COALESCE(q.sec // r.rs, 0) AS e
+      FROM rows_ r LEFT JOIN (
+        SELECT t.a, CAST(SUM(p.e * t.c) AS BIGINT) AS sec
+        FROM trans t JOIN e5 p ON t.b = p.st GROUP BY 1) q ON q.a = r.a)
+    SELECT st AS event_type, CAST(e AS BIGINT) AS e_steps_micro,
+      ROUND(CAST(e AS DOUBLE) / 1e6, 4) AS expected_steps
+    FROM e6 ORDER BY event_type"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q361_absorbing_steps",
+      (s, d) => absorbingSteps(events(s, d)), Some(absorbingOracle)),
     Q("q281_sprt_decision",
       (s, d) => sprtDecision(events(s, d)), Some(sprtOracle)),
     Q("q282_personalized_pagerank",
