@@ -489,7 +489,169 @@ object Experiment extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q364
+
+  /** Empirical-Bayes Beta-Binomial shrinkage of per-user purchase
+    * rates: the Beta prior comes from method-of-moments on the
+    * observed rate distribution (m, v → α, β), then each user's rate
+    * shrinks to (k+α)/(n+α+β) — the standard CTR-smoothing estimator,
+    * fit from the data it smooths. Reports the 10 users the prior
+    * moves most (small-sample users by construction). Two passes:
+    * per-user rollup, then the 2-moment fit on that rollup; the
+    * top-10 is a TakeOrdered.
+    */
+  def betaBinomialEb(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("k"))
+      .withColumn("r", col("k").cast("double") / col("n").cast("double"))
+      .localCheckpoint()
+    val mom = perUser.agg(count(lit(1)).as("nu"),
+        sum(dec(col("r"), 8)).cast("decimal(28,8)").as("sr"),
+        sum(dec(col("r") * col("r"), 8)).cast("decimal(28,8)").as("srr"))
+      .select(col("nu"),
+        expr("CAST(sr AS DOUBLE) / nu").as("m"),
+        expr("GREATEST(CAST(srr AS DOUBLE) / nu "
+          + "- (CAST(sr AS DOUBLE) / nu) * (CAST(sr AS DOUBLE) / nu), 1e-9)")
+          .as("v"))
+      .select(col("nu"), col("m"), col("v"),
+        expr("GREATEST(m * (1 - m) / v - 1, 0.1)").as("nu0"))
+      .select(col("nu"), col("m"), col("v"),
+        (col("m") * col("nu0")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("nu0")).as("beta"))
+      .localCheckpoint()
+    perUser.crossJoin(broadcast(mom))
+      .select(col("user_id"), col("n"), col("k"),
+        round(col("r"), 6).as("raw_rate"),
+        round((col("k").cast("double") + col("alpha"))
+          / (col("n").cast("double") + col("alpha") + col("beta")), 6)
+          .as("shrunk_rate"),
+        round(col("alpha"), 4).as("alpha"), round(col("beta"), 4).as("beta"),
+        abs(col("r") - (col("k").cast("double") + col("alpha"))
+          / (col("n").cast("double") + col("alpha") + col("beta")))
+          .as("moved"))
+      .orderBy(col("moved").desc, col("user_id"))
+      .limit(10)
+      .select(col("user_id"), col("n"), col("k"), col("raw_rate"),
+        col("shrunk_rate"), col("alpha"), col("beta"))
+  }
+
+  private val ebOracle = """
+    WITH per_user AS MATERIALIZED (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS k,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS r
+      FROM events GROUP BY 1),
+    mom AS MATERIALIZED (
+      SELECT COUNT(*) AS nu,
+        CAST(CAST(SUM(CAST(r AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS DOUBLE)
+          / COUNT(*) AS m,
+        GREATEST(
+          CAST(CAST(SUM(CAST(r * r AS DECIMAL(18,8))) AS DECIMAL(28,8))
+            AS DOUBLE) / COUNT(*)
+          - (CAST(CAST(SUM(CAST(r AS DECIMAL(18,8))) AS DECIMAL(28,8))
+              AS DOUBLE) / COUNT(*))
+            * (CAST(CAST(SUM(CAST(r AS DECIMAL(18,8))) AS DECIMAL(28,8))
+              AS DOUBLE) / COUNT(*)), 1e-9) AS v
+      FROM per_user),
+    prior AS (
+      SELECT m * GREATEST(m * (1 - m) / v - 1, 0.1) AS alpha,
+        (1 - m) * GREATEST(m * (1 - m) / v - 1, 0.1) AS beta
+      FROM mom),
+    scored AS (
+      SELECT user_id, n, k, ROUND(r, 6) AS raw_rate,
+        ROUND((CAST(k AS DOUBLE) + alpha)
+          / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+        ROUND(alpha, 4) AS alpha, ROUND(beta, 4) AS beta,
+        ABS(r - (CAST(k AS DOUBLE) + alpha)
+          / (CAST(n AS DOUBLE) + alpha + beta)) AS moved
+      FROM per_user, prior)
+    SELECT user_id, n, k, raw_rate, shrunk_rate, alpha, beta
+    FROM scored ORDER BY moved DESC, user_id LIMIT 10"""
+
+  // ---------------------------------------------------------------- q365
+
+  /** Difference-in-differences with the deterministic md5 treatment
+    * coin and a mid-corpus pre/post cut (q314's 15-day convention):
+    * DiD = (T̄post − T̄pre) − (C̄post − C̄pre), with the four cell
+    * means, the estimate, and its pooled standard error. The classic
+    * panel causal readout, exact to the cell level (decimal sums) —
+    * the placebo law: a hash coin uncorrelated with time keeps DiD
+    * near zero on untreated data. One corpus pass.
+    */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val t0 = events.agg(min(unix_micros(col("ts"))).as("us0"))
+    val cut = 15L * 86400L * 1000000L
+    val cells = events.crossJoin(broadcast(t0))
+      .select(col("value"),
+        expr("ascii(substring(md5(cast(cast(user_id as string) as binary)), 1, 1)) % 2")
+          .as("treated"),
+        (unix_micros(col("ts")) >= col("us0") + cut).cast("int").as("post"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 6)).cast("decimal(28,6)").as("s"),
+        sum((dec(col("value"), 6) * dec(col("value"), 6))
+          .cast("decimal(38,12)")).as("ss"))
+      .select(col("treated"), col("post"), col("n"),
+        expr("CAST(s AS DOUBLE) / n").as("mean"),
+        expr("(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)")
+          .as("var"))
+      .localCheckpoint()
+    def cell(t: Int, p: Int, c: String) = cells
+      .filter(col("treated") === t && col("post") === p)
+      .select(col("n").as(s"n_$c"), col("mean").as(s"m_$c"),
+        col("var").as(s"v_$c"))
+    cell(1, 1, "tp").crossJoin(cell(1, 0, "tq"))
+      .crossJoin(cell(0, 1, "cp")).crossJoin(cell(0, 0, "cq"))
+      .select(col("n_tp"), col("n_tq"), col("n_cp"), col("n_cq"),
+        round(col("m_tp"), 6).as("mean_t_post"),
+        round(col("m_tq"), 6).as("mean_t_pre"),
+        round(col("m_cp"), 6).as("mean_c_post"),
+        round(col("m_cq"), 6).as("mean_c_pre"),
+        round((col("m_tp") - col("m_tq")) - (col("m_cp") - col("m_cq")), 6)
+          .as("did"),
+        round(sqrt(col("v_tp") / col("n_tp") + col("v_tq") / col("n_tq")
+          + col("v_cp") / col("n_cp") + col("v_cq") / col("n_cq")), 6)
+          .as("se"))
+  }
+
+  private val didOracle = """
+    WITH t0 AS (SELECT MIN(epoch_us(ts)) AS us0 FROM events),
+    base AS (
+      SELECT ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2
+          AS treated,
+        CAST(epoch_us(ts) >= us0 + 1296000000000 AS INT) AS post,
+        value
+      FROM events, t0),
+    cells AS MATERIALIZED (
+      SELECT treated, post, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+          AS DOUBLE) AS s,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(19,6))
+          * CAST(value AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+      FROM base GROUP BY 1, 2),
+    m AS (
+      SELECT treated, post, n, s / n AS mean,
+        (ss - s * s / n) / (n - 1) AS var
+      FROM cells)
+    SELECT tp.n AS n_tp, tq.n AS n_tq, cp.n AS n_cp, cq.n AS n_cq,
+      ROUND(tp.mean, 6) AS mean_t_post, ROUND(tq.mean, 6) AS mean_t_pre,
+      ROUND(cp.mean, 6) AS mean_c_post, ROUND(cq.mean, 6) AS mean_c_pre,
+      ROUND((tp.mean - tq.mean) - (cp.mean - cq.mean), 6) AS did,
+      ROUND(sqrt(tp.var / tp.n + tq.var / tq.n + cp.var / cp.n
+        + cq.var / cq.n), 6) AS se
+    FROM (SELECT * FROM m WHERE treated = 1 AND post = 1) tp,
+         (SELECT * FROM m WHERE treated = 1 AND post = 0) tq,
+         (SELECT * FROM m WHERE treated = 0 AND post = 1) cp,
+         (SELECT * FROM m WHERE treated = 0 AND post = 0) cq"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q364_beta_binomial_eb",
+      (s, d) => betaBinomialEb(events(s, d)), Some(ebOracle)),
+    Q("q365_diff_in_diff",
+      (s, d) => diffInDiff(events(s, d)), Some(didOracle)),
     Q("q340_propensity_matching",
       (s, d) => propensityMatching(events(s, d)), Some(propensityOracle)),
     Q("q314_cuped_preflight",

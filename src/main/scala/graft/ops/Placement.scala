@@ -154,7 +154,114 @@ object Placement extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q362
+
+  /** Consistent-hash ring with virtual nodes (Karger et al. STOC'97 as
+    * deployed: 16 vnodes/node): a key lands on the first ring position
+    * clockwise from its own hash (wraparound to the ring minimum). The
+    * audit compares the 8-node and 9-node rings: per node, key counts
+    * before/after, keys moved out, and — the ring law q288 surfaces
+    * for HRW — every moved key's new home is the added node. The ring
+    * (128/144 integer positions) broadcasts; assignment is one
+    * conditional-min aggregation per key, no sort of the corpus.
+    * Complements q288: same movement law, successor-search mechanics.
+    */
+  def hashRing(docs: DataFrame, vnodes: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // positions need a MIXING hash: a linear lattice ((n+1)A + (v+1)B
+    // mod p) clusters low on the ring and the wraparound arc swallows
+    // most keys — the portable md5 ascii-fold spreads uniformly
+    def fold(e: String) = s"aggregate(transform(split(md5(cast($e as binary)), ''), " +
+      "c -> cast(ascii(c) as bigint)), cast(-1 as bigint), " +
+      "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))"
+    def ring(nodes: Int): DataFrame = s.range(nodes.toLong * vnodes)
+      .select((col("id") / vnodes).cast("long").as("node"),
+        (col("id") % vnodes).as("v"))
+      .select(col("node"), expr(
+        fold("concat('n', cast(node as string), 'v', cast(v as string))"))
+        .as("pos"))
+    val keys = docs.select(col("doc_id"),
+      expr(fold("cast(doc_id as string)")).as("kp"))
+    def assign(nodes: Int, tag: String) = keys
+      .crossJoin(broadcast(ring(nodes)))
+      .groupBy("doc_id", "kp")
+      .agg(
+        min(when(col("pos") >= col("kp"),
+          col("pos") * 100 + col("node"))).as("succ"),
+        min(col("pos") * 100 + col("node")).as("wrap"))
+      .select(col("doc_id"),
+        (coalesce(col("succ"), col("wrap")) % 100).as(s"node_$tag"))
+    val both = assign(8, "8").join(assign(9, "9"), "doc_id")
+      .localCheckpoint()
+    both.groupBy(col("node_8").as("node"))
+      .agg(count(lit(1)).as("keys_8"),
+        sum((col("node_8") =!= col("node_9")).cast("long")).as("moved_out"),
+        sum((col("node_8") =!= col("node_9") && col("node_9") === 8)
+          .cast("long")).as("moved_to_new"))
+      .join(both.groupBy(col("node_9").as("node"))
+        .agg(count(lit(1)).as("keys_9")), Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("keys_8"), lit(0L)).as("keys_8"),
+        coalesce(col("keys_9"), lit(0L)).as("keys_9"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+        coalesce(col("moved_to_new"), lit(0L)).as("moved_to_new"))
+      .orderBy("node")
+  }
+
+  private def hashRingOracle(vnodes: Int = 16): String = s"""
+    WITH ring8 AS MATERIALIZED (
+      SELECT (i // $vnodes) AS node,
+        list_reduce(list_transform(string_split_regex(
+          md5('n' || CAST(i // $vnodes AS VARCHAR)
+            || 'v' || CAST(i % $vnodes AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS pos
+      FROM (SELECT unnest(generate_series(0, ${8 * vnodes - 1})) AS i)),
+    ring9 AS MATERIALIZED (
+      SELECT (i // $vnodes) AS node,
+        list_reduce(list_transform(string_split_regex(
+          md5('n' || CAST(i // $vnodes AS VARCHAR)
+            || 'v' || CAST(i % $vnodes AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS pos
+      FROM (SELECT unnest(generate_series(0, ${9 * vnodes - 1})) AS i)),
+    keys_ AS MATERIALIZED (
+      SELECT doc_id,
+        list_reduce(list_transform(string_split_regex(
+          md5(CAST(doc_id AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS kp
+      FROM documents),
+    a8 AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(COALESCE(MIN(CASE WHEN pos >= kp THEN pos * 100 + node END),
+          MIN(pos * 100 + node)) % 100 AS BIGINT) AS node_8
+      FROM keys_ CROSS JOIN ring8 GROUP BY doc_id, kp),
+    a9 AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(COALESCE(MIN(CASE WHEN pos >= kp THEN pos * 100 + node END),
+          MIN(pos * 100 + node)) % 100 AS BIGINT) AS node_9
+      FROM keys_ CROSS JOIN ring9 GROUP BY doc_id, kp),
+    both_ AS MATERIALIZED (
+      SELECT a8.doc_id, node_8, node_9 FROM a8 JOIN a9 USING (doc_id)),
+    o AS (
+      SELECT node_8 AS node, COUNT(*) AS keys_8,
+        CAST(SUM(CASE WHEN node_8 <> node_9 THEN 1 ELSE 0 END) AS BIGINT)
+          AS moved_out,
+        CAST(SUM(CASE WHEN node_8 <> node_9 AND node_9 = 8 THEN 1 ELSE 0 END)
+          AS BIGINT) AS moved_to_new
+      FROM both_ GROUP BY 1),
+    n AS (SELECT node_9 AS node, COUNT(*) AS keys_9 FROM both_ GROUP BY 1)
+    SELECT COALESCE(o.node, n.node) AS node,
+      COALESCE(keys_8, 0) AS keys_8, COALESCE(keys_9, 0) AS keys_9,
+      COALESCE(moved_out, 0) AS moved_out,
+      COALESCE(moved_to_new, 0) AS moved_to_new
+    FROM o FULL OUTER JOIN n ON o.node = n.node
+    ORDER BY node"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q362_hash_ring",
+      (s, d) => hashRing(documents(s, d)), Some(hashRingOracle())),
     Q("q288_rendezvous_shards",
       (s, d) => rendezvousAudit(documents(s, d)), Some(rendezvousOracle)),
     Q("q289_interval_coverage",

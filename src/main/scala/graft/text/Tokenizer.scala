@@ -199,7 +199,68 @@ object Tokenizer extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q363
+
+  /** Tokenizer vocab-size compression curve: with a top-k word vocab
+    * (rank pinned by count desc, word), an in-vocab word costs one
+    * token and an OOV word falls back to one token per character —
+    * the chars-per-token and OOV-share curve over k ∈ {100, 500,
+    * 2000} that sizes a vocabulary before training one. The corpus
+    * collapses to the word-count table in one pass; each k is a
+    * conditional sum over that table, not the corpus.
+    */
+  def vocabSizeCurve(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .withColumn("len", length(col("w")))
+      .localCheckpoint()
+    Seq(100, 500, 2000).map { k =>
+      counts.agg(
+          sum(when(col("rk") <= k, col("c"))
+            .otherwise(col("c") * col("len"))).as("total_tokens"),
+          sum(col("c") * col("len")).as("total_chars"),
+          sum(when(col("rk") > k, col("c") * col("len"))).as("oov_tokens"),
+          sum((col("rk") <= k).cast("long")).as("vocab_words"))
+        .select(lit(k.toLong).as("vocab_k"), col("vocab_words"),
+          col("total_tokens"),
+          round(col("total_chars").cast("double")
+            / col("total_tokens").cast("double"), 4).as("chars_per_token"),
+          round(coalesce(col("oov_tokens"), lit(0L)).cast("double")
+            / col("total_tokens").cast("double"), 6).as("oov_token_share"))
+    }.reduce(_ unionAll _).orderBy("vocab_k")
+  }
+
+  private val vocabCurveOracle = """
+    WITH counts AS MATERIALIZED (
+      SELECT w, COUNT(*) AS c, LENGTH(w) AS len,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE LENGTH(w) > 0 GROUP BY w),
+    ks AS (SELECT unnest([100, 500, 2000]) AS k),
+    curve AS (
+      SELECT k,
+        CAST(SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END) AS BIGINT)
+          AS vocab_words,
+        CAST(SUM(CASE WHEN rk <= k THEN c ELSE c * len END) AS BIGINT)
+          AS total_tokens,
+        CAST(SUM(c * len) AS BIGINT) AS total_chars,
+        CAST(COALESCE(SUM(CASE WHEN rk > k THEN c * len END), 0) AS BIGINT)
+          AS oov_tokens
+      FROM counts CROSS JOIN ks GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS vocab_k, vocab_words, total_tokens,
+      ROUND(CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4)
+        AS chars_per_token,
+      ROUND(CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        AS oov_token_share
+    FROM curve ORDER BY vocab_k"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q363_vocab_size_curve",
+      (s, d) => vocabSizeCurve(documents(s, d)), Some(vocabCurveOracle)),
     Q("q273_bpe_candidates",
       (s, d) => bpeMergeCandidates(documents(s, d)), Some(bpeOracle)),
     Q("q274_kneser_ney",
