@@ -1299,7 +1299,80 @@ object Extended extends QueryModule {
       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM merged GROUP BY action ORDER BY action"""
 
+  // ---------------------------------------------------------------- q366
+
+  /** CSV parse-mode audit: the same fixture (documents as headerless
+    * CSV plus 7 planted malformed lines — wrong arity and bad types)
+    * read in PERMISSIVE (corrupt rows kept, flagged via
+    * _corrupt_record) and DROPMALFORMED (corrupt rows silently gone).
+    * The report pins Spark's malformed-row contract: row counts,
+    * corrupt counts, and the parsed-payload checksum that must be
+    * IDENTICAL across modes — corruption handling must never change
+    * clean-row parsing. Completes the source family's error-path
+    * coverage (q121 covers JSON).
+    */
+  def csvModes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = csvDir(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_corrupt_record").isNotNull.cast("long")).as("n_corrupt"),
+        sum("n_chars").as("checksum"))
+      .select(lit("permissive").as("mode"), col("n_rows"), col("n_corrupt"),
+        col("checksum"))
+    val drop = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED")
+      .csv(dir)
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("checksum"))
+      .select(lit("dropmalformed").as("mode"), col("n_rows"),
+        lit(0L).as("n_corrupt"), col("checksum"))
+    perm.unionAll(drop).orderBy("mode")
+  }
+
+  private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvDir(spark: SparkSession, sfDir: String): String =
+    csvDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_csv")
+      documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("header", "false")
+        .csv(s"$dir/csv")
+      // every planted line has correct arity but an unparseable LONG in
+      // both numeric fields — unambiguously malformed under every CSV
+      // mode (short/long-arity semantics differ across Spark versions)
+      val bad = (1 to 7).map(i => s"bad$i,xx,chars$i")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/csv/part-corrupt.csv"),
+        bad.mkString("\n").getBytes("UTF-8"))
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+      s"$dir/csv"
+    })
+
+  /** Bench warmup hook (fixture preparation, not q366 operator cost). */
+  def prepareCsv(spark: SparkSession, sfDir: String): Unit = {
+    csvDir(spark, sfDir); ()
+  }
+
+  private val csvModesOracle = """
+    SELECT 'dropmalformed' AS mode, COUNT(*) AS n_rows,
+      CAST(0 AS BIGINT) AS n_corrupt,
+      CAST(SUM(n_chars) AS BIGINT) AS checksum
+    FROM documents
+    UNION ALL
+    SELECT 'permissive', COUNT(*) + 7, 7, CAST(SUM(n_chars) AS BIGINT)
+    FROM documents ORDER BY mode"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q366_csv_modes",
+      (s, d) => csvModes(s, d), Some(csvModesOracle)),
     Q("q189_merge_into",
       (s, d) => mergeInto(orders(s, d)), Some(mergeIntoOracle)),
     Q("q183_xml_source",

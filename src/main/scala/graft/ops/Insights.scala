@@ -738,9 +738,92 @@ object Insights extends QueryModule {
     WHERE s.c <= 5
     ORDER BY s.source, r"""
 
+  // ---------------------------------------------------------------- q367
+
+  /** Windowed funnel: signup → view → purchase with a 30-minute
+    * max gap per step (the MATCH_RECOGNIZE-shaped sequential pattern,
+    * expressed as per-step as-of joins: each step takes the FIRST
+    * qualifying next-step event). Reports step reach, conversion ppm
+    * (integer DIV) and the rank-exact lower-median step latencies.
+    * Step joins shuffle on user_id only; each step's candidate set is
+    * the step-k survivors, monotonically shrinking.
+    */
+  def windowedFunnel(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("sid"), col("us").as("s_us"))
+    val vw = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"))
+    val step1 = sg.join(vw, "user_id")
+      .filter(col("v_us") > col("s_us") && col("v_us") <= col("s_us") + gapUs)
+      .groupBy("user_id", "sid", "s_us").agg(min("v_us").as("t1"))
+    val step2 = step1.join(pu, "user_id")
+      .filter(col("p_us") > col("t1") && col("p_us") <= col("t1") + gapUs)
+      .groupBy("user_id", "sid", "s_us", "t1").agg(min("p_us").as("t2"))
+    // global agg after the rank filter so an EMPTY step still yields
+    // one (NULL-median) row — a crossJoin against an empty frame would
+    // annihilate the report
+    def lowerMedian(df: DataFrame, c: String, out: String) = df
+      .select(col(c).as("lat"))
+      .withColumn("rk", row_number().over(Window.orderBy("lat")))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .agg(min("lat").as(out))
+    val nSg = sg.agg(count(lit(1)).as("n_signups"))
+    val n1 = step1.agg(count(lit(1)).as("n_viewed"))
+    val n2 = step2.agg(count(lit(1)).as("n_purchased"))
+    val m1 = lowerMedian(step1.select((col("t1") - col("s_us")).as("l")), "l",
+      "p50_signup_to_view_us")
+    val m2 = lowerMedian(step2.select((col("t2") - col("t1")).as("l")), "l",
+      "p50_view_to_purchase_us")
+    nSg.crossJoin(n1).crossJoin(n2).crossJoin(m1).crossJoin(m2)
+      .select(col("n_signups"), col("n_viewed"), col("n_purchased"),
+        expr("n_viewed * 1000000 DIV n_signups").as("view_ppm"),
+        expr("n_purchased * 1000000 DIV n_signups").as("purchase_ppm"),
+        col("p50_signup_to_view_us"), col("p50_view_to_purchase_us"))
+  }
+
+  private val funnelOracle = """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+    sg AS (SELECT user_id, event_id AS sid, us AS s_us FROM e
+           WHERE event_type = 'signup'),
+    vw AS (SELECT user_id, us AS v_us FROM e WHERE event_type = 'view'),
+    pu AS (SELECT user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+    step1 AS MATERIALIZED (
+      SELECT s.user_id, s.sid, s.s_us, MIN(v.v_us) AS t1
+      FROM sg s JOIN vw v ON v.user_id = s.user_id
+        AND v.v_us > s.s_us AND v.v_us <= s.s_us + 1800000000
+      GROUP BY 1, 2, 3),
+    step2 AS MATERIALIZED (
+      SELECT s.user_id, s.sid, s.t1, MIN(p.p_us) AS t2
+      FROM step1 s JOIN pu p ON p.user_id = s.user_id
+        AND p.p_us > s.t1 AND p.p_us <= s.t1 + 1800000000
+      GROUP BY 1, 2, 3),
+    l1 AS (SELECT t1 - s_us AS lat,
+             ROW_NUMBER() OVER (ORDER BY t1 - s_us) AS rk FROM step1),
+    l2 AS (SELECT t2 - t1 AS lat,
+             ROW_NUMBER() OVER (ORDER BY t2 - t1) AS rk FROM step2),
+    c AS (SELECT (SELECT COUNT(*) FROM sg) AS n_signups,
+                 (SELECT COUNT(*) FROM step1) AS n_viewed,
+                 (SELECT COUNT(*) FROM step2) AS n_purchased)
+    SELECT n_signups, n_viewed, n_purchased,
+      n_viewed * 1000000 // n_signups AS view_ppm,
+      n_purchased * 1000000 // n_signups AS purchase_ppm,
+      (SELECT CAST(lat AS BIGINT) FROM l1, c WHERE rk = (n_viewed + 1) // 2)
+        AS p50_signup_to_view_us,
+      (SELECT CAST(lat AS BIGINT) FROM l2, c
+       WHERE rk = (n_purchased + 1) // 2) AS p50_view_to_purchase_us
+    FROM c"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q367_windowed_funnel",
+      (s, d) => windowedFunnel(events(s, d)), Some(funnelOracle)),
     Q("q292_good_turing",
       (s, d) => goodTuring(documents(s, d)), Some(goodTuringOracle)),
     Q("q255_chao1_richness",

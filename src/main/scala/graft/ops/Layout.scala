@@ -348,7 +348,52 @@ object Layout extends QueryModule {
           AS BIGINT) END AS avg_dur_us
     FROM versions GROUP BY event_type ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q369
+
+  /** Roaring-bitmap container audit over the distinct orderkey set:
+    * keys chunk by high 16 bits; a chunk holds an array container
+    * below 4096 distinct low-words (2 B/key + 8 B header) and a fixed
+    * 8 KiB bitmap above. The report gives per-container-type counts,
+    * key mass and estimated bytes, next to the uncompressed 8 B/key
+    * baseline — the audit behind choosing bitmap indexes for a
+    * low-cardinality key at 100 TB. One distinct + one chunk-keyed
+    * rollup (map-side combined).
+    */
+  def bitmapContainers(orders: DataFrame): DataFrame = {
+    val chunks = orders.select(col("o_orderkey").cast("long").as("k"))
+      .distinct()
+      .groupBy(expr("k DIV 65536").as("chunk"))
+      .agg(count(lit(1)).as("card"))
+      .withColumn("ctype",
+        when(col("card") < 4096, "array").otherwise("bitmap"))
+      .withColumn("bytes",
+        when(col("card") < 4096, col("card") * 2 + 8).otherwise(lit(8200L)))
+    chunks.groupBy("ctype")
+      .agg(count(lit(1)).as("n_containers"), sum("card").as("n_keys"),
+        sum("bytes").as("est_bytes"))
+      .withColumn("uncompressed_bytes", col("n_keys") * 8)
+      .orderBy("ctype")
+  }
+
+  private val bitmapOracle = """
+    WITH chunks AS (
+      SELECT k // 65536 AS chunk, COUNT(*) AS card FROM (
+        SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+      GROUP BY 1),
+    typed AS (
+      SELECT chunk, card,
+        CASE WHEN card < 4096 THEN 'array' ELSE 'bitmap' END AS ctype,
+        CASE WHEN card < 4096 THEN card * 2 + 8 ELSE 8200 END AS bytes
+      FROM chunks)
+    SELECT ctype, COUNT(*) AS n_containers,
+      CAST(SUM(card) AS BIGINT) AS n_keys,
+      CAST(SUM(bytes) AS BIGINT) AS est_bytes,
+      CAST(SUM(card) * 8 AS BIGINT) AS uncompressed_bytes
+    FROM typed GROUP BY ctype ORDER BY ctype"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q369_bitmap_containers",
+      (s, d) => bitmapContainers(orders(s, d)), Some(bitmapOracle)),
     Q("q342_scd2_build",
       (s, d) => scd2Build(events(s, d)), Some(scd2Oracle)),
     Q("q177_time_travel",

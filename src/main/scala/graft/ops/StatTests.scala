@@ -749,7 +749,91 @@ object StatTests extends QueryModule {
       ROUND(CAST(cum AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS cum_share
     FROM c ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q368
+
+  /** Two-sample Cramér–von Mises and Anderson–Darling statistics over
+    * doc-length distributions of the two alphabetically-first sources
+    * (the heavier-tailed complements of q212's KS: CvM integrates the
+    * squared CDF gap, AD weights the tails). Ties take the documented
+    * pooled order (n_chars, source, doc_id) — a pinned discrete
+    * convention, same on both engines. Every term is a rational of
+    * exact integers, decimal-cast before the cross-row sum
+    * (order-free); the pooled ranking is the oracle-reproducible
+    * global-window form (q129 note: production uses range-partitioned
+    * sort).
+    */
+  def cvmAd(docs: DataFrame): DataFrame = {
+    val s2 = docs.select(col("source")).distinct()
+      .orderBy("source").limit(2)
+      .collect().map(_.getString(0))
+    val pooled = docs
+      .filter(col("source").isin(s2.toSeq: _*))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("source") === s2(0)).cast("long").as("is1"))
+      .withColumn("j", row_number().over(
+        Window.orderBy(col("n_chars"), col("source"), col("doc_id"))))
+      .withColumn("mj", sum("is1").over(Window.orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nm = pooled.agg(sum("is1").as("n"),
+      (count(lit(1)) - sum("is1")).as("m"), count(lit(1)).as("nn"))
+    pooled.crossJoin(broadcast(nm))
+      .select(col("j"), col("mj"), col("n"), col("m"), col("nn"))
+      .withColumn("cvm_t", expr("""CAST(
+          (CAST(mj AS DOUBLE) / n - CAST(j - mj AS DOUBLE) / m)
+          * (CAST(mj AS DOUBLE) / n - CAST(j - mj AS DOUBLE) / m)
+          AS DECIMAL(18,12))"""))
+      .withColumn("ad_t", expr("""CASE WHEN j < nn THEN CAST(
+          CAST((mj * nn - n * j) AS DOUBLE) * CAST((mj * nn - n * j) AS DOUBLE)
+          / (CAST(j AS DOUBLE) * (nn - j)) AS DECIMAL(18,10)) END"""))
+      .groupBy("n", "m", "nn")
+      .agg(sum("cvm_t").as("sc"), sum("ad_t").as("sa"))
+      .select(col("n"), col("m"),
+        round(expr("CAST(n AS DOUBLE) * m / (CAST(nn AS DOUBLE) * nn) "
+          + "* CAST(sc AS DOUBLE)"), 6).as("cvm_t"),
+        round(expr("CAST(sa AS DOUBLE) / nn / (CAST(n AS DOUBLE) * m / nn)"), 6)
+          .as("ad_a2"))
+  }
+
+  private val cvmAdOracle = """
+    WITH s2 AS (
+      SELECT source FROM (SELECT DISTINCT source FROM documents)
+      ORDER BY source LIMIT 2),
+    first_s AS (SELECT MIN(source) AS s1 FROM s2),
+    pooled AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.n_chars,
+        CASE WHEN d.source = f.s1 THEN 1 ELSE 0 END AS is1,
+        ROW_NUMBER() OVER (ORDER BY d.n_chars, d.source, d.doc_id) AS j
+      FROM documents d, first_s f
+      WHERE d.source IN (SELECT source FROM s2)),
+    run AS (
+      SELECT j, CAST(SUM(is1) OVER (ORDER BY j
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mj
+      FROM pooled),
+    nm AS (
+      SELECT CAST(SUM(is1) AS BIGINT) AS n,
+        CAST(COUNT(*) - SUM(is1) AS BIGINT) AS m,
+        COUNT(*) AS nn
+      FROM pooled),
+    terms AS (
+      SELECT r.j, r.mj, nm.n, nm.m, nm.nn,
+        CAST((CAST(r.mj AS DOUBLE) / nm.n - CAST(r.j - r.mj AS DOUBLE) / nm.m)
+          * (CAST(r.mj AS DOUBLE) / nm.n - CAST(r.j - r.mj AS DOUBLE) / nm.m)
+          AS DECIMAL(18,12)) AS cvm_t,
+        CASE WHEN r.j < nm.nn THEN CAST(
+          CAST((r.mj * nm.nn - nm.n * r.j) AS DOUBLE)
+            * CAST((r.mj * nm.nn - nm.n * r.j) AS DOUBLE)
+          / (CAST(r.j AS DOUBLE) * (nm.nn - r.j)) AS DECIMAL(18,10)) END
+          AS ad_t
+      FROM run r, nm)
+    SELECT n, m,
+      ROUND(CAST(n AS DOUBLE) * m / (CAST(nn AS DOUBLE) * nn)
+        * CAST(SUM(cvm_t) AS DOUBLE), 6) AS cvm_t,
+      ROUND(CAST(SUM(ad_t) AS DOUBLE) / nn
+        / (CAST(n AS DOUBLE) * m / nn), 6) AS ad_a2
+    FROM terms GROUP BY n, m, nn"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q368_cvm_ad", (s, d) => cvmAd(documents(s, d)), Some(cvmAdOracle)),
     Q("q230_bh_fdr", (s, d) => bhFdr(events(s, d)), Some(bhFdrOracle)),
     Q("q233_levene_test", (s, d) => leveneTest(events(s, d)), Some(leveneOracle)),
     Q("q236_mann_kendall", (s, d) => mannKendall(orders(s, d)), Some(mannKendallOracle)),
