@@ -30,6 +30,7 @@ object Bench {
       graft.ops.Extended.prepareSchemaEvo(spark, sfDir)
       graft.ops.Layout.prepareTimeTravel(spark, sfDir)
       graft.ops.Extended.prepareXml(spark, sfDir)
+      graft.ops.Extended.prepareCsv(spark, sfDir)
     } catch { case _: Throwable => }
     // Warm pass at the smallest SF: first-use costs (whole-stage-codegen
     // compilation, MLlib/streaming/ImageIO class loading) are JVM warmup,
@@ -87,8 +88,11 @@ object Bench {
     // "fast" aggregate {"n":count,"ds":sum} so their mass still
     // reconciles against "value". Slow-query entries — the signal for
     // cross-round comparison — are unchanged. Documented in BASELINE.md.
-    val slow = results.filter { case (_, v) => v < 0 || v >= 0.25 }
-    val fast = results.filter { case (_, v) => v >= 0 && v < 0.25 }
+    // r8: threshold raised 0.25 -> 0.45 s (ds >= 5): at 369 queries a
+    // loaded run listed 213 entries and hit 1.83 kB of the 2 kB tail;
+    // 0.3-0.5 s entries are run-noise, their mass stays in "fast"
+    val slow = results.filter { case (_, v) => v < 0 || v >= 0.45 }
+    val fast = results.filter { case (_, v) => v >= 0 && v < 0.45 }
     val qs = slow.map { case (k, v) => "\"" + qid(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
     val fastJson = s""","fast":{"n":${fast.size},"ds":${fast.map(v => math.round(v._2 * 10)).sum}}"""

@@ -391,7 +391,84 @@ object Layout extends QueryModule {
       CAST(SUM(card) * 8 AS BIGINT) AS uncompressed_bytes
     FROM typed GROUP BY ctype ORDER BY ctype"""
 
+  // ---------------------------------------------------------------- q371
+
+  /** Shuffle-partition advisor: per table, estimate the in-memory
+    * row width from exact column stats (fixed type widths + exact avg
+    * string length), total bytes, and the shuffle.partitions that
+    * lands each partition at the 128 MiB target (ceil, floor 1) —
+    * with a skew adjustment from the largest single key's share of
+    * lineitem. The sizing arithmetic every Spark job does by hand,
+    * as a query. One scan per table; everything is exact integers
+    * until the final ceil.
+    */
+  def partitionAdvisor(li: DataFrame, orders: DataFrame,
+      customer: DataFrame, events: DataFrame): DataFrame = {
+    val target = 134217728L // 128 MiB
+    def advise(name: String, df: DataFrame, fixedBytes: Int,
+        strCols: Seq[String]) = {
+      val strWidth = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduceOption(_ + _).getOrElse(lit(0L))
+      df.agg(count(lit(1)).as("n_rows"), strWidth.as("str_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          (col("n_rows") * fixedBytes + coalesce(col("str_bytes"), lit(0L))
+            + col("n_rows") * 20).as("est_bytes")) // 20 B row overhead
+        .withColumn("advised_partitions",
+          greatest(lit(1L), expr(s"(est_bytes + $target - 1) DIV $target")))
+    }
+    val base = advise("lineitem", li, 8 * 8, Seq("l_returnflag", "l_linestatus"))
+      .unionAll(advise("orders", orders, 8 * 4,
+        Seq("o_orderstatus", "o_orderpriority")))
+      .unionAll(advise("customer", customer, 8 * 3,
+        Seq("c_name", "c_mktsegment")))
+      .unionAll(advise("events", events, 8 * 4,
+        Seq("event_type", "props")))
+    val skew = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("max_key"), sum("c").as("tot"))
+      .select(expr("max_key * 10000 DIV tot").as("skew_bp"))
+    base.crossJoin(broadcast(skew))
+      .select(col("table_name"), col("n_rows"), col("est_bytes"),
+        col("advised_partitions"), col("skew_bp"))
+      .orderBy("table_name")
+  }
+
+  private val advisorOracle = """
+    WITH li AS (
+      SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+        COUNT(*) * 64 + CAST(SUM(length(l_returnflag)
+          + length(l_linestatus)) AS BIGINT) + COUNT(*) * 20 AS est_bytes
+      FROM lineitem),
+    ords AS (
+      SELECT 'orders', COUNT(*),
+        COUNT(*) * 32 + CAST(SUM(length(o_orderstatus)
+          + length(o_orderpriority)) AS BIGINT) + COUNT(*) * 20
+      FROM orders),
+    cust AS (
+      SELECT 'customer', COUNT(*),
+        COUNT(*) * 24 + CAST(SUM(length(c_name)
+          + length(c_mktsegment)) AS BIGINT) + COUNT(*) * 20
+      FROM customer),
+    ev AS (
+      SELECT 'events', COUNT(*),
+        COUNT(*) * 32 + CAST(SUM(length(event_type)
+          + length(props)) AS BIGINT) + COUNT(*) * 20
+      FROM events),
+    base AS (
+      SELECT * FROM li UNION ALL SELECT * FROM ords
+      UNION ALL SELECT * FROM cust UNION ALL SELECT * FROM ev),
+    skew AS (
+      SELECT CAST(MAX(c) * 10000 // SUM(c) AS BIGINT) AS skew_bp FROM (
+        SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey))
+    SELECT table_name, n_rows, est_bytes,
+      GREATEST(1, (est_bytes + 134217727) // 134217728)
+        AS advised_partitions,
+      skew_bp
+    FROM base, skew ORDER BY table_name"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q371_partition_advisor",
+      (s, d) => partitionAdvisor(lineitem(s, d), orders(s, d),
+        customer(s, d), events(s, d)), Some(advisorOracle)),
     Q("q369_bitmap_containers",
       (s, d) => bitmapContainers(orders(s, d)), Some(bitmapOracle)),
     Q("q342_scd2_build",

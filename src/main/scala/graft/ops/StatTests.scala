@@ -832,7 +832,118 @@ object StatTests extends QueryModule {
         / (CAST(n AS DOUBLE) * m / nn), 6) AS ad_a2
     FROM terms GROUP BY n, m, nn"""
 
+  // ---------------------------------------------------------------- q372
+
+  /** Yuen's trimmed-mean t test (20% trim) between click and error
+    * event values — the robust two-sample location test that survives
+    * the heavy tails Welch (q172) is blind to: trimmed means compare
+    * the middle 60%, winsorized variances price the clamped tails,
+    * Welch–Satterthwaite gives the df. Order statistics are rank-exact
+    * per group (window partitioned by arm); every mean/variance input
+    * is an exact decimal sum of clamped values.
+    */
+  def yuenT(events: DataFrame): DataFrame = {
+    val sized = events.filter(col("event_type").isin("click", "error"))
+      .select(col("event_type").as("arm"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("arm").orderBy(col("value"), col("event_id"))))
+      .localCheckpoint()
+    val bounds = sized.groupBy("arm")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", expr("n DIV 5"))
+    val withB = sized.join(broadcast(bounds), "arm")
+    val cuts = withB
+      .filter(col("rk") === col("k") + 1 || col("rk") === col("n") - col("k"))
+      .groupBy("arm")
+      .agg(min(when(col("rk") === col("k") + 1, col("value"))).as("lo"),
+        min(when(col("rk") === col("n") - col("k"), col("value"))).as("hi"))
+    val stats = withB.join(broadcast(cuts), "arm")
+      .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("arm", "n", "k")
+      .agg(
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          dec(col("value"), 6))).cast("decimal(28,6)").as("st"),
+        sum(dec(col("wv"), 6)).cast("decimal(28,6)").as("sw"),
+        sum((dec(col("wv"), 6) * dec(col("wv"), 6)).cast("decimal(38,12)"))
+          .as("sww"))
+      .select(col("arm"), col("n"), col("k"),
+        expr("n - 2 * k").as("h"),
+        expr("CAST(st AS DOUBLE) / (n - 2 * k)").as("tm"),
+        expr("""(CAST(sww AS DOUBLE)
+          - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / n) / (n - 1)""")
+          .as("wvar"))
+      .localCheckpoint()
+    val a = stats.filter(col("arm") === "click")
+      .select(col("n").as("n1"), col("h").as("h1"), col("tm").as("tm1"),
+        col("wvar").as("v1"))
+    val b = stats.filter(col("arm") === "error")
+      .select(col("n").as("n2"), col("h").as("h2"), col("tm").as("tm2"),
+        col("wvar").as("v2"))
+    a.crossJoin(b)
+      .withColumn("d1", expr("(n1 - 1) * v1 / (CAST(h1 AS DOUBLE) * (h1 - 1))"))
+      .withColumn("d2", expr("(n2 - 1) * v2 / (CAST(h2 AS DOUBLE) * (h2 - 1))"))
+      .select(col("n1"), col("n2"),
+        round(col("tm1"), 6).as("trimmed_mean_click"),
+        round(col("tm2"), 6).as("trimmed_mean_error"),
+        round(expr("(tm1 - tm2) / sqrt(d1 + d2)"), 6).as("yuen_t"),
+        round(expr("""1.0 / ((d1 / (d1 + d2)) * (d1 / (d1 + d2)) / (h1 - 1)
+          + (1 - d1 / (d1 + d2)) * (1 - d1 / (d1 + d2)) / (h2 - 1))"""), 4)
+          .as("df"))
+  }
+
+  private val yuenOracle = """
+    WITH sized AS MATERIALIZED (
+      SELECT event_type AS arm, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY value, event_id) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE event_type IN ('click', 'error')),
+    kb AS (SELECT arm, MAX(n) AS n, MAX(n) // 5 AS k FROM sized GROUP BY 1),
+    cuts AS (
+      SELECT s.arm,
+        MIN(CASE WHEN s.rk = b.k + 1 THEN s.value END) AS lo,
+        MIN(CASE WHEN s.rk = b.n - b.k THEN s.value END) AS hi
+      FROM sized s JOIN kb b ON s.arm = b.arm
+      GROUP BY 1),
+    stats AS MATERIALIZED (
+      SELECT s.arm, b.n, b.k, b.n - 2 * b.k AS h,
+        CAST(CAST(SUM(CASE WHEN s.rk > b.k AND s.rk <= b.n - b.k
+            THEN CAST(s.value AS DECIMAL(18,6)) END) AS DECIMAL(28,6))
+          AS DOUBLE) / (b.n - 2 * b.k) AS tm,
+        (CAST(SUM(CAST(CAST(LEAST(GREATEST(s.value, c.lo), c.hi)
+              AS DECIMAL(19,6)) * CAST(LEAST(GREATEST(s.value, c.lo), c.hi)
+              AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)
+          - CAST(CAST(SUM(CAST(LEAST(GREATEST(s.value, c.lo), c.hi)
+              AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
+            * CAST(CAST(SUM(CAST(LEAST(GREATEST(s.value, c.lo), c.hi)
+              AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / b.n)
+          / (b.n - 1) AS wvar
+      FROM sized s JOIN kb b ON s.arm = b.arm JOIN cuts c ON c.arm = s.arm
+      GROUP BY s.arm, b.n, b.k),
+    ab AS (
+      SELECT
+        (SELECT n FROM stats WHERE arm = 'click') AS n1,
+        (SELECT h FROM stats WHERE arm = 'click') AS h1,
+        (SELECT tm FROM stats WHERE arm = 'click') AS tm1,
+        (SELECT wvar FROM stats WHERE arm = 'click') AS v1,
+        (SELECT n FROM stats WHERE arm = 'error') AS n2,
+        (SELECT h FROM stats WHERE arm = 'error') AS h2,
+        (SELECT tm FROM stats WHERE arm = 'error') AS tm2,
+        (SELECT wvar FROM stats WHERE arm = 'error') AS v2),
+    d AS (
+      SELECT *,
+        (n1 - 1) * v1 / (CAST(h1 AS DOUBLE) * (h1 - 1)) AS d1,
+        (n2 - 1) * v2 / (CAST(h2 AS DOUBLE) * (h2 - 1)) AS d2
+      FROM ab)
+    SELECT n1, n2, ROUND(tm1, 6) AS trimmed_mean_click,
+      ROUND(tm2, 6) AS trimmed_mean_error,
+      ROUND((tm1 - tm2) / sqrt(d1 + d2), 6) AS yuen_t,
+      ROUND(1.0 / ((d1 / (d1 + d2)) * (d1 / (d1 + d2)) / (h1 - 1)
+        + (1 - d1 / (d1 + d2)) * (1 - d1 / (d1 + d2)) / (h2 - 1)), 4) AS df
+    FROM d"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q372_yuen_t", (s, d) => yuenT(events(s, d)), Some(yuenOracle)),
     Q("q368_cvm_ad", (s, d) => cvmAd(documents(s, d)), Some(cvmAdOracle)),
     Q("q230_bh_fdr", (s, d) => bhFdr(events(s, d)), Some(bhFdrOracle)),
     Q("q233_levene_test", (s, d) => leveneTest(events(s, d)), Some(leveneOracle)),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
@@ -594,7 +595,101 @@ object CorpusAudit extends QueryModule {
       CAST(MAX(dup_ppm) AS BIGINT) AS max_dup_ppm
     FROM per GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------- q370
+
+  /** Rank-biased overlap (Webber et al. TOIS'10), p=0.9, depth 20,
+    * between the two alphabetically-first sources' token rankings —
+    * the top-weighted similarity of two keyword lists that plain
+    * set-overlap (q257) can't see: agreement at rank 1 counts far more
+    * than at rank 20. Truncated RBO = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d
+    * plus the residual bound. Rankings are count-desc, token-pinned;
+    * the depth lattice is 20 rows — intersections are exact integer
+    * counts, the weighted sum is a fixed 20-term double fold (d
+    * order) identical on both engines.
+    */
+  def rboOverlap(docs: DataFrame, depth: Int = 20, p: Double = 0.9): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val two = docs.select(col("source")).distinct().orderBy("source").limit(2)
+      .collect().map(_.getString(0))
+    val ranked = docs.filter(col("source").isin(two.toSeq: _*))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("w"))))
+      .filter(col("rk") <= depth)
+      .localCheckpoint()
+    val a = ranked.filter(col("source") === two(0))
+      .select(col("w"), col("rk").as("ra"))
+    val b = ranked.filter(col("source") === two(1))
+      .select(col("w"), col("rk").as("rb"))
+    val joined = a.join(b, "w")
+    val depths = s.range(1, depth + 1).select(col("id").as("d"))
+    val agreement = depths.join(joined,
+        col("ra") <= col("d") && col("rb") <= col("d"), "left")
+      .groupBy("d").agg(sum(when(col("w").isNotNull, 1L).otherwise(0L))
+        .as("inter"))
+      .select(col("d"), col("inter"),
+        (col("inter").cast("double") / col("d").cast("double")).as("a_d"))
+    val rbo = agreement
+      .agg(expr(s"""aggregate(
+          transform(sort_array(collect_list(struct(d, a_d))),
+            t -> power($p, t.d - 1) * t.a_d),
+          CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("sum_w"))
+      .select(round(expr(s"(1 - $p) * sum_w"), 6).as("rbo_min"),
+        round(expr(s"(1 - $p) * sum_w + power($p, $depth)"), 6)
+          .as("rbo_max"))
+    agreement.filter(col("d") === depth)
+      .select(col("inter").as("overlap_at_20"))
+      .crossJoin(rbo)
+      .select(lit(two(0)).as("source_a"), lit(two(1)).as("source_b"),
+        col("overlap_at_20"), col("rbo_min"), col("rbo_max"))
+  }
+
+  private def rboOracle(depth: Int = 20, p: Double = 0.9): String = s"""
+    WITH two AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sn
+      FROM (SELECT DISTINCT source FROM documents)
+      ORDER BY source LIMIT 2),
+    ranked AS MATERIALIZED (
+      SELECT source, w, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY COUNT(*) DESC, w) AS rk
+      FROM (
+        SELECT d.source, unnest(string_split(d.text, ' ')) AS w
+        FROM documents d WHERE d.source IN (SELECT source FROM two)) t
+      WHERE len(w) > 0
+      GROUP BY source, w),
+    a AS (SELECT w, rk AS ra FROM ranked
+          WHERE source = (SELECT source FROM two WHERE sn = 1)
+            AND rk <= $depth),
+    b AS (SELECT w, rk AS rb FROM ranked
+          WHERE source = (SELECT source FROM two WHERE sn = 2)
+            AND rk <= $depth),
+    j AS (SELECT a.w, ra, rb FROM a JOIN b USING (w)),
+    agreement AS MATERIALIZED (
+      SELECT d,
+        CAST(COALESCE(SUM(CASE WHEN ra <= d AND rb <= d THEN 1 END), 0)
+          AS BIGINT) AS inter
+      FROM (SELECT unnest(generate_series(1, $depth)) AS d) ds
+      LEFT JOIN j ON TRUE
+      GROUP BY d),
+    rbo AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(power($p, d - 1) * (CAST(inter AS DOUBLE) / CAST(d AS DOUBLE))
+            ORDER BY d)),
+          (acc, v) -> acc + v) AS sum_w
+      FROM agreement)
+    SELECT (SELECT source FROM two WHERE sn = 1) AS source_a,
+      (SELECT source FROM two WHERE sn = 2) AS source_b,
+      (SELECT inter FROM agreement WHERE d = $depth) AS overlap_at_20,
+      ROUND((1 - $p) * sum_w, 6) AS rbo_min,
+      ROUND((1 - $p) * sum_w + power($p, $depth), 6) AS rbo_max
+    FROM rbo"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q370_rbo_overlap",
+      (s, d) => rboOverlap(documents(s, d)), Some(rboOracle())),
     Q("q335_gopher_repetition",
       (s, d) => gopherRepetition(documents(s, d)), Some(gopherOracle)),
     Q("q293_mattr", (s, d) => mattr(documents(s, d)), Some(mattrOracle)),
