@@ -1239,7 +1239,146 @@ object Series extends QueryModule {
     WHERE page = 1 OR worst = 1
     ORDER BY hour"""
 
+  // ---------------------------------------------------------------- q376
+
+  /** Two-segment OLS trend with the breakpoint chosen from the decile
+    * grid (segmented regression / one-changepoint fit): per candidate
+    * break b, both segments' SSE comes closed-form from prefix moments
+    * (one window pass over the daily series), best = argmin total SSE
+    * (ties → earliest break). Revenue is kilodollar-scaled so every
+    * moment stays an exact decimal under 2^53 unscaled at all graded
+    * SFs. Reports both slopes and the SSE gain over the single line —
+    * the "did the trend actually change?" audit.
+    */
+  def segmentedTrend(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice") / 1000.0, 6)).cast("decimal(28,6)")
+        .as("y"))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = daily
+      .withColumn("ct", sum("t").over(w))
+      .withColumn("ctt", sum(expr("CAST(t AS BIGINT) * t")).over(w))
+      .withColumn("cy", sum("y").over(w).cast("decimal(38,6)"))
+      .withColumn("cty", sum(expr("CAST(CAST(t AS DECIMAL(10,0)) * y AS DECIMAL(28,6))"))
+        .over(w).cast("decimal(38,6)"))
+      .withColumn("cyy", sum(expr("CAST(y * y AS DECIMAL(28,12))"))
+        .over(w).cast("decimal(38,12)"))
+      .localCheckpoint()
+    val tot = prefix.orderBy(col("t").desc).limit(1)
+      .select(col("t").as("n"), col("ct").as("st"), col("ctt").as("stt"),
+        col("cy").as("sy"), col("cty").as("sty"), col("cyy").as("syy"),
+        col("day").as("last_day"))
+    def sse(n: String, st: String, stt: String, sy: String, sty: String,
+        syy: String) =
+      s"""(CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
+        - (CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
+          * (CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
+          / (CAST($stt AS DOUBLE) - CAST($st AS DOUBLE) * CAST($st AS DOUBLE) / $n)"""
+    def slope(n: String, st: String, stt: String, sy: String, sty: String) =
+      s"""(CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
+        / (CAST($stt AS DOUBLE) - CAST($st AS DOUBLE) * CAST($st AS DOUBLE) / $n)"""
+    val s = orders.sparkSession
+    val grid = s.range(2, 10).select(col("id").as("i"))
+      .crossJoin(broadcast(tot.select(col("n").as("gn"))))
+      .select(expr("gn * i DIV 10").as("b0")).distinct()
+    val cands = prefix.crossJoin(broadcast(tot))
+      .join(broadcast(grid), col("t") === col("b0"))
+      .filter(col("t") >= 2 && expr("n - t >= 2"))
+      .select(col("t").as("b"), col("day").as("break_day"),
+        col("n"), col("st"), col("stt"), col("sy"), col("sty"), col("syy"),
+        col("ct"), col("ctt"), col("cy"), col("cty"), col("cyy"))
+      .withColumn("sse_left", expr(sse("b", "ct", "ctt", "cy", "cty", "cyy")))
+      .withColumn("sse_right", expr(sse("(n - b)", "(st - ct)", "(stt - ctt)",
+        "(sy - cy)", "(sty - cty)", "(syy - cyy)")))
+      .withColumn("slope_left", expr(slope("b", "ct", "ctt", "cy", "cty")))
+      .withColumn("slope_right", expr(slope("(n - b)", "(st - ct)",
+        "(stt - ctt)", "(sy - cy)", "(sty - cty)")))
+      .withColumn("sse_two", col("sse_left") + col("sse_right"))
+    cands.orderBy(col("sse_two"), col("b")).limit(1)
+      .crossJoin(broadcast(tot.select(
+        expr(sse("n", "st", "stt", "sy", "sty", "syy")).as("sse_one"))))
+      .select(col("n").as("n_days"), col("b").as("break_t"),
+        col("break_day"),
+        round(col("slope_left"), 6).as("slope_left_kd"),
+        round(col("slope_right"), 6).as("slope_right_kd"),
+        round(col("sse_two"), 4).as("sse_two"),
+        round(col("sse_one"), 4).as("sse_one"),
+        round((col("sse_one") - col("sse_two")) * 100.0 / col("sse_one"), 3)
+          .as("gain_pct"))
+  }
+
+  private val segmentedOracle = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)))
+          AS DECIMAL(28,6)) AS y
+      FROM orders GROUP BY 1),
+    tt AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+    prefix AS MATERIALIZED (
+      SELECT day, t,
+        CAST(SUM(t) OVER w AS BIGINT) AS ct,
+        CAST(SUM(CAST(t AS BIGINT) * t) OVER w AS BIGINT) AS ctt,
+        CAST(SUM(y) OVER w AS DECIMAL(38,6)) AS cy,
+        CAST(SUM(CAST(CAST(t AS DECIMAL(10,0)) * y AS DECIMAL(28,6)))
+          OVER w AS DECIMAL(38,6)) AS cty,
+        CAST(SUM(CAST(y * y AS DECIMAL(28,12))) OVER w AS DECIMAL(38,12))
+          AS cyy
+      FROM tt
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW)),
+    tot AS (
+      SELECT t AS n, ct AS st, ctt AS stt, cy AS sy, cty AS sty, cyy AS syy
+      FROM prefix ORDER BY t DESC LIMIT 1),
+    grid AS (
+      SELECT DISTINCT o.n * i // 10 AS b0
+      FROM (SELECT unnest(generate_series(2, 9)) AS i) g, tot o),
+    cands AS (
+      SELECT p.t AS b, p.day AS break_day, o.n,
+        ((CAST(p.cyy AS DOUBLE) - CAST(p.cy AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
+          - (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
+            * (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
+            / (CAST(p.ctt AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.ct AS DOUBLE) / p.t))
+        + ((CAST(o.syy - p.cyy AS DOUBLE) - CAST(o.sy - p.cy AS DOUBLE)
+              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
+          - (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
+              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
+            * (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
+              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
+            / (CAST(o.stt - p.ctt AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
+              * CAST(o.st - p.ct AS DOUBLE) / (o.n - p.t))) AS sse_two,
+        (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
+          / (CAST(p.ctt AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.ct AS DOUBLE) / p.t)
+          AS slope_left,
+        (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
+            * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
+          / (CAST(o.stt - p.ctt AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
+            * CAST(o.st - p.ct AS DOUBLE) / (o.n - p.t)) AS slope_right
+      FROM prefix p JOIN grid ON p.t = grid.b0 CROSS JOIN tot o
+      WHERE p.t >= 2 AND o.n - p.t >= 2),
+    best AS (
+      SELECT * FROM cands ORDER BY sse_two, b LIMIT 1),
+    one AS (
+      SELECT (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n)
+        AS sse_one, n
+      FROM tot)
+    SELECT one.n AS n_days, best.b AS break_t, best.break_day,
+      ROUND(best.slope_left, 6) AS slope_left_kd,
+      ROUND(best.slope_right, 6) AS slope_right_kd,
+      ROUND(best.sse_two, 4) AS sse_two,
+      ROUND(one.sse_one, 4) AS sse_one,
+      ROUND((one.sse_one - best.sse_two) * 100.0 / one.sse_one, 3)
+        AS gain_pct
+    FROM best, one"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q376_segmented_trend",
+      (s, d) => segmentedTrend(orders(s, d)), Some(segmentedOracle)),
     Q("q360_slo_burn", (s, d) => sloBurn(events(s, d)), Some(sloOracle)),
     Q("q334_weibull_fit",
       (s, d) => weibullFit(events(s, d)), Some(weibullOracle)),

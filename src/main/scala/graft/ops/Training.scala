@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryModule}
+import graft.Num.dec
 import graft.Tables._
 
 /** Training-data pipeline operators (SURVEY.md §2.9 extension surface):
@@ -500,7 +501,130 @@ object Training extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q373
+
+  /** Churn-label generation: per (user, week) activity panel with the
+    * supervised label a retention model trains on — churned_next_week
+    * = active this week, silent the next. The panel is built from one
+    * rollup + a per-user lead window; the report aggregates to the
+    * weekly label distribution (panel rows are the training set, the
+    * audit row-counts it). The canonical forward-looking label join
+    * that MUST be window-based — a self-join on user×week would skew
+    * at 100 TB fan-out.
+    */
+  def churnLabels(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"),
+        weekofyear(col("ts")).as("week"),
+        dec(col("value"), 2).as("v"))
+      .groupBy("user_id", "week")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").cast("decimal(28,2)").as("week_value"))
+    val labeled = weekly
+      .withColumn("next_week", lead("week", 1).over(
+        Window.partitionBy("user_id").orderBy("week")))
+      .withColumn("churned_next_week",
+        (col("next_week").isNull || col("next_week") =!= col("week") + 1)
+          .cast("long"))
+    labeled.groupBy("week")
+      .agg(count(lit(1)).as("n_active_users"),
+        sum("churned_next_week").as("n_churned"),
+        sum("n_events").as("n_events"),
+        sum("week_value").cast("decimal(28,2)").cast("double")
+          .as("week_value"))
+      .withColumn("churn_bp",
+        expr("n_churned * 10000 DIV n_active_users"))
+      .orderBy("week")
+  }
+
+  private val churnOracle = """
+    WITH weekly AS MATERIALIZED (
+      SELECT user_id, weekofyear(ts) AS week, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+          AS week_value
+      FROM events GROUP BY 1, 2),
+    labeled AS (
+      SELECT *,
+        LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      FROM weekly),
+    lab AS (
+      SELECT *, CASE WHEN next_week IS NULL OR next_week <> week + 1
+        THEN 1 ELSE 0 END AS churned
+      FROM labeled)
+    SELECT week, COUNT(*) AS n_active_users,
+      CAST(SUM(churned) AS BIGINT) AS n_churned,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      CAST(CAST(SUM(week_value) AS DECIMAL(28,2)) AS DOUBLE) AS week_value,
+      CAST(SUM(churned) AS BIGINT) * 10000 // COUNT(*) AS churn_bp
+    FROM lab GROUP BY week ORDER BY week"""
+
+  // ---------------------------------------------------------------- q374
+
+  /** Group k-fold leakage audit: row-level folds (event_id % 5) put
+    * the SAME user on both sides of almost every split — the classic
+    * leakage bug — while group folds (user hash % 5) guarantee zero.
+    * The audit measures both: per scheme, the count of users straddling
+    * folds and the share of rows whose user appears in another fold.
+    * Two rollups over the user×fold frame; no joins at corpus scale.
+    */
+  def groupKfold(events: DataFrame, folds: Int = 5): DataFrame = {
+    def audit(name: String, foldCol: org.apache.spark.sql.Column) = {
+      val uf = events.select(col("user_id"), foldCol.as("fold"))
+        .groupBy("user_id")
+        .agg(countDistinct("fold").as("nf"), count(lit(1)).as("rows"))
+      uf.agg(count(lit(1)).as("n_users"),
+          sum((col("nf") > 1).cast("long")).as("straddling_users"),
+          sum(when(col("nf") > 1, col("rows")).otherwise(lit(0L)))
+            .as("leaky_rows"),
+          sum("rows").as("n_rows"))
+        .select(lit(name).as("scheme"), col("n_users"),
+          col("straddling_users"), col("n_rows"),
+          expr("leaky_rows * 10000 DIV n_rows").as("leaky_rows_bp"))
+    }
+    audit("row_fold", pmod(col("event_id"), lit(folds.toLong)))
+      .unionAll(audit("group_fold", expr(
+        s"""pmod(aggregate(transform(split(md5(cast(cast(user_id as string)
+           | as binary)), ''), c -> cast(ascii(c) as bigint)),
+           | cast(-1 as bigint),
+           | (h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L))),
+           | ${folds}L)""".stripMargin.replaceAll("\n", ""))))
+      .orderBy("scheme")
+  }
+
+  private def groupKfoldOracle(folds: Int = 5): String = s"""
+    WITH rf AS (
+      SELECT user_id, event_id % $folds AS fold FROM events),
+    gf AS (
+      SELECT user_id,
+        list_reduce(list_transform(
+          string_split_regex(md5(CAST(user_id AS VARCHAR)), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) % $folds AS fold
+      FROM events),
+    rfa AS (
+      SELECT 'row_fold' AS scheme, COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS straddling_users,
+        CAST(SUM(rows_) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN nf > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+          * 10000 // CAST(SUM(rows_) AS BIGINT) AS leaky_rows_bp
+      FROM (SELECT user_id, COUNT(DISTINCT fold) AS nf, COUNT(*) AS rows_
+            FROM rf GROUP BY 1)),
+    gfa AS (
+      SELECT 'group_fold', COUNT(*),
+        CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(rows_) AS BIGINT),
+        CAST(SUM(CASE WHEN nf > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+          * 10000 // CAST(SUM(rows_) AS BIGINT)
+      FROM (SELECT user_id, COUNT(DISTINCT fold) AS nf, COUNT(*) AS rows_
+            FROM gf GROUP BY 1))
+    SELECT * FROM rfa UNION ALL SELECT * FROM gfa ORDER BY scheme"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q373_churn_labels",
+      (s, d) => churnLabels(events(s, d)), Some(churnOracle)),
+    Q("q374_group_kfold",
+      (s, d) => groupKfold(events(s, d)), Some(groupKfoldOracle())),
     Q("q264_poisson_sample",
       (s, d) => poissonSample(documents(s, d)), Some(poissonOracle)),
     Q("q265_span_corruption",
