@@ -37,6 +37,7 @@ object SparkEntry {
     ops.Lifecycle,
     ops.Supervision,
     ops.Modeling,
+    ops.Ranking,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,

@@ -465,7 +465,45 @@ object Layout extends QueryModule {
       skew_bp
     FROM base, skew ORDER BY table_name"""
 
+  // ---------------------------------------------------------------- q380
+
+  /** Skew-salt advisor: the top-10 hottest user keys with their row
+    * share and the salt factor ceil(count / target) that spreads each
+    * over evenly-loaded sub-keys, target = total rows / 32 planned
+    * partitions. The planning table behind the q58 salted-aggregation
+    * pattern — produced by one grouped count + a bounded top-k, never
+    * by sampling. Exact integers throughout.
+    */
+  def saltAdvisor(events: DataFrame, partitions: Int = 32,
+      top: Int = 10): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target", greatest(lit(1L), expr(s"total DIV $partitions")))
+      .select(col("user_id"), col("c").as("rows_for_key"),
+        expr("c * 10000 DIV total").as("share_bp"),
+        expr("(c + target - 1) DIV target").as("salt_factor"))
+      .orderBy(col("rows_for_key").desc, col("user_id"))
+      .limit(top)
+  }
+
+  private def saltOracle(partitions: Int = 32, top: Int = 10): String = s"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total FROM counts),
+    planned AS (
+      SELECT user_id, c,
+        GREATEST(1, total // $partitions) AS target, total
+      FROM counts, tot)
+    SELECT user_id, c AS rows_for_key,
+      c * 10000 // total AS share_bp,
+      (c + target - 1) // target AS salt_factor
+    FROM planned ORDER BY c DESC, user_id LIMIT $top"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q380_salt_advisor",
+      (s, d) => saltAdvisor(events(s, d)), Some(saltOracle())),
     Q("q371_partition_advisor",
       (s, d) => partitionAdvisor(lineitem(s, d), orders(s, d),
         customer(s, d), events(s, d)), Some(advisorOracle)),

