@@ -119,9 +119,73 @@ object Ranking extends QueryModule {
     FROM inv i JOIN z ON z.beta = i.beta CROSS JOIN k
     ORDER BY i.beta, i.label"""
 
+  // ---------------------------------------------------------------- q375
+
+  /** Feature-hashing (hashing-trick) collision audit: the corpus
+    * vocabulary hashed into d ∈ {64, 256, 1024} buckets with the
+    * portable md5 fold; per dimension, buckets used, colliding
+    * tokens, the collision rate and the max bucket load — the table
+    * that picks a hash-feature width before training a linear model
+    * on text. One vocabulary rollup (corpus touched once), then three
+    * conditional aggregations over the token table.
+    */
+  def featureHashing(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("h", expr(
+        "aggregate(transform(split(md5(cast(w as binary)), ''), " +
+          "c -> cast(ascii(c) as bigint)), cast(-1 as bigint), " +
+          "(h, a) -> if(h = -1L, a, pmod(h * 31 + a, 1000000007L)))"))
+      .localCheckpoint()
+    Seq(64, 256, 1024).map { d =>
+      vocab.groupBy((col("h") % d).as("bucket"))
+        .agg(count(lit(1)).as("nt"))
+        .agg(sum("nt").as("distinct_tokens"),
+          count(lit(1)).as("buckets_used"),
+          max("nt").as("max_bucket_load"))
+        .select(lit(d.toLong).as("dims"), col("distinct_tokens"),
+          col("buckets_used"),
+          (col("distinct_tokens") - col("buckets_used"))
+            .as("colliding_tokens"),
+          round((col("distinct_tokens") - col("buckets_used"))
+            .cast("double") * 100.0 / col("distinct_tokens").cast("double"),
+            3).as("collision_pct"),
+          col("max_bucket_load"))
+    }.reduce(_ unionAll _).orderBy("dims")
+  }
+
+  private val hashingOracle = """
+    WITH vocab AS MATERIALIZED (
+      SELECT w,
+        list_reduce(list_transform(string_split_regex(md5(w), ''),
+          c -> CAST(ascii(c) AS BIGINT)),
+          (h, a) -> (h * 31 + a) % 1000000007) AS h
+      FROM (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY 1)),
+    dims AS (SELECT unnest([64, 256, 1024]) AS d),
+    per AS (
+      SELECT d, h % d AS bucket, COUNT(*) AS nt
+      FROM vocab CROSS JOIN dims GROUP BY 1, 2),
+    agg AS (
+      SELECT d, CAST(SUM(nt) AS BIGINT) AS distinct_tokens,
+        COUNT(*) AS buckets_used, CAST(MAX(nt) AS BIGINT) AS max_bucket_load
+      FROM per GROUP BY 1)
+    SELECT CAST(d AS BIGINT) AS dims, distinct_tokens, buckets_used,
+      distinct_tokens - buckets_used AS colliding_tokens,
+      ROUND(CAST(distinct_tokens - buckets_used AS DOUBLE) * 100.0
+        / CAST(distinct_tokens AS DOUBLE), 3) AS collision_pct,
+      max_bucket_load
+    FROM agg ORDER BY dims"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q375_feature_hashing",
+      (s, d) => featureHashing(documents(s, d)), Some(hashingOracle)),
     Q("q377_position_bias",
       (s, d) => positionBias(events(s, d)), Some(positionOracle())),
     Q("q378_class_balance_weights",

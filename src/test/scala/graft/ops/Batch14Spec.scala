@@ -59,4 +59,18 @@ class Batch14Spec extends SparkSpec {
     assert(r(0).getAs[Long]("salt_factor") == 17L)
     assert(r.forall(x => x.getAs[Long]("salt_factor") >= 1L))
   }
+
+  test("featureHashing: wider dims collide less; counts reconcile") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val r = Ranking.featureHashing(docs).collect()
+      .map(x => x.getAs[Long]("dims") -> x).toMap
+    val v = r(64L).getAs[Long]("distinct_tokens")
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("distinct_tokens") == v)
+      assert(x.getAs[Long]("colliding_tokens") ==
+        v - x.getAs[Long]("buckets_used"))
+    }
+    assert(r(64L).getAs[Double]("collision_pct") >=
+      r(1024L).getAs[Double]("collision_pct"))
+  }
 }
