@@ -38,6 +38,7 @@ object SparkEntry {
     ops.Supervision,
     ops.Modeling,
     ops.Ranking,
+    ops.Inference,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,

@@ -231,9 +231,103 @@ object Modeling extends QueryModule {
         6) AS iv_contrib
     FROM by_bin, tot ORDER BY bin"""
 
+  // ---------------------------------------------------------------- q383
+
+  /** Cook's distance for the daily-revenue OLS trend: per day,
+    * leverage h = 1/n + (t−t̄)²/Stt and D = e²·h/(2s²(1−h)²) — the
+    * influence diagnostic that names the exact days bending the trend
+    * line. The series is exact integer dollars (cents DIV 100, the
+    * q384 discipline); moments are one pass, per-day terms a second;
+    * output is the top-10 by (D desc, day).
+    */
+  def cooksDistance(li: DataFrame, top: Int = 10): DataFrame = {
+    val daily = li.groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(expr("sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) DIV 100")
+        .as("y"))
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+      .localCheckpoint()
+    val m = daily.agg(count(lit(1)).as("n"),
+        sum("t").as("st"), sum("y").as("sy"),
+        sum(expr("CAST(t AS BIGINT) * t")).as("stt"),
+        sum((col("t").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("sty"),
+        sum((col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("syy"))
+      .select(col("n"),
+        expr("CAST(st AS DOUBLE) / n").as("mt"),
+        expr("CAST(sy AS DOUBLE) / n").as("my"),
+        expr("CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n")
+          .as("sttc"),
+        expr("CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n")
+          .as("styc"),
+        expr("CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n")
+          .as("syyc"))
+      .withColumn("b", expr("styc / sttc"))
+      .withColumn("s2", expr("(syyc - styc * styc / sttc) / (n - 2)"))
+      .localCheckpoint()
+    daily.crossJoin(broadcast(m))
+      .withColumn("h", expr("1.0 / n + (t - mt) * (t - mt) / sttc"))
+      .withColumn("e", expr("CAST(y AS DOUBLE) - (my + b * (t - mt))"))
+      .withColumn("cook_d", expr(
+        "e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))"))
+      .orderBy(col("cook_d").desc, col("day"))
+      .limit(top)
+      .select(col("day"), col("t").cast("long").as("t"), col("y"),
+        round(col("h"), 8).as("leverage"),
+        round(col("e"), 4).as("residual"),
+        round(col("cook_d"), 8).as("cook_d"))
+  }
+
+  private def cooksOracle(top: Int = 10): String = s"""
+    WITH daily0 AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) // 100
+          AS BIGINT) AS y
+      FROM lineitem GROUP BY 1),
+    daily AS MATERIALIZED (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily0),
+    m0 AS (
+      SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS st,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(t AS BIGINT) * t) AS BIGINT) AS stt,
+        SUM(CAST(CAST(t AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+          AS DECIMAL(38,0))) AS sty,
+        SUM(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+          AS DECIMAL(38,0))) AS syy
+      FROM daily),
+    m1 AS (
+      SELECT n, CAST(st AS DOUBLE) / n AS mt, CAST(sy AS DOUBLE) / n AS my,
+        CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n
+          AS sttc,
+        CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n
+          AS styc,
+        CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+          AS syyc
+      FROM m0),
+    m2 AS MATERIALIZED (
+      SELECT *, styc / sttc AS b,
+        (syyc - styc * styc / sttc) / (n - 2) AS s2
+      FROM m1),
+    scored AS (
+      SELECT d.day, d.t, d.y,
+        1.0 / m.n + (d.t - m.mt) * (d.t - m.mt) / m.sttc AS h,
+        CAST(d.y AS DOUBLE) - (m.my + m.b * (d.t - m.mt)) AS e
+      FROM daily d, m2 m),
+    cook AS (
+      SELECT day, t, y, h, e,
+        e * e * h / (2.0 * (SELECT s2 FROM m2)
+          * (1.0 - h) * (1.0 - h)) AS cook_d
+      FROM scored)
+    SELECT day, CAST(t AS BIGINT) AS t, y,
+      ROUND(h, 8) AS leverage, ROUND(e, 4) AS residual,
+      ROUND(cook_d, 8) AS cook_d
+    FROM cook ORDER BY cook_d DESC, day LIMIT $top"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q383_cooks_distance",
+      (s, d) => cooksDistance(lineitem(s, d)), Some(cooksOracle())),
     Q("q358_ridge_path",
       (s, d) => ridgePath(lineitem(s, d)), Some(ridgeOracle)),
     Q("q359_woe_iv", (s, d) => woeIv(events(s, d)), Some(woeOracle)),
