@@ -39,6 +39,7 @@ object SparkEntry {
     ops.Modeling,
     ops.Ranking,
     ops.Inference,
+    ops.Tuning,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,
