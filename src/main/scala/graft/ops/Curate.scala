@@ -322,7 +322,88 @@ object Curate extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q389
+
+  /** Quality-gate rejection attribution: three deterministic curation
+    * gates (too-short, high repetition, low lexical diversity) applied
+    * jointly, with the table every filtering pipeline owes its users —
+    * per gate: rejected docs, UNIQUELY rejected (no other gate fires),
+    * and the overlap; plus survivors. Explains "why did my corpus
+    * shrink" gate by gate. One scan, conditional counts; the gates are
+    * the q78/q335 thresholds expressed as independent flags.
+    */
+  def gateAttribution(docs: DataFrame): DataFrame = {
+    val flagged = docs.select(col("doc_id"),
+        (col("n_chars") < 120).cast("long").as("g_short"),
+        (size(split(col("text"), " "))
+          - size(array_distinct(split(col("text"), " "))) >
+          size(split(col("text"), " ")) / 2).cast("long").as("g_repeat"),
+        (size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " ")).cast("double") < 0.4)
+          .cast("long").as("g_lowdiv"))
+      .withColumn("n_gates", col("g_short") + col("g_repeat") + col("g_lowdiv"))
+    def gate(name: String, g: String) = flagged.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(g)).as("rejected"),
+        sum(when(col(g) === 1 && col("n_gates") === 1, 1L).otherwise(0L))
+          .as("uniquely_rejected"))
+      .select(lit(name).as("gate"), col("n_docs"), col("rejected"),
+        col("uniquely_rejected"),
+        (col("rejected") - col("uniquely_rejected")).as("overlap_rejected"))
+    gate("g_lowdiv", "g_lowdiv")
+      .unionAll(gate("g_repeat", "g_repeat"))
+      .unionAll(gate("g_short", "g_short"))
+      .unionAll(flagged.agg(count(lit(1)).as("n_docs"),
+          sum((col("n_gates") > 0).cast("long")).as("rejected"))
+        .select(lit("any_gate").as("gate"), col("n_docs"), col("rejected"),
+          lit(0L).as("uniquely_rejected"),
+          lit(0L).as("overlap_rejected")))
+      .orderBy("gate")
+  }
+
+  private val gateOracle = """
+    WITH flagged AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN n_chars < 120 THEN 1 ELSE 0 END AS g_short,
+        CASE WHEN len(string_split(text, ' '))
+            - len(list_distinct(string_split(text, ' ')))
+            > len(string_split(text, ' ')) // 2 THEN 1 ELSE 0 END
+          AS g_repeat,
+        CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.4
+          THEN 1 ELSE 0 END AS g_lowdiv
+      FROM documents),
+    ng AS (
+      SELECT *, g_short + g_repeat + g_lowdiv AS n_gates FROM flagged),
+    gates AS (
+      SELECT 'g_short' AS gate, COUNT(*) AS n_docs,
+        CAST(SUM(g_short) AS BIGINT) AS rejected,
+        CAST(SUM(CASE WHEN g_short = 1 AND n_gates = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS uniquely_rejected
+      FROM ng
+      UNION ALL
+      SELECT 'g_repeat', COUNT(*), CAST(SUM(g_repeat) AS BIGINT),
+        CAST(SUM(CASE WHEN g_repeat = 1 AND n_gates = 1 THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM ng
+      UNION ALL
+      SELECT 'g_lowdiv', COUNT(*), CAST(SUM(g_lowdiv) AS BIGINT),
+        CAST(SUM(CASE WHEN g_lowdiv = 1 AND n_gates = 1 THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM ng
+      UNION ALL
+      SELECT 'any_gate', COUNT(*),
+        CAST(SUM(CASE WHEN n_gates > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(0 AS BIGINT)
+      FROM ng)
+    SELECT gate, n_docs, rejected, uniquely_rejected,
+      CASE WHEN gate = 'any_gate' THEN 0
+        ELSE rejected - uniquely_rejected END AS overlap_rejected
+    FROM gates ORDER BY gate"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q389_gate_attribution",
+      (s, d) => gateAttribution(documents(s, d)), Some(gateOracle)),
     Q("q275_pagerank",
       (s, d) => pagerankFixed(lineitem(s, d), orders(s, d), supplier(s, d),
         customer(s, d)),

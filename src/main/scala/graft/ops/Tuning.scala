@@ -187,9 +187,130 @@ object Tuning extends QueryModule {
       ROUND(CAST(ts AS DOUBLE) / tail_n, 6) AS cvar95
     FROM tail ORDER BY event_type"""
 
+  // ---------------------------------------------------------------- q388
+
+  /** Watermark-delay advisor: using q346's lateness definition
+    * (running-max event time − event time in arrival order), evaluate
+    * candidate watermark delays {0, 1, 5, 15} minutes — rows a
+    * streaming job would DROP under each delay, the drop rate in ppm,
+    * and the exact completeness percentile each delay buys. Turns the
+    * watermark knob into a measured trade instead of a default. One
+    * global-order window pass (q129 documented oracle form), then
+    * conditional sums per candidate.
+    */
+  def watermarkAdvisor(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = events
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max("us").over(w) - col("us"))
+      .localCheckpoint()
+    val n = late.agg(count(lit(1)).as("n"))
+    Seq(0L, 1L, 5L, 15L).map { d =>
+      val thresh = d * 60L * 1000000L
+      late.agg(sum((col("late_us") > thresh).cast("long")).as("dropped"))
+        .crossJoin(broadcast(n))
+        .select(lit(d).as("delay_minutes"), col("n"), col("dropped"),
+          expr("dropped * 1000000 DIV n").as("drop_ppm"),
+          expr("(n - dropped) * 10000 DIV n").as("completeness_bp"))
+    }.reduce(_ unionAll _).orderBy("delay_minutes")
+  }
+
+  private val watermarkOracle = """
+    WITH late AS MATERIALIZED (
+      SELECT event_id,
+        MAX(epoch_us(ts)) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+          - epoch_us(ts) AS late_us
+      FROM events),
+    n AS (SELECT COUNT(*) AS n FROM late),
+    ds AS (SELECT unnest([0, 1, 5, 15]) AS d),
+    swept AS (
+      SELECT d, CAST(SUM(CASE WHEN late_us > CAST(d AS BIGINT) * 60 * 1000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+      FROM late, ds GROUP BY d)
+    SELECT CAST(d AS BIGINT) AS delay_minutes, n, dropped,
+      dropped * 1000000 // n AS drop_ppm,
+      (n - dropped) * 10000 // n AS completeness_bp
+    FROM swept, n ORDER BY delay_minutes"""
+
+  // ---------------------------------------------------------------- q390
+
+  /** Seasonal-strength statistic per event type: with the day-of-week
+    * profile as the seasonal component of the daily count series,
+    * F_s = max(0, 1 − Var(remainder)/Var(detrended)) — Hyndman's
+    * strength-of-seasonality, the one number that says whether weekly
+    * seasonality is worth modeling. Variances are doubles of exact
+    * integer/decimal sums; the rollups are dow- and day-sized.
+    */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("day")))
+      .localCheckpoint()
+    val grand = daily.groupBy("event_type")
+      .agg(sum("c").as("sc"), count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        expr("CAST(sc AS DOUBLE) / nd").as("gmean"))
+    val dowMean = daily.groupBy("event_type", "dow")
+      .agg(sum("c").as("sdc"), count(lit(1)).as("ndc"))
+      .select(col("event_type"), col("dow"),
+        expr("CAST(sdc AS DOUBLE) / ndc").as("dmean"))
+    daily.join(broadcast(grand), "event_type")
+      .join(broadcast(dowMean), Seq("event_type", "dow"))
+      .select(col("event_type"),
+        (col("c").cast("double") - col("gmean")).as("det"),
+        (col("c").cast("double") - col("dmean")).as("rem"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("CAST(det * det AS DECIMAL(18,6))")).cast("decimal(28,6)")
+          .as("sdet"),
+        sum(expr("CAST(rem * rem AS DECIMAL(18,6))")).cast("decimal(28,6)")
+          .as("srem"))
+      .select(col("event_type"), col("n_days"),
+        round(expr("""GREATEST(CAST(0.0 AS DOUBLE),
+          CAST(1.0 AS DOUBLE) - CAST(srem AS DOUBLE)
+            / CAST(sdet AS DOUBLE))"""), 6).as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
+  private val seasonalOracle = """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c,
+        dayofweek(CAST(ts AS DATE)) AS dow
+      FROM events GROUP BY 1, 2),
+    grand AS (
+      SELECT event_type, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS gmean
+      FROM daily GROUP BY 1),
+    dow_mean AS (
+      SELECT event_type, dow, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS dmean
+      FROM daily GROUP BY 1, 2),
+    terms AS (
+      SELECT d.event_type,
+        CAST(d.c AS DOUBLE) - g.gmean AS det,
+        CAST(d.c AS DOUBLE) - m.dmean AS rem
+      FROM daily d JOIN grand g USING (event_type)
+      JOIN dow_mean m ON m.event_type = d.event_type AND m.dow = d.dow),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_days,
+        CAST(SUM(CAST(det * det AS DECIMAL(18,6))) AS DECIMAL(28,6))
+          AS sdet,
+        CAST(SUM(CAST(rem * rem AS DECIMAL(18,6))) AS DECIMAL(28,6))
+          AS srem
+      FROM terms GROUP BY 1)
+    SELECT event_type, n_days,
+      ROUND(GREATEST(CAST(0.0 AS DOUBLE),
+        CAST(1.0 AS DOUBLE) - CAST(srem AS DOUBLE) / CAST(sdet AS DOUBLE)),
+        6) AS seasonal_strength
+    FROM agg ORDER BY event_type"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q388_watermark_advisor",
+      (s, d) => watermarkAdvisor(events(s, d)), Some(watermarkOracle)),
+    Q("q390_seasonal_strength",
+      (s, d) => seasonalStrength(events(s, d)), Some(seasonalOracle)),
     Q("q385_blocking_sweep",
       (s, d) => blockingSweep(documents(s, d)), Some(blockingOracle)),
     Q("q386_session_gap_sweep",
