@@ -77,8 +77,10 @@ object ImageQueries extends QueryModule {
     */
   def streamingPipeline(spark: SparkSession): DataFrame = {
     val src = corpusDir()
-    val out = Files.createTempDirectory("graft_images_out")
-    val cp  = Files.createTempDirectory("graft_images_cp")
+    // tmpfs scratch (graft.Tmp): the sink + checkpoint are per-run
+    // small-file churn, the dominant cost of this finite stream
+    val out = graft.Tmp.dir("graft_images_out")
+    val cp  = graft.Tmp.dir("graft_images_cp")
     val q = Ingest.stream(spark, src.toString, out.toString, cp.toString)
     q.awaitTermination()
     spark.read.parquet(out.toString)

@@ -10,13 +10,11 @@ object MlQueries extends QueryModule {
     * scored table (schema (path, score), FIXTURES.md A.3).
     */
   private def streamingScore(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
-    import java.nio.file.Files
     // source corpus is shared (read-only, JVM-wide); the sink + checkpoint
     // must be fresh per run for streaming exactly-once semantics
     val src = graft.imaging.ImageQueries.sharedCorpusDir
-    val out = Files.createTempDirectory("q51_out")
-    val cp  = Files.createTempDirectory("q51_cp")
-    out.toFile.deleteOnExit(); cp.toFile.deleteOnExit()
+    val out = graft.Tmp.dir("q51_out")
+    val cp  = graft.Tmp.dir("q51_cp")
     val labeled = graft.ingest.Ingest.batch(s, src.toString).select("content", "label")
     val model = StreamScoring.trainOnImages(s, labeled)
     StreamScoring.scoreStream(s, model, src.toString, out.toString, cp.toString)

@@ -62,16 +62,33 @@ object StreamingOps extends QueryModule {
     */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = spark.conf.get(key)
+    val ndOld = spark.conf.getOption(ndKey)
     spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+    // No-data micro-batches exist to advance the watermark so append-mode
+    // WINDOW aggregations flush their final windows and event-time timers
+    // fire. Every query in this module emits its rows IN the data batch
+    // (complete mode re-emits everything; dedup/join/transformWithState
+    // emit on arrival; foreachBatch runs per data batch), so the trailing
+    // no-data batch is a full per-partition state-store commit cycle that
+    // produces nothing — skip it. Any future append-mode windowed agg or
+    // timer-based processor must NOT run under this helper.
+    spark.conf.set(ndKey, "false")
+    try f finally {
+      spark.conf.set(key, old)
+      ndOld match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
   }
 
   /** Event-time tumbling window + watermark, run to completion with
     * AvailableNow into a memory sink (complete mode emits every window,
     * so the result equals the batch q16 plan and shares its oracle).
     */
-  def streamingWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def streamingWindow(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_win") { ck =>
     import graft.Num._
     val name = s"graft_stream_win_${System.nanoTime()}"
     val agg = eventStream(spark, sfDir)
@@ -81,6 +98,7 @@ object StreamingOps extends QueryModule {
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -90,7 +108,7 @@ object StreamingOps extends QueryModule {
     val res = spark.table(name).orderBy("bucket_start").localCheckpoint()
     spark.catalog.dropTempView(name)
     res
-  }
+  }}
 
   // shares q16's oracle: complete-mode streaming == batch on finite input
   private val streamingWindowOracle = """
@@ -220,7 +238,7 @@ object StreamingOps extends QueryModule {
   // overhead dwarfs any benefit at this state size); q84 uses RocksDB
   // because transformWithState requires it, and at real state volumes
   // the disk-backed store is the right default anyway.
-  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_ssj") { ck =>
     val name = s"graft_ss_join_${System.nanoTime()}"
     val purchases = eventStream(spark, sfDir)
       .filter(col("event_type") === "purchase")
@@ -243,6 +261,7 @@ object StreamingOps extends QueryModule {
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -258,7 +277,7 @@ object StreamingOps extends QueryModule {
             "(multi-file fixture? set maxFilesPerTrigger or drop the oracle)")
       spark.table(name).orderBy("p_event_id", "e_event_id").localCheckpoint()
     } finally spark.catalog.dropTempView(name)
-  }
+  }}
 
   private val streamStreamJoinOracle = """
     SELECT p.event_id AS p_event_id, e.event_id AS e_event_id, p.user_id,
@@ -276,7 +295,7 @@ object StreamingOps extends QueryModule {
     * sink and audit per-type counts in batch; duplicates fully removed ⇒
     * equals the plain batch aggregate (shares its oracle shape).
     */
-  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_dd") { ck =>
     val name = s"graft_stream_dedup_${System.nanoTime()}"
     val twice = eventStream(spark, sfDir).union(eventStream(spark, sfDir))
     val q = twice
@@ -285,6 +304,7 @@ object StreamingOps extends QueryModule {
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -298,7 +318,7 @@ object StreamingOps extends QueryModule {
       .localCheckpoint()
     spark.catalog.dropTempView(name)
     res
-  }
+  }}
 
   private val streamingDedupOracle = """
     SELECT event_type, COUNT(*) AS n_events,
@@ -315,7 +335,7 @@ object StreamingOps extends QueryModule {
     * equals the batch distinct and shares q72's oracle shape.
     */
   def streamingDedupWatermark(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_ddwm") { ck =>
       val name = s"graft_stream_dedup_wm_${System.nanoTime()}"
       val twice = eventStream(spark, sfDir).union(eventStream(spark, sfDir))
       val q = twice
@@ -325,6 +345,7 @@ object StreamingOps extends QueryModule {
         .writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(name)
+        .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -336,7 +357,7 @@ object StreamingOps extends QueryModule {
         .localCheckpoint()
       spark.catalog.dropTempView(name)
       res
-    }
+    }}
 
   /** Sessionization on the transformWithState API (Spark 4's arbitrary
     * stateful operator, successor to flatMapGroupsWithState): the open
@@ -398,7 +419,7 @@ object StreamingOps extends QueryModule {
   }
 
   def twsSessionize(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, 8) { withRocksDb(spark) {
+    withStatePartitions(spark, 8) { withRocksDb(spark) { graft.Tmp.withDir("graft_ck_tws") { ck =>
       import spark.implicits._
       val name = s"graft_tws_sess_${System.nanoTime()}"
       val evs = eventStream(spark, sfDir)
@@ -413,6 +434,7 @@ object StreamingOps extends QueryModule {
         .writeStream
         .outputMode(OutputMode.Append())
         .format("memory").queryName(name)
+        .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -428,7 +450,7 @@ object StreamingOps extends QueryModule {
         spark.table(name)
           .orderBy("user_id", "session_start_us").localCheckpoint()
       } finally spark.catalog.dropTempView(name)
-    }}
+    }}}
 
   /** Incremental aggregation via foreachBatch — the streaming pattern
     * for maintaining an aggregate table without reprocessing history:
@@ -462,7 +484,7 @@ object StreamingOps extends QueryModule {
 
   private def splitEventsDir(spark: SparkSession, sfDir: String): String =
     splitDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_events_split")
+      val dir = graft.Tmp.dir("graft_events_split")
       graft.Tables.events(spark, sfDir).repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
       // deleteOnExit on the dir alone is a no-op for non-empty dirs:
@@ -487,10 +509,10 @@ object StreamingOps extends QueryModule {
     org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
   def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_incr") { ck =>
       import graft.Num._
       val src = splitEventsDir(spark, sfDir)
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_incr_state")
+      val stateDir = graft.Tmp.dir("graft_incr_state")
       // stream construction/start inside the try: a start-time failure
       // must still delete the state dir
       try {
@@ -505,6 +527,7 @@ object StreamingOps extends QueryModule {
               .write.mode("append").parquet(stateDir.toString)
             ()
           }
+          .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -526,7 +549,7 @@ object StreamingOps extends QueryModule {
           spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
       }
-    }
+    }}
 
   // totals over the whole stream == the plain batch aggregate
   private val incrementalAggOracle = """
@@ -547,10 +570,10 @@ object StreamingOps extends QueryModule {
     * latest-event-per-user query, q08's shape in integer micros.
     */
   def incrementalUpsert(spark: SparkSession, sfDir: String): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_ups") { ck =>
       import org.apache.spark.sql.expressions.Window
       val src = splitEventsDir(spark, sfDir)
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert_state")
+      val stateDir = graft.Tmp.dir("graft_upsert_state")
       def latestWins(df: DataFrame): DataFrame = {
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts_us").desc, col("event_id").desc)
@@ -576,6 +599,7 @@ object StreamingOps extends QueryModule {
             current = Some(next)
             ()
           }
+          .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -590,7 +614,7 @@ object StreamingOps extends QueryModule {
           spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(stateDir.toString), true)
       }
-    }
+    }}
 
   // final upserted state == batch latest-event-per-user (q08 in micros)
   private val incrementalUpsertOracle = """
@@ -607,7 +631,7 @@ object StreamingOps extends QueryModule {
     * aggregation over AvailableNow equals the batch join+groupBy, which
     * is the oracle.
     */
-  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) {
+  def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = withStatePartitions(spark, 8) { graft.Tmp.withDir("graft_ck_enr") { ck =>
     import graft.Num._
     val name = s"graft_stream_enrich_${System.nanoTime()}"
     val dim = graft.Tables.customer(spark, sfDir)
@@ -619,6 +643,7 @@ object StreamingOps extends QueryModule {
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
+      .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -626,7 +651,7 @@ object StreamingOps extends QueryModule {
       .orderBy("c_mktsegment", "event_type").localCheckpoint()
     spark.catalog.dropTempView(name)
     res
-  }
+  }}
 
   private val streamEnrichOracle = """
     SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
