@@ -942,7 +942,372 @@ object StatTests extends QueryModule {
         + (1 - d1 / (d1 + d2)) * (1 - d1 / (d1 + d2)) / (h2 - 1)), 4) AS df
     FROM d"""
 
+  // ---------------------------------------------------------------- q391
+
+  /** Kruskal-Wallis H across event types on the 2-decimal value: the
+    * rank-based one-way ANOVA (with tie correction) a pipeline uses
+    * when group distributions are non-normal. Average ranks are exact:
+    * the corpus collapses to distinct integer cents (value-cardinality,
+    * not corpus-cardinality), the cumulative count window gives each
+    * distinct value TWICE its average rank as an integer
+    * (r2 = 2·cum − t + 1), and per-group rank sums are exact decimal
+    * sums of gc·r2. Doubles appear only in the final H expression over
+    * the ≤k group rows, folded in pinned event_type order.
+    */
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    val vals = events.select(col("event_type"),
+      (dec(col("value"), 2) * 100).cast("long").as("c"))
+    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = vals.groupBy("c").agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum("t").over(w))
+      .select(col("c"), col("t"), (lit(2) * col("cum") - col("t") + 1).as("r2"))
+    val grp = vals.groupBy("event_type", "c").agg(count(lit(1)).as("gc"))
+      .join(byVal, "c")
+      .groupBy("event_type")
+      .agg(sum("gc").as("nj"),
+        sum((col("gc") * col("r2")).cast("decimal(38,0)")).as("r2j"))
+    val ties = byVal.agg(
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .as("tie3"))
+    grp.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).as("k"), sum("nj").as("n"),
+        max(col("tie3")).as("tie3"),
+        expr("""aggregate(
+            array_sort(collect_list(named_struct('g', event_type,
+              'term', CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
+                      / CAST(nj AS DOUBLE)))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("ssq"))
+      .select(col("k"), col("n"),
+        round(expr("""12.0 * ssq / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+            - 3.0 * CAST(n + 1 AS DOUBLE)"""), 6).as("h"),
+        round(expr(
+          """(12.0 * ssq / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+            | - 3.0 * CAST(n + 1 AS DOUBLE))
+            |/ (1.0 - CAST(tie3 AS DOUBLE)
+            |   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            |      - CAST(n AS DOUBLE)))""".stripMargin), 6).as("h_tie_corrected"))
+  }
+
+  private val kruskalOracle = """
+    WITH vals AS (
+      SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    by_val AS (
+      SELECT c, t, 2 * SUM(t) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+        - t + 1 AS r2
+      FROM (SELECT c, COUNT(*) AS t FROM vals GROUP BY c)),
+    grp AS (
+      SELECT event_type, SUM(gc) AS nj,
+        CAST(SUM(gc * r2) AS DECIMAL(38,0)) AS r2j
+      FROM (SELECT event_type, c, COUNT(*) AS gc FROM vals GROUP BY 1, 2)
+      JOIN by_val USING (c) GROUP BY 1),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS DECIMAL(38,0)) AS tie3 FROM by_val),
+    folded AS (
+      SELECT COUNT(*) AS k, CAST(SUM(nj) AS BIGINT) AS n, MAX(tie3) AS tie3,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
+               / CAST(nj AS DOUBLE) ORDER BY event_type)),
+          (acc, x) -> acc + x) AS ssq
+      FROM grp, ties)
+    SELECT k, n,
+      ROUND(12.0 * ssq / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        - 3.0 * CAST(n + 1 AS DOUBLE), 6) AS h,
+      ROUND((12.0 * ssq / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        - 3.0 * CAST(n + 1 AS DOUBLE))
+        / (1.0 - CAST(tie3 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+    FROM folded"""
+
+  // ---------------------------------------------------------------- q392
+
+  /** Jarque-Bera normality test per event type: skewness and excess
+    * kurtosis from the first four EXACT decimal power sums of integer
+    * cents (c⁴ ≤ 1e19 per row — decimal(38,0) holds the corpus sum far
+    * past 100 TB), JB = n/6·(g1² + g2²/4). One shuffle, k output rows;
+    * doubles only in the fixed-shape moment expressions.
+    */
+  def jarqueBera(events: DataFrame): DataFrame = {
+    val c = events.select(col("event_type"),
+      (dec(col("value"), 2) * 100).cast("decimal(18,0)").as("c"))
+    c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).cast("decimal(38,0)").as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"),
+        sum((col("c") * col("c") * col("c")).cast("decimal(38,0)")).as("s3"),
+        sum(expr("CAST(c * c AS DECIMAL(38,0)) * CAST(c * c AS DECIMAL(38,0))")
+          .cast("decimal(38,0)")).as("s4"))
+      .select(col("event_type"), col("n"),
+        expr("CAST(s1 AS DOUBLE) / n").as("mu"),
+        expr("CAST(s2 AS DOUBLE) / n").as("m2r"),
+        expr("CAST(s3 AS DOUBLE) / n").as("m3r"),
+        expr("CAST(s4 AS DOUBLE) / n").as("m4r"))
+      .select(col("event_type"), col("n"),
+        expr("m2r - mu * mu").as("m2"),
+        expr("m3r - 3.0 * mu * m2r + 2.0 * mu * mu * mu").as("m3"),
+        expr("m4r - 4.0 * mu * m3r + 6.0 * mu * mu * m2r - 3.0 * mu * mu * mu * mu")
+          .as("m4"))
+      .select(col("event_type"), col("n"),
+        round(expr("m3 / pow(m2, 1.5)"), 6).as("skewness"),
+        round(expr("m4 / (m2 * m2) - 3.0"), 6).as("excess_kurtosis"),
+        round(expr("""CAST(n AS DOUBLE) / 6.0
+          * (m3 / pow(m2, 1.5) * (m3 / pow(m2, 1.5))
+             + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)"""), 4)
+          .as("jb"))
+      .orderBy("event_type")
+  }
+
+  private val jarqueBeraOracle = """
+    WITH ps AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+        CAST(SUM(c * c) AS DECIMAL(38,0)) AS s2,
+        CAST(SUM(c * c * c) AS DECIMAL(38,0)) AS s3,
+        CAST(SUM(CAST(c * c AS DECIMAL(38,0)) * CAST(c * c AS DECIMAL(38,0)))
+          AS DECIMAL(38,0)) AS s4
+      FROM (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS c
+            FROM events) GROUP BY 1),
+    mr AS (
+      SELECT event_type, n,
+        CAST(s1 AS DOUBLE) / n AS mu, CAST(s2 AS DOUBLE) / n AS m2r,
+        CAST(s3 AS DOUBLE) / n AS m3r, CAST(s4 AS DOUBLE) / n AS m4r
+      FROM ps),
+    mo AS (
+      SELECT event_type, n, m2r - mu * mu AS m2,
+        m3r - 3.0 * mu * m2r + 2.0 * mu * mu * mu AS m3,
+        m4r - 4.0 * mu * m3r + 6.0 * mu * mu * m2r
+          - 3.0 * mu * mu * mu * mu AS m4
+      FROM mr)
+    SELECT event_type, n,
+      ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+      ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+      ROUND(CAST(n AS DOUBLE) / 6.0
+        * (m3 / pow(m2, 1.5) * (m3 / pow(m2, 1.5))
+           + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 4) AS jb
+    FROM mo ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q393
+
+  /** Bartlett's variance-homogeneity test across event types — the
+    * parametric complement of q233's Brown-Forsythe: per-group exact
+    * (n, Σc, Σc²), each group's SS and log-variance in doubles, the
+    * three cross-group reductions folded in pinned event_type order
+    * (k ≤ 5 rows), χ² statistic with Bartlett's correction factor.
+    */
+  def bartlettTest(events: DataFrame): DataFrame = {
+    val grp = events
+      .select(col("event_type"), (dec(col("value"), 2) * 100)
+        .cast("decimal(18,0)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).cast("decimal(38,0)").as("s"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .withColumn("ssd", expr(
+        "CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+    grp.agg(count(lit(1)).as("k"), sum("n").as("n"),
+        expr("""aggregate(array_sort(collect_list(named_struct(
+            'g', event_type, 'term', ssd))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("f1"),
+        expr("""aggregate(array_sort(collect_list(named_struct(
+            'g', event_type,
+            'term', CAST(n - 1 AS DOUBLE) * ln(ssd / CAST(n - 1 AS DOUBLE))))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("f2"),
+        expr("""aggregate(array_sort(collect_list(named_struct(
+            'g', event_type, 'term', 1.0 / CAST(n - 1 AS DOUBLE)))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("f3"))
+      .select(col("k"), col("n"),
+        round(expr("f1 / CAST(n - k AS DOUBLE) / 10000.0"), 6).as("pooled_var"),
+        round(expr(
+          """(CAST(n - k AS DOUBLE) * ln(f1 / CAST(n - k AS DOUBLE)) - f2)
+            |/ (1.0 + (f3 - 1.0 / CAST(n - k AS DOUBLE))
+            |         / (3.0 * CAST(k - 1 AS DOUBLE)))""".stripMargin), 6)
+          .as("bartlett_chi2"))
+  }
+
+  private val bartlettOracle = """
+    WITH grp AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(c) AS DECIMAL(38,0)) AS s,
+        CAST(SUM(c * c) AS DECIMAL(38,0)) AS q
+      FROM (SELECT event_type,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS c
+            FROM events) GROUP BY 1),
+    g2 AS (
+      SELECT *, CAST(q AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ssd
+      FROM grp),
+    folded AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(ssd ORDER BY event_type)), (acc, x) -> acc + x) AS f1,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST(n - 1 AS DOUBLE) * ln(ssd / CAST(n - 1 AS DOUBLE))
+               ORDER BY event_type)), (acc, x) -> acc + x) AS f2,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(1.0 / CAST(n - 1 AS DOUBLE) ORDER BY event_type)),
+          (acc, x) -> acc + x) AS f3
+      FROM g2)
+    SELECT k, n,
+      ROUND(f1 / CAST(n - k AS DOUBLE) / 10000.0, 6) AS pooled_var,
+      ROUND((CAST(n - k AS DOUBLE) * ln(f1 / CAST(n - k AS DOUBLE)) - f2)
+        / (1.0 + (f3 - 1.0 / CAST(n - k AS DOUBLE))
+                 / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS bartlett_chi2
+    FROM folded"""
+
+  // ---------------------------------------------------------------- q394
+
+  /** Wilcoxon signed-rank test on per-user paired halves: each user's
+    * events are alternately assigned (by within-user arrival order) to
+    * two halves, the paired difference is the EXACT integer cents
+    * difference of the two half-sums, zeros are excluded (standard),
+    * and |d| is ranked with exact average ranks (the q391 2·rank
+    * trick on the distinct-|d| frame). W+ is an exact decimal rank
+    * sum; the normal-approximation z uses the tie-corrected variance.
+    * One user-keyed shuffle; ranking runs on distinct-|d| cardinality.
+    */
+  def wilcoxonSignedRank(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val d = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec(col("value"), 2) * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(wu))
+      .groupBy("user_id")
+      .agg(sum(when(col("rn") % 2 === 0, col("c")).otherwise(-col("c")))
+        .as("d"))
+      .filter(col("d") =!= 0)
+      .select(col("user_id"), abs(col("d")).as("ad"),
+        (col("d") > 0).cast("long").as("pos"))
+    val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = d.groupBy("ad")
+      .agg(count(lit(1)).as("t"), sum("pos").as("tpos"))
+      .withColumn("cum", sum("t").over(w))
+      .select(col("ad"), col("t"), col("tpos"),
+        (lit(2) * col("cum") - col("t") + 1).as("r2"))
+    byVal.agg(sum("t").as("n"),
+        sum((col("tpos") * col("r2")).cast("decimal(38,0)")).as("w2plus"),
+        sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+          .as("tie3"))
+      .select(col("n"),
+        expr("CAST(w2plus AS DOUBLE) / 2.0").as("w_plus"),
+        round(expr(
+          """(CAST(w2plus AS DOUBLE) / 2.0
+            | - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+            |/ sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+            |         * CAST(2 * n + 1 AS DOUBLE) / 24.0
+            |       - CAST(tie3 AS DOUBLE) / 48.0)""".stripMargin), 6).as("z"))
+  }
+
+  private val wilcoxonOracle = """
+    WITH d0 AS (
+      SELECT user_id,
+        SUM(CASE WHEN rn % 2 = 0 THEN c ELSE -c END) AS d
+      FROM (SELECT user_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS rn
+            FROM events) GROUP BY 1),
+    dd AS (
+      SELECT user_id, abs(d) AS ad,
+        CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+      FROM d0 WHERE d <> 0),
+    by_val AS (
+      SELECT ad, t, tpos,
+        2 * SUM(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - t + 1 AS r2
+      FROM (SELECT ad, COUNT(*) AS t, SUM(pos) AS tpos FROM dd GROUP BY ad)),
+    agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+        CAST(SUM(tpos * r2) AS DECIMAL(38,0)) AS w2plus,
+        CAST(SUM(t * t * t - t) AS DECIMAL(38,0)) AS tie3
+      FROM by_val)
+    SELECT n, CAST(w2plus AS DOUBLE) / 2.0 AS w_plus,
+      ROUND((CAST(w2plus AS DOUBLE) / 2.0
+        - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+        / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                 * CAST(2 * n + 1 AS DOUBLE) / 24.0
+               - CAST(tie3 AS DOUBLE) / 48.0), 6) AS z
+    FROM agg"""
+
+  // ---------------------------------------------------------------- q395
+
+  /** Goldfeld-Quandt heteroscedasticity test of value on hour-of-day:
+    * the corpus splits at noon, each half's OLS residual sum of squares
+    * comes from the closed form RSS = Syy − Sxy²/Sxx (centered) over
+    * EXACT decimal moment sums (x = hour ≤ 23, y = integer cents — all
+    * six sums exact at any scale), F = (RSS_pm/df_pm)/(RSS_am/df_am).
+    * One conditional-aggregation pass, two group rows, no fold needed.
+    */
+  def goldfeldQuandt(events: DataFrame): DataFrame = {
+    val base = events.select(
+      when(hour(col("ts")) < 12, "am").otherwise("pm").as("half"),
+      hour(col("ts")).cast("decimal(18,0)").as("x"),
+      (dec(col("value"), 2) * 100).cast("decimal(18,0)").as("y"))
+    val grp = base.groupBy("half").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("rss", expr(
+        """(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          |- (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          |  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          |  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"""
+          .stripMargin))
+    val am = grp.filter(col("half") === "am")
+      .select(col("n").as("n_am"), col("rss").as("rss_am"))
+    val pm = grp.filter(col("half") === "pm")
+      .select(col("n").as("n_pm"), col("rss").as("rss_pm"))
+    am.crossJoin(broadcast(pm))
+      .select(col("n_am"), col("n_pm"),
+        round(expr("rss_am / 10000.0"), 4).as("rss_am_sq"),
+        round(expr("rss_pm / 10000.0"), 4).as("rss_pm_sq"),
+        round(expr(
+          """(rss_pm / CAST(n_pm - 2 AS DOUBLE))
+            |/ (rss_am / CAST(n_am - 2 AS DOUBLE))""".stripMargin), 6)
+          .as("f_gq"))
+  }
+
+  private val goldfeldOracle = """
+    WITH base AS (
+      SELECT CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS half,
+        CAST(hour(ts) AS DECIMAL(18,0)) AS x,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS y
+      FROM events),
+    grp AS (
+      SELECT half, COUNT(*) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+        CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM base GROUP BY 1),
+    g2 AS (
+      SELECT *,
+        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+          / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+          AS rss
+      FROM grp)
+    SELECT a.n AS n_am, p.n AS n_pm,
+      ROUND(a.rss / 10000.0, 4) AS rss_am_sq,
+      ROUND(p.rss / 10000.0, 4) AS rss_pm_sq,
+      ROUND((p.rss / CAST(p.n - 2 AS DOUBLE))
+        / (a.rss / CAST(a.n - 2 AS DOUBLE)), 6) AS f_gq
+    FROM (SELECT * FROM g2 WHERE half = 'am') a,
+         (SELECT * FROM g2 WHERE half = 'pm') p"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q391_kruskal_wallis", (s, d) => kruskalWallis(events(s, d)), Some(kruskalOracle)),
+    Q("q392_jarque_bera", (s, d) => jarqueBera(events(s, d)), Some(jarqueBeraOracle)),
+    Q("q393_bartlett_test", (s, d) => bartlettTest(events(s, d)), Some(bartlettOracle)),
+    Q("q394_wilcoxon_signed_rank",
+      (s, d) => wilcoxonSignedRank(events(s, d)), Some(wilcoxonOracle)),
+    Q("q395_goldfeld_quandt",
+      (s, d) => goldfeldQuandt(events(s, d)), Some(goldfeldOracle)),
     Q("q372_yuen_t", (s, d) => yuenT(events(s, d)), Some(yuenOracle)),
     Q("q368_cvm_ad", (s, d) => cvmAd(documents(s, d)), Some(cvmAdOracle)),
     Q("q230_bh_fdr", (s, d) => bhFdr(events(s, d)), Some(bhFdrOracle)),
