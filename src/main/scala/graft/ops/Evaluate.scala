@@ -392,9 +392,179 @@ object Evaluate extends QueryModule {
       CAST(r_div AS BIGINT) AS r_div, ROUND(rrf, 6) AS rrf_score
     FROM fused ORDER BY rrf DESC, doc_id LIMIT $top"""
 
+  // ---------------------------------------------------------------- q396
+
+  /** Exact tie-corrected ROC-AUC per event type: label is the odd
+    * user_id (q328's generator), score is the 2-decimal value. AUC is
+    * the normalized Mann-Whitney U computed from EXACT average ranks —
+    * the corpus collapses to its distinct integer cents (per group),
+    * the cumulative-count window yields 2·avgrank as an integer, and
+    * U2 = 2·Σ_pos rank − n1(n1+1) stays integral, so auc_ppm is a
+    * single integral division. No per-pair work, no doubles anywhere.
+    */
+  def rocAuc(events: DataFrame): DataFrame = {
+    val vals = events.select(col("event_type"),
+      (dec(col("value"), 2) * 100).cast("long").as("c"),
+      (col("user_id") % 2 === 1).cast("long").as("pos"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVal = vals.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("t"), sum("pos").as("tpos"))
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("r2", lit(2) * col("cum") - col("t") + 1)
+    byVal.groupBy("event_type")
+      .agg(sum("t").as("n"), sum("tpos").as("n_pos"),
+        sum((col("tpos") * col("r2")).cast("decimal(38,0)")).as("r2pos"))
+      .select(col("event_type"), col("n"), col("n_pos"),
+        expr("""(r2pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 500000
+          DIV (CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos))""")
+          .cast("long").as("auc_ppm"))
+      .orderBy("event_type")
+  }
+
+  private val rocAucOracle = """
+    WITH vals AS (
+      SELECT event_type,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        CAST(user_id % 2 = 1 AS BIGINT) AS pos
+      FROM events),
+    by_val AS (
+      SELECT event_type, c, t, tpos,
+        2 * SUM(t) OVER (PARTITION BY event_type ORDER BY c
+          ROWS UNBOUNDED PRECEDING) - t + 1 AS r2
+      FROM (SELECT event_type, c, COUNT(*) AS t, SUM(pos) AS tpos
+            FROM vals GROUP BY 1, 2))
+    SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+      CAST(SUM(tpos) AS BIGINT) AS n_pos,
+      CAST((CAST(SUM(tpos * r2) AS HUGEINT)
+            - CAST(SUM(tpos) AS HUGEINT) * (SUM(tpos) + 1)) * 500000
+        // (CAST(SUM(tpos) AS HUGEINT) * (SUM(t) - SUM(tpos)))
+        AS BIGINT) AS auc_ppm
+    FROM by_val GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q397
+
+  /** Binary-classifier confusion suite at five fixed score thresholds:
+    * TP/FP/FN/TN are exact conditional counts in ONE corpus pass
+    * (threshold list exploded against the per-(cents,label) rollup, so
+    * the corpus is not re-scanned per threshold), and every derived
+    * metric is either an exact ppm quotient (precision, recall, F1,
+    * Youden J) or a single double expression over exact integers (MCC,
+    * whose 4-way product needs decimal(38) headroom, not floats).
+    */
+  def confusionSuite(events: DataFrame): DataFrame = {
+    val rolled = events.select(
+        (dec(col("value"), 2) * 100).cast("long").as("c"),
+        (col("user_id") % 2 === 1).cast("long").as("pos"))
+      .groupBy("c", "pos").agg(count(lit(1)).as("n"))
+    val swept = rolled
+      .select(col("c"), col("pos"), col("n"),
+        explode(expr("array(1000L, 2500L, 5000L, 10000L, 20000L)")).as("thr"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("pos") === 1 && col("c") >= col("thr"), col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("pos") === 0 && col("c") >= col("thr"), col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("pos") === 1 && col("c") < col("thr"), col("n")).otherwise(0L)).as("fn"),
+        sum(when(col("pos") === 0 && col("c") < col("thr"), col("n")).otherwise(0L)).as("tn"))
+    swept.select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 DIV (tp + fp)").as("precision_ppm"),
+        expr("tp * 1000000 DIV (tp + fn)").as("recall_ppm"),
+        expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)").as("f1_ppm"),
+        expr("tp * 1000000 DIV (tp + fn) + tn * 1000000 DIV (tn + fp) - 1000000")
+          .as("youden_ppm"),
+        round(expr(
+          """(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+            | - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+            |/ sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |       * (tn + fp) * (tn + fn) AS DOUBLE))""".stripMargin), 6)
+          .as("mcc"))
+      .orderBy("thr")
+  }
+
+  private val confusionOracle = """
+    WITH rolled AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        CAST(user_id % 2 = 1 AS BIGINT) AS pos, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    swept AS (
+      SELECT thr,
+        CAST(SUM(CASE WHEN pos = 1 AND c >= thr THEN n ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pos = 0 AND c >= thr THEN n ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN pos = 1 AND c < thr THEN n ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN pos = 0 AND c < thr THEN n ELSE 0 END) AS BIGINT) AS tn
+      FROM rolled, (SELECT unnest([1000, 2500, 5000, 10000, 20000]) AS thr)
+      GROUP BY thr)
+    SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+      tp * 1000000 // (tp + fp) AS precision_ppm,
+      tp * 1000000 // (tp + fn) AS recall_ppm,
+      2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm,
+      tp * 1000000 // (tp + fn) + tn * 1000000 // (tn + fp) - 1000000
+        AS youden_ppm,
+      ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+               * (tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc
+    FROM swept ORDER BY thr"""
+
+  // ---------------------------------------------------------------- q398
+
+  /** Deterministic log-loss per event type under the rank-free
+    * calibration p(c) = (c+1)/(cmax+2) (Laplace-smoothed score scaling
+    * — a fixed, engine-independent transform): the corpus collapses to
+    * per-(type, cents) label counts, each distinct score contributes
+    * n_pos·ln p + n_neg·ln(1−p), and the cross-value reduction is a
+    * pinned-order fold over the distinct-cents frame (transcendental
+    * addends have no exact-decimal path — q185's documented
+    * convention). Output is value-cardinality work after one shuffle.
+    */
+  def logLoss(events: DataFrame): DataFrame = {
+    val rolled = events.select(col("event_type"),
+        (dec(col("value"), 2) * 100).cast("long").as("c"),
+        (col("user_id") % 2 === 1).cast("long").as("pos"))
+      .groupBy("event_type", "c")
+      .agg(count(lit(1)).as("n"), sum("pos").as("npos"))
+    val cmax = rolled.agg(max("c").as("cmax"))
+    rolled.crossJoin(broadcast(cmax))
+      .withColumn("p", expr("CAST(c + 1 AS DOUBLE) / CAST(cmax + 2 AS DOUBLE)"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("npos").as("n_pos"),
+        expr("""aggregate(
+            array_sort(collect_list(named_struct('c', c,
+              'term', CAST(npos AS DOUBLE) * ln(p)
+                      + CAST(n - npos AS DOUBLE) * ln(1.0 - p)))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("ll_sum"))
+      .select(col("event_type"), col("n"), col("n_pos"),
+        round(expr("-ll_sum / CAST(n AS DOUBLE)"), 6).as("log_loss"))
+      .orderBy("event_type")
+  }
+
+  private val logLossOracle = """
+    WITH rolled AS (
+      SELECT event_type,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(user_id % 2 = 1 AS BIGINT)) AS BIGINT) AS npos
+      FROM events GROUP BY 1, 2),
+    cm AS (SELECT MAX(c) AS cmax FROM rolled),
+    terms AS (
+      SELECT event_type, c, n, npos,
+        CAST(c + 1 AS DOUBLE) / CAST(cmax + 2 AS DOUBLE) AS p
+      FROM rolled, cm)
+    SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+      CAST(SUM(npos) AS BIGINT) AS n_pos,
+      ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(CAST(npos AS DOUBLE) * ln(p)
+               + CAST(n - npos AS DOUBLE) * ln(1.0 - p) ORDER BY c)),
+          (acc, x) -> acc + x) / CAST(SUM(n) AS DOUBLE), 6) AS log_loss
+    FROM terms GROUP BY event_type ORDER BY event_type"""
+
   // ------------------------------------------------------------ queries
 
   override def queries: Seq[Q] = Seq(
+    Q("q396_roc_auc", (s, d) => rocAuc(events(s, d)), Some(rocAucOracle)),
+    Q("q397_confusion_suite",
+      (s, d) => confusionSuite(events(s, d)), Some(confusionOracle)),
+    Q("q398_log_loss", (s, d) => logLoss(events(s, d)), Some(logLossOracle)),
     Q("q350_rrf_fusion",
       (s, d) => rrfFusion(documents(s, d)), Some(rrfOracle())),
     Q("q327_power_analysis",
