@@ -1376,7 +1376,292 @@ object Series extends QueryModule {
         AS gain_pct
     FROM best, one"""
 
+  // ---------------------------------------------------------------- q399
+
+  /** Ljung-Box portmanteau test (lags 1..5) on each type's daily
+    * revenue series: is the series white noise? Each lag's
+    * autocorrelation uses the GLOBAL-mean convention (the textbook LB
+    * form) computed from exact decimal pair sums (q199's lag-join
+    * machinery); Q = n(n+2)·Σ ρ_k²/(n−k) folds the ≤5 lag terms in
+    * pinned lag order. The corpus collapses to the calendar-bounded
+    * daily frame in one shuffle; lag joins run on that frame.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 5): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("x"))
+      .localCheckpoint()
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("syy"))
+    val lags = (1 to maxLag).map { k =>
+      val a = daily.select(col("event_type"), col("day"), col("x").as("xa"))
+      val b = daily.select(col("event_type"),
+        date_sub(col("day"), k).as("day"), col("x").as("xb"))
+      a.join(b, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xa")).cast("decimal(38,0)").as("sa"),
+          sum(col("xb")).cast("decimal(38,0)").as("sb"),
+          sum(col("xa") * col("xb")).cast("decimal(38,0)").as("sab"))
+        .withColumn("lag", lit(k.toLong))
+    }
+    lags.reduce(_.unionByName(_))
+      .join(broadcast(tot), "event_type")
+      .withColumn("rho", expr(
+        """(CAST(sab AS DOUBLE)
+          | - CAST(sy AS DOUBLE) / n * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+          | + n_pairs * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          |/ (CAST(syy AS DOUBLE)
+          |   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)""".stripMargin))
+      .groupBy("event_type")
+      .agg(max("n").as("n_days"),
+        round(max(when(col("lag") === 1, col("rho"))), 6).as("rho1"),
+        round(expr("""max(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE))
+            * aggregate(
+                array_sort(collect_list(named_struct('lag', lag,
+                  'term', rho * rho / CAST(n - lag AS DOUBLE)))),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"""), 6)
+          .as("q_lb"))
+      .orderBy("event_type")
+  }
+
+  private def lbLagSql(k: Int) = s"""
+    SELECT event_type, CAST($k AS BIGINT) AS lag, COUNT(*) AS n_pairs,
+      CAST(SUM(xa) AS DECIMAL(38,0)) AS sa,
+      CAST(SUM(xb) AS DECIMAL(38,0)) AS sb,
+      CAST(SUM(xa * xb) AS DECIMAL(38,0)) AS sab
+    FROM (SELECT a.event_type, a.x AS xa, b.x AS xb
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND b.day = a.day + $k)
+    GROUP BY event_type"""
+
+  private val ljungBoxOracle = s"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS sy,
+        CAST(SUM(x * x) AS DECIMAL(38,0)) AS syy
+      FROM daily GROUP BY 1),
+    lags AS (${(1 to 5).map(lbLagSql).mkString(" UNION ALL ")}),
+    rhos AS (
+      SELECT l.event_type, l.lag, t.n,
+        (CAST(sab AS DOUBLE)
+         - CAST(sy AS DOUBLE) / n * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+         + n_pairs * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+        / (CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) AS rho
+      FROM lags l JOIN tot t USING (event_type))
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+      ROUND(MAX(CASE WHEN lag = 1 THEN rho END), 6) AS rho1,
+      ROUND(MAX(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE))
+        * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(rho * rho / CAST(n - lag AS DOUBLE) ORDER BY lag)),
+          (acc, x) -> acc + x), 6) AS q_lb
+    FROM rhos GROUP BY event_type ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q400
+
+  /** Hurst exponent by rescaled-range analysis of each type's daily
+    * revenue: the series splits into full windows of w ∈ {5, 10, 15}
+    * days, each window's range of cumulative mean-deviations is held
+    * EXACT by the w-scaling trick (d_t·w = w·cum_t − t·S_w, an
+    * integer), R/S = (max−min)·w-scaled over sqrt(w·Σy² − S_w²), and
+    * H is the ln-ln slope over the three window sizes (pinned folds:
+    * windows by index, then sizes by w). Long-memory diagnostic for
+    * sampling/sharding decisions; all window work is calendar-bounded.
+    */
+  def hurstRs(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("y"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("day")))
+      .localCheckpoint()
+    // d_t·w = w·cum_t − t·S_w needs S_w inside the window expression, so
+    // compute it in two passes over the daily frame: per-window totals
+    // first, then the scaled deviations against the joined totals.
+    val perW = Seq(5, 10, 15).map { w =>
+      val win = daily
+        .withColumn("win", expr(s"CAST((rn - 1) DIV $w AS LONG)"))
+        .withColumn("t", expr(s"CAST((rn - 1) % $w + 1 AS LONG)"))
+      val totals = win.groupBy("event_type", "win")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("y")).cast("decimal(38,0)").as("s"),
+          sum(col("y") * col("y")).cast("decimal(38,0)").as("q"))
+        .filter(col("cnt") === w)
+      val cum = Window.partitionBy("event_type", "win").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val devs = win
+        .withColumn("cumy", sum("y").over(cum).cast("decimal(38,0)"))
+        .join(totals, Seq("event_type", "win"))
+        .withColumn("d", expr(s"CAST($w AS DECIMAL(38,0)) * cumy - t * s"))
+        .groupBy("event_type", "win")
+        .agg((max("d") - min("d")).as("r2"),
+          max(expr(s"CAST($w AS DECIMAL(38,0)) * q - s * s")).as("svar"))
+        .filter(col("svar") > 0)
+        .withColumn("rs", expr(
+          "CAST(r2 AS DOUBLE) / sqrt(CAST(svar AS DOUBLE))"))
+      devs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_win"),
+          expr("""aggregate(array_sort(collect_list(named_struct(
+              'win', win, 'term', rs))),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("rs_sum"))
+        .select(col("event_type"), lit(w.toLong).as("w"),
+          col("n_win"), expr("rs_sum / n_win").as("mean_rs"))
+    }
+    perW.reduce(_.unionByName(_))
+      .groupBy("event_type")
+      .agg(
+        round(max(when(col("w") === 5, col("mean_rs"))), 6).as("rs5"),
+        round(max(when(col("w") === 10, col("mean_rs"))), 6).as("rs10"),
+        round(max(when(col("w") === 15, col("mean_rs"))), 6).as("rs15"),
+        expr("""aggregate(array_sort(collect_list(named_struct('w', w,
+            'x', ln(CAST(w AS DOUBLE)), 'y', ln(mean_rs)))),
+          named_struct('m', CAST(0 AS DOUBLE), 'sx', CAST(0 AS DOUBLE),
+            'sy', CAST(0 AS DOUBLE), 'sxx', CAST(0 AS DOUBLE),
+            'sxy', CAST(0 AS DOUBLE)),
+          (acc, p) -> named_struct('m', acc.m + 1.0, 'sx', acc.sx + p.x,
+            'sy', acc.sy + p.y, 'sxx', acc.sxx + p.x * p.x,
+            'sxy', acc.sxy + p.x * p.y),
+          acc -> (acc.m * acc.sxy - acc.sx * acc.sy)
+                 / (acc.m * acc.sxx - acc.sx * acc.sx))""").as("hraw"))
+      .select(col("event_type"), col("rs5"), col("rs10"), col("rs15"),
+        round(col("hraw"), 6).as("hurst"))
+      .orderBy("event_type")
+  }
+
+  private def hurstWSql(w: Int) = s"""
+    SELECT event_type, CAST($w AS BIGINT) AS w, win,
+      CAST(MAX(d) - MIN(d) AS DOUBLE)
+        / sqrt(CAST(MAX(svar) AS DOUBLE)) AS rs
+    FROM (
+      SELECT d.event_type, d.win, $w * d.cumy - d.t * t2.s AS d,
+        $w * t2.q - t2.s * t2.s AS svar
+      FROM (
+        SELECT event_type, (rn - 1) // $w AS win, (rn - 1) % $w + 1 AS t,
+          CAST(SUM(y) OVER (PARTITION BY event_type, (rn - 1) // $w
+            ORDER BY rn ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cumy
+        FROM daily) d
+      JOIN (
+        SELECT event_type, (rn - 1) // $w AS win, COUNT(*) AS cnt,
+          CAST(SUM(y) AS DECIMAL(38,0)) AS s,
+          CAST(SUM(y * y) AS DECIMAL(38,0)) AS q
+        FROM daily GROUP BY 1, 2) t2
+        ON d.event_type = t2.event_type AND d.win = t2.win
+      WHERE t2.cnt = $w)
+    GROUP BY event_type, win
+    HAVING MAX(svar) > 0"""
+
+  private val hurstOracle = s"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS y,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY 1, 2),
+    wins AS (${Seq(5, 10, 15).map(hurstWSql).mkString(" UNION ALL ")}),
+    mean_rs AS (
+      SELECT event_type, w, COUNT(*) AS n_win,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(rs ORDER BY win)),
+          (acc, x) -> acc + x) / COUNT(*) AS mean_rs
+      FROM wins GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type,
+        list(ln(CAST(w AS DOUBLE)) ORDER BY w) AS xs,
+        list(ln(mean_rs) ORDER BY w) AS ys,
+        ROUND(MAX(CASE WHEN w = 5 THEN mean_rs END), 6) AS rs5,
+        ROUND(MAX(CASE WHEN w = 10 THEN mean_rs END), 6) AS rs10,
+        ROUND(MAX(CASE WHEN w = 15 THEN mean_rs END), 6) AS rs15
+      FROM mean_rs GROUP BY event_type)
+    SELECT event_type, rs5, rs10, rs15,
+      ROUND((3.0 * (xs[1] * ys[1] + xs[2] * ys[2] + xs[3] * ys[3])
+             - (xs[1] + xs[2] + xs[3]) * (ys[1] + ys[2] + ys[3]))
+        / (3.0 * (xs[1] * xs[1] + xs[2] * xs[2] + xs[3] * xs[3])
+           - (xs[1] + xs[2] + xs[3]) * (xs[1] + xs[2] + xs[3])), 6) AS hurst
+    FROM pts ORDER BY event_type"""
+
+  // ---------------------------------------------------------------- q401
+
+  /** Dickey-Fuller unit-root statistic (drift form, no augmentation)
+    * per event type: Δy_t regressed on y_{t−1} over the daily series,
+    * DF = β̂/se(β̂) from the closed-form OLS over six EXACT decimal
+    * moment sums — the stationarity gate a forecasting pipeline runs
+    * before trusting trend models. One calendar-bounded lag join.
+    */
+  def dfUnitRoot(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("decimal(18,0)")).as("y"))
+      .localCheckpoint()
+    val a = daily.select(col("event_type"), col("day"), col("y").as("yt"))
+    // b keyed at origday+1: joining on a.day pairs y_t with y_{t-1}
+    val b = daily.select(col("event_type"),
+      date_add(col("day"), 1).as("day"), col("y").as("ylag"))
+    a.join(b, Seq("event_type", "day"))
+      .select(col("event_type"), col("ylag").as("x"),
+        (col("yt") - col("ylag")).as("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("d")).cast("decimal(38,0)").as("sd"),
+        sum(col("d") * col("d")).cast("decimal(38,0)").as("sdd"),
+        sum(col("x") * col("d")).cast("decimal(38,0)").as("sxd"))
+      .withColumn("sxxc", expr(
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n"))
+      .withColumn("beta", expr(
+        "(CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) / n) / sxxc"))
+      .withColumn("rss", expr(
+        """(CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+          |- beta * beta * sxxc""".stripMargin))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        round(col("beta"), 6).as("beta"),
+        round(expr("beta / sqrt(rss / CAST(n - 2 AS DOUBLE) / sxxc)"), 6)
+          .as("df_stat"))
+      .orderBy("event_type")
+  }
+
+  private val dfOracle = """
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        SUM(CAST(ROUND(value * 100, 0) AS DECIMAL(18,0))) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type, b.y AS x, a.y - b.y AS d
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day = b.day + 1),
+    mom AS (
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        CAST(SUM(d) AS DECIMAL(38,0)) AS sd,
+        CAST(SUM(d * d) AS DECIMAL(38,0)) AS sdd,
+        CAST(SUM(x * d) AS DECIMAL(38,0)) AS sxd
+      FROM pairs GROUP BY 1),
+    fit AS (
+      SELECT *,
+        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+          AS sxxc,
+        (CAST(sxd AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+          / (CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS beta
+      FROM mom)
+    SELECT event_type, n AS n_pairs, ROUND(beta, 6) AS beta,
+      ROUND(beta / sqrt(((CAST(sdd AS DOUBLE)
+          - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+          - beta * beta * sxxc) / CAST(n - 2 AS DOUBLE) / sxxc), 6) AS df_stat
+    FROM fit ORDER BY event_type"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q399_ljung_box", (s, d) => ljungBox(events(s, d)), Some(ljungBoxOracle)),
+    Q("q400_hurst_rs", (s, d) => hurstRs(events(s, d)), Some(hurstOracle)),
+    Q("q401_df_unit_root",
+      (s, d) => dfUnitRoot(events(s, d)), Some(dfOracle)),
     Q("q376_segmented_trend",
       (s, d) => segmentedTrend(orders(s, d)), Some(segmentedOracle)),
     Q("q360_slo_burn", (s, d) => sloBurn(events(s, d)), Some(sloOracle)),
