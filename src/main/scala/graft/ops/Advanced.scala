@@ -810,7 +810,127 @@ object Advanced extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q402
+
+  /** Fully-exact link-prediction suite on the sparsified nation trade
+    * graph (q246's graph, three more classical scores): for every
+    * non-adjacent pair with ≥1 common neighbor — common-neighbor
+    * count, Jaccard of neighborhoods as exact ppm, and preferential
+    * attachment deg(u)·deg(v). Unlike Adamic-Adar these need no
+    * transcendentals, so every value is an integer. Corpus → weighted
+    * edges in one grouped pass; all pair work is dimension-sized.
+    */
+  def linkPredSuite(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val weighted = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val medW = weighted.agg(expr("percentile(w, 0.5)").as("mw"))
+    val edges = weighted.crossJoin(broadcast(medW))
+      .filter(col("w").cast("double") >= col("mw"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val adj = edges.select(col("a").as("u"), col("b").as("w"))
+      .union(edges.select(col("b").as("u"), col("a").as("w")))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val paths = adj.as("x").join(adj.as("y"), col("x.w") === col("y.w"))
+      .filter(col("x.u") < col("y.u"))
+      .select(col("x.u").as("u"), col("y.u").as("v"))
+    val common = paths.join(edges,
+        paths("u") === edges("a") && paths("v") === edges("b"), "left_anti")
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(deg.select(col("u"), col("deg").as("deg_u"))), "u")
+      .join(broadcast(deg.select(col("u").as("v"), col("deg").as("deg_v"))), "v")
+      .select(col("u"), col("v"), col("n_common"), col("deg_u"), col("deg_v"),
+        expr("n_common * 1000000 DIV (deg_u + deg_v - n_common)")
+          .as("jaccard_ppm"),
+        (col("deg_u") * col("deg_v")).as("pref_attach"))
+      .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
+  }
+
+  private val linkPredOracle = """
+    WITH weighted AS MATERIALIZED (
+      SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey GROUP BY 1, 2),
+    med AS (SELECT median(w) AS mw FROM weighted),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM weighted, med WHERE CAST(w AS DOUBLE) >= mw),
+    adj AS (
+      SELECT a AS u, b AS w FROM edges
+      UNION ALL SELECT b AS u, a AS w FROM edges),
+    deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+    common AS (
+      SELECT x.u AS u, y.u AS v, COUNT(*) AS n_common
+      FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.a = x.u AND e.b = y.u)
+      GROUP BY 1, 2)
+    SELECT common.u AS u, common.v AS v, n_common,
+      du.deg AS deg_u, dv.deg AS deg_v,
+      n_common * 1000000 // (du.deg + dv.deg - n_common) AS jaccard_ppm,
+      du.deg * dv.deg AS pref_attach
+    FROM common
+    JOIN deg du ON du.u = common.u
+    JOIN deg dv ON dv.u = common.v
+    ORDER BY jaccard_ppm DESC, u, v"""
+
+  // ---------------------------------------------------------------- q403
+
+  /** Discrete power-law exponent of the user activity distribution by
+    * the Clauset–Shalizi–Newman MLE: with k = per-user event count and
+    * kmin = 2, α̂ = 1 + n / Σ n_k·ln(k/(kmin−½)). The corpus collapses
+    * to per-user counts, then to the distinct-degree histogram
+    * (bounded by max degree, not user count); the log-sum folds in
+    * pinned degree order. The "is this corpus head-heavy" exponent a
+    * sampling strategy starts from.
+    */
+  def powerlawAlpha(events: DataFrame, kmin: Long = 2L): DataFrame = {
+    val degHist = events.groupBy("user_id").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= kmin)
+      .groupBy("k").agg(count(lit(1)).as("nk"))
+    degHist.agg(sum("nk").as("n"), count(lit(1)).as("n_distinct_k"),
+        max("k").as("k_max"),
+        expr(s"""aggregate(array_sort(collect_list(named_struct('k', k,
+            'term', nk * ln(CAST(k AS DOUBLE) / ($kmin - 0.5))))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("lsum"))
+      .select(lit(kmin).as("k_min"), col("n"), col("n_distinct_k"),
+        col("k_max"),
+        round(expr("1.0 + CAST(n AS DOUBLE) / lsum"), 6).as("alpha"))
+  }
+
+  private def powerlawOracle(kmin: Long = 2L): String = s"""
+    WITH deg AS (
+      SELECT user_id, COUNT(*) AS k FROM events GROUP BY 1),
+    hist AS (
+      SELECT k, COUNT(*) AS nk FROM deg WHERE k >= $kmin GROUP BY 1)
+    SELECT CAST($kmin AS BIGINT) AS k_min, CAST(SUM(nk) AS BIGINT) AS n,
+      COUNT(*) AS n_distinct_k, CAST(MAX(k) AS BIGINT) AS k_max,
+      ROUND(1.0 + CAST(SUM(nk) AS DOUBLE)
+        / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(nk * ln(CAST(k AS DOUBLE) / ($kmin - 0.5)) ORDER BY k)),
+          (acc, x) -> acc + x), 6) AS alpha
+    FROM hist"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q402_link_pred_suite",
+      (s, d) => linkPredSuite(lineitem(s, d), orders(s, d), supplier(s, d),
+        customer(s, d)),
+      Some(linkPredOracle)),
+    Q("q403_powerlaw_alpha",
+      (s, d) => powerlawAlpha(events(s, d)), Some(powerlawOracle())),
     Q("q245_retrieval_metrics",
       (s, d) => retrievalMetrics(embeddings(s, d)),
       Some(retrievalOracle())),

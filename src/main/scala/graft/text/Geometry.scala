@@ -581,7 +581,124 @@ object Geometry extends QueryModule {
       ROUND(ln(CAST(se AS DOUBLE) / n_rand_pairs), 6) AS uniformity
     FROM al, un"""
 
+  // ---------------------------------------------------------------- q404
+
+  /** Linear-time MMD² (Gretton's streaming estimator) between the two
+    * label-parity halves of the embedding corpus: a "did these two
+    * sources come from the same distribution" test that needs ONE pass
+    * and O(n) kernel evaluations, not the O(n²) of the full U-statistic
+    * — the scale path for distribution-shift checks at 100 TB. Vectors
+    * are unit-normalized (q341's machinery), pairs are md5-deterministic
+    * within each half, each quadruple contributes
+    * h = k(x,x′)+k(y,y′)−k(x,y′)−k(x′,y) with the RBF kernel
+    * exp(−‖a−b‖²) on units, and every cross-row sum of kernel doubles
+    * goes through decimal(18,12) casts so partition order cannot move
+    * the result.
+    */
+  def mmdLinear(emb: DataFrame): DataFrame = {
+    val x = explodeDims(emb)
+    val norms = x.groupBy("vec_id")
+      .agg(sum(dec(col("xv") * col("xv"), 10)).as("n2"))
+    val unit = x.join(norms, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        (col("xv") / sqrt(col("n2").cast("double"))).as("u"))
+      .localCheckpoint()
+    val ids = emb.select(col("vec_id"), (col("label") % 2).as("g"))
+      .withColumn("rk", row_number().over(Window.partitionBy("g")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))).cast("long"))
+      .withColumn("i", expr("(rk + 1) DIV 2"))
+      .withColumn("pos", col("rk") % 2)
+    def pairsOf(gv: Int, an: String, bn: String) =
+      ids.filter(col("g") === gv).groupBy("i")
+        .agg(max(when(col("pos") === 1, col("vec_id"))).as(an),
+          max(when(col("pos") === 0, col("vec_id"))).as(bn))
+        .filter(col(an).isNotNull && col(bn).isNotNull)
+    val quads = pairsOf(0, "xa", "xb").join(pairsOf(1, "ya", "yb"), "i")
+    val pairsLong = quads.select(col("i"), explode(expr(
+        "array(named_struct('kind', 'kxx', 'l', xa, 'r', xb)," +
+          " named_struct('kind', 'kyy', 'l', ya, 'r', yb)," +
+          " named_struct('kind', 'kxy1', 'l', xa, 'r', yb)," +
+          " named_struct('kind', 'kxy2', 'l', xb, 'r', ya))")).as("p"))
+      .select(col("i"), col("p.kind").as("kind"),
+        col("p.l").as("a"), col("p.r").as("b"))
+    val kvals = pairsLong
+      .join(unit.select(col("vec_id").as("a"), col("dim"), col("u").as("ua")), "a")
+      .join(unit.select(col("vec_id").as("b"), col("dim"), col("u").as("ub")),
+        Seq("b", "dim"))
+      .groupBy("i", "kind")
+      .agg(sum(dec(col("ua") * col("ub"), 12)).as("dot"))
+      .select(col("i"), col("kind"),
+        exp(lit(2.0) * col("dot").cast("double") - lit(2.0)).as("k"))
+    val h = kvals.groupBy("i").agg(
+      (max(when(col("kind") === "kxx", col("k")))
+        + max(when(col("kind") === "kyy", col("k")))
+        - max(when(col("kind") === "kxy1", col("k")))
+        - max(when(col("kind") === "kxy2", col("k")))).as("h"))
+    h.agg(count(lit(1)).as("m"), sum(dec(col("h"), 12)).as("sh"))
+      .select(col("m"),
+        round(expr("CAST(sh AS DOUBLE) / m"), 6).as("mmd2_linear"))
+  }
+
+  private val mmdOracle = """
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id, SUM(CAST(xv * xv AS DECIMAL(18,10))) AS n2
+      FROM x GROUP BY 1),
+    unitv AS MATERIALIZED (
+      SELECT x.vec_id, dim, x.xv / sqrt(CAST(n2 AS DOUBLE)) AS u
+      FROM x JOIN norms USING (vec_id)),
+    ids AS (
+      SELECT vec_id, label % 2 AS g,
+        CAST(ROW_NUMBER() OVER (PARTITION BY label % 2
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+      FROM embeddings),
+    ids2 AS (
+      SELECT vec_id, g, (rk + 1) // 2 AS i, rk % 2 AS pos FROM ids),
+    xp AS (
+      SELECT i, MAX(CASE WHEN pos = 1 THEN vec_id END) AS xa,
+        MAX(CASE WHEN pos = 0 THEN vec_id END) AS xb
+      FROM ids2 WHERE g = 0 GROUP BY i
+      HAVING MAX(CASE WHEN pos = 1 THEN vec_id END) IS NOT NULL
+         AND MAX(CASE WHEN pos = 0 THEN vec_id END) IS NOT NULL),
+    yp AS (
+      SELECT i, MAX(CASE WHEN pos = 1 THEN vec_id END) AS ya,
+        MAX(CASE WHEN pos = 0 THEN vec_id END) AS yb
+      FROM ids2 WHERE g = 1 GROUP BY i
+      HAVING MAX(CASE WHEN pos = 1 THEN vec_id END) IS NOT NULL
+         AND MAX(CASE WHEN pos = 0 THEN vec_id END) IS NOT NULL),
+    quads AS (SELECT xp.i, xa, xb, ya, yb FROM xp JOIN yp USING (i)),
+    pl AS (
+      SELECT i, 'kxx' AS kind, xa AS a, xb AS b FROM quads
+      UNION ALL SELECT i, 'kyy', ya, yb FROM quads
+      UNION ALL SELECT i, 'kxy1', xa, yb FROM quads
+      UNION ALL SELECT i, 'kxy2', xb, ya FROM quads),
+    kv AS (
+      SELECT i, kind,
+        exp(2.0 * CAST(SUM(CAST(ua.u * ub.u AS DECIMAL(18,12))) AS DOUBLE)
+            - 2.0) AS k
+      FROM pl
+      JOIN unitv ua ON pl.a = ua.vec_id
+      JOIN unitv ub ON pl.b = ub.vec_id AND ua.dim = ub.dim
+      GROUP BY i, kind),
+    hs AS (
+      SELECT i,
+        MAX(CASE WHEN kind = 'kxx' THEN k END)
+        + MAX(CASE WHEN kind = 'kyy' THEN k END)
+        - MAX(CASE WHEN kind = 'kxy1' THEN k END)
+        - MAX(CASE WHEN kind = 'kxy2' THEN k END) AS h
+      FROM kv GROUP BY i)
+    SELECT COUNT(*) AS m,
+      ROUND(CAST(SUM(CAST(h AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+        AS mmd2_linear
+    FROM hs"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q404_mmd_linear",
+      (s, d) => mmdLinear(embeddings(s, d)), Some(mmdOracle)),
     Q("q341_alignment_uniformity",
       (s, d) => alignmentUniformity(embeddings(s, d)), Some(alignUnifOracle)),
     Q("q332_anisotropy",
