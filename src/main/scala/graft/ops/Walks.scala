@@ -435,7 +435,88 @@ object Walks extends QueryModule {
 
   // ------------------------------------------------------------ queries
 
+  // ---------------------------------------------------------------- q406
+
+  /** BFS hop distances from the smallest node of the top-quintile
+    * trade graph — multi-hop reachability as an iterative frontier
+    * expansion (the relational form of a recursive query, which Spark
+    * lacks natively; the DuckDB oracle IS a recursive CTE, so the two
+    * engines cross-check genuinely different evaluation strategies).
+    * Edges keep only weights ≥ the 80th percentile so the graph is
+    * sparse enough to have real distances. Each round is one
+    * dimension-sized join + anti-join; rounds are bounded by the
+    * diameter, and the only driver-side signal is the per-round
+    * empty-frontier check (a count on a ≤|nations| frame).
+    */
+  def bfsHops(li: DataFrame, orders: DataFrame, supplier: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val weighted = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val cut = weighted.agg(expr("percentile(w, 0.8)").as("cw"))
+    val und = weighted.crossJoin(broadcast(cut))
+      .filter(col("w").cast("double") >= col("cw"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // reused every round
+    val seed = adj.agg(min("u").as("s"))
+    var dist = adj.crossJoin(broadcast(seed)).filter(col("u") === col("s"))
+      .select(col("u").as("node"), lit(0L).as("hops")).distinct()
+      .localCheckpoint()
+    var frontier = dist
+    var d = 0L
+    var done = frontier.isEmpty
+    while (!done && d < 30) {
+      d += 1
+      val next = adj.join(frontier, adj("u") === frontier("node"))
+        .select(adj("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("hops"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) { dist = dist.union(next).localCheckpoint(); frontier = next }
+    }
+    dist.orderBy("hops", "node")
+      .select(col("node").cast("long").as("node"), col("hops"))
+  }
+
+  private val bfsOracle = """
+    WITH RECURSIVE weighted AS MATERIALIZED (
+      SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey GROUP BY 1, 2),
+    cut AS (SELECT quantile_cont(w, 0.8) AS cw FROM weighted),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM weighted, cut WHERE CAST(w AS DOUBLE) >= cw),
+    adj AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM und
+      UNION ALL SELECT b AS u, a AS v FROM und),
+    seed AS (SELECT MIN(u) AS s FROM adj),
+    bfs AS (
+      SELECT s AS node, 0 AS d FROM seed
+      UNION
+      SELECT a.v AS node, b.d + 1 AS d
+      FROM bfs b JOIN adj a ON a.u = b.node WHERE b.d < 30)
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM bfs GROUP BY node ORDER BY hops, node"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q406_bfs_hops",
+      (s, d) => bfsHops(lineitem(s, d), orders(s, d), supplier(s, d),
+        customer(s, d)),
+      Some(bfsOracle)),
     Q("q361_absorbing_steps",
       (s, d) => absorbingSteps(events(s, d)), Some(absorbingOracle)),
     Q("q281_sprt_decision",

@@ -1256,7 +1256,66 @@ object Dedup extends QueryModule {
       CAST(SUM(doc_a + doc_b) AS BIGINT) AS pair_checksum
     FROM attr GROUP BY source_x, source_y ORDER BY source_x, source_y"""
 
+  // ---------------------------------------------------------------- q405
+
+  /** Cross-source contamination matrix at shingle granularity: the
+    * distinct 4-word shingle sets of every source pair, compared by
+    * exact Jaccard and containment ppm — q257's vocabulary overlap
+    * upgraded to the dedup-grade unit (a shared shingle is shared
+    * PHRASING, not shared vocabulary). The corpus collapses to
+    * distinct (source, shingle) postings in one pass; the pair join is
+    * postings-sized and the output is bounded by sources², never by
+    * corpus size. Shingle ids are the native WordShingles 64-bit hash
+    * (join keys only — the oracle joins raw strings, counts match
+    * under the documented injective-in-practice assumption).
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val sh = docs
+      .select(col("source"), explode(word_shingles(col("text"), 4)).as("shid"))
+      .distinct()
+      .localCheckpoint() // three readers: counts + both join sides
+    val ns = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.shid") === col("y.shid") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        expr("inter * 1000000 DIV (n_a + n_b - inter)").as("jaccard_ppm"),
+        expr("inter * 1000000 DIV least(n_a, n_b)").as("containment_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("src_a"), col("src_b"))
+  }
+
+  private val sourceOverlapOracle = """
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+          unnest(list_distinct(list_transform(range(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+            AS sh
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 4)),
+    ns AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS inter
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, a.n AS n_a, b.n AS n_b, inter,
+      inter * 1000000 // (a.n + b.n - inter) AS jaccard_ppm,
+      inter * 1000000 // least(a.n, b.n) AS containment_ppm
+    FROM pairs
+    JOIN ns a ON a.source = src_a
+    JOIN ns b ON b.source = src_b
+    ORDER BY jaccard_ppm DESC, src_a, src_b"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q405_source_overlap",
+      (s, d) => sourceOverlap(documents(s, d)), Some(sourceOverlapOracle)),
     Q("q223_cross_source_dups",
       (s, d) => crossSourceDups(documents(s, d)), Some(crossSourceOracle)),
     Q("q220_lsh_calibration",

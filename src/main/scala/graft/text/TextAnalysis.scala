@@ -1261,7 +1261,48 @@ object TextAnalysis extends QueryModule {
     FROM per_doc, rng
     GROUP BY 1 ORDER BY decile"""
 
+  // ---------------------------------------------------------------- q407
+
+  /** Memorization-risk audit: word 8-gram spans that recur across ≥3
+    * distinct documents, ranked by document frequency — the spans an
+    * LM is most likely to regurgitate verbatim, and the first thing a
+    * training-data release review asks for. One native WordNGrams pass
+    * (zero-copy byte slices), one grouped shuffle keyed by gram;
+    * ordering is total (df, total count, gram text) so top-k is
+    * deterministic. Postings-sized throughout — never pairwise.
+    */
+  def memorizedSpans(docs: DataFrame, top: Int = 15): DataFrame = {
+    import graft.functions.WordNGrams.word_ngrams
+    docs.select(col("doc_id"), col("source"),
+        explode(word_ngrams(col("text"), 8)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("g"))
+      .limit(top)
+  }
+
+  private def memorizedOracle(top: Int = 15): String = s"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, source,
+        unnest(list_transform(range(1, len(t) - 6),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+            || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+            || t[i+7])) AS g
+      FROM toks WHERE len(t) >= 8)
+    SELECT g, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs,
+      COUNT(DISTINCT source) AS n_sources
+    FROM g GROUP BY g
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    ORDER BY n_docs DESC, n_total DESC, g LIMIT $top"""
+
   override def queries: Seq[Q] = Seq(
+    Q("q407_memorized_spans",
+      (s, d) => memorizedSpans(documents(s, d)), Some(memorizedOracle())),
     Q("q227_ngram_novelty",
       (s, d) => ngramNovelty(documents(s, d)), Some(noveltyOracle)),
     Q("q221_temperature_mixture",
