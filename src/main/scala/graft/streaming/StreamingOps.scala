@@ -359,6 +359,68 @@ object StreamingOps extends QueryModule {
       res
     }}
 
+  /** Append-mode event-time window aggregation — the watermark-FINALS
+    * semantic (each window emitted exactly once, when the watermark
+    * passes its end), the production shape for downstream consumers
+    * that must never see a result twice. This is the one query that
+    * NEEDS the trailing no-data micro-batch (it advances the watermark
+    * past the closed windows and flushes them), so it runs under its
+    * own conf wrapper with no-data batches ON — the inverse of
+    * withStatePartitions' documented optimization. Windows still open
+    * at end-of-stream (end > max(ts) − delay) are intentionally never
+    * emitted; the oracle applies the same cutoff, pinning Spark's
+    * eviction boundary (window.end ≤ watermark) cross-engine.
+    */
+  def appendWindowFinals(spark: SparkSession, sfDir: String): DataFrame = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val oldP = spark.conf.get(pKey)
+    val oldNd = spark.conf.getOption(ndKey)
+    spark.conf.set(pKey, "8")
+    spark.conf.set(ndKey, "true")
+    try graft.Tmp.withDir("graft_ck_finals") { ck =>
+      import graft.Num._
+      val name = s"graft_stream_finals_${System.nanoTime()}"
+      // group by the window() column itself — projecting .start inside
+      // the groupBy strips the event-time metadata and Spark rejects
+      // append mode as "aggregation without watermark"
+      val agg = eventStream(spark, sfDir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("bucket_start"),
+          col("n_events"), col("total_value"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = spark.table(name).orderBy("bucket_start").localCheckpoint()
+      spark.catalog.dropTempView(name)
+      res
+    } finally {
+      spark.conf.set(pKey, oldP)
+      oldNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
+    }
+  }
+
+  // finals = every window whose end the final watermark (max ts − delay)
+  // passed; the open tail is never emitted, by design
+  private val appendFinalsOracle = """
+    WITH mx AS (SELECT MAX(ts) AS mt FROM events)
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events, mx
+    GROUP BY 1, mt
+    HAVING bucket_start + INTERVAL '5 minutes' <= mt - INTERVAL '10 minutes'
+    ORDER BY bucket_start"""
+
   /** Sessionization on the transformWithState API (Spark 4's arbitrary
     * stateful operator, successor to flatMapGroupsWithState): the open
     * session lives in a typed ValueState on the RocksDB state store —
@@ -660,6 +722,8 @@ object StreamingOps extends QueryModule {
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
   override def queries: Seq[Q] = Seq(
+    Q("q408_append_window_finals",
+      (s, d) => appendWindowFinals(s, d), Some(appendFinalsOracle)),
     Q("q131_stream_enrich",
       (s, d) => streamEnrich(s, d), Some(streamEnrichOracle)),
     Q("q44_streaming_window",
