@@ -40,6 +40,7 @@ object SparkEntry {
     ops.Ranking,
     ops.Inference,
     ops.Tuning,
+    ops.Econometrics,
     text.Represent,
     text.TextAnalysis,
     text.Tokenizer,
