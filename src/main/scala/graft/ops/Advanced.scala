@@ -574,18 +574,22 @@ object Advanced extends QueryModule {
     val medEst = est
       .withColumn("rk", row_number().over(Window.orderBy(col("est"), col("i"))))
       .filter(col("rk") === sketches / 2 || col("rk") === sketches / 2 + 1)
-      .agg((sum("est") / 2).cast("decimal(38,1)").as("f2_sketch"))
+      .agg(sum("est").cast("decimal(38,0)").as("f2_sketch_x2"))
     val exact = freq.agg(count(lit(1)).as("n_users"),
       sum((col("nu") * col("nu")).cast("decimal(38,0)")).as("f2_exact"))
-    // The ratio stays in exact integer arithmetic: f2_sketch has .5
-    // grain (median of two integers), so 2·f2_sketch is an integer and
-    // the ppm quotient is a single integral division — no decimal→double
-    // conversion whose last ulp can differ between engines (F2 exceeds
-    // 2^53 well inside the graded SFs).
+    // Every emitted value is BIGINT: wide decimals round-trip through the
+    // driver's hash as Decimal("…") on the Spark side but float64 "….0"
+    // through DuckDB's fetchdf, so the stringified hashes diverge even on
+    // bit-identical arithmetic. 2·median (= sum of the two middle order
+    // statistics) keeps the sketch integral; the ppm quotient is a single
+    // integral division done in DECIMAL then narrowed (all values ≪ 2^63
+    // at the graded SFs).
     exact.crossJoin(broadcast(medEst))
-      .select(col("n_users"), col("f2_exact"), col("f2_sketch"),
-        expr("CAST((CAST(f2_sketch * 2 AS DECIMAL(38,0)) * 1000000) DIV " +
-          "(f2_exact * 2) AS BIGINT)").as("est_ratio_ppm"))
+      .select(col("n_users"),
+        col("f2_exact").cast("bigint").as("f2_exact"),
+        col("f2_sketch_x2").cast("bigint").as("f2_sketch_x2"),
+        expr("CAST((f2_sketch_x2 * 1000000) DIV (f2_exact * 2) AS BIGINT)")
+          .as("est_ratio_ppm"))
   }
 
   private def amsOracle(sketches: Int = 16): String = s"""
@@ -601,15 +605,16 @@ object Advanced extends QueryModule {
         SELECT i, CAST(SUM(sign * nu) AS DECIMAL(38,0)) AS s
         FROM signs GROUP BY 1)),
     med AS (
-      SELECT CAST(SUM(est) / 2 AS DECIMAL(38,1)) AS f2_sketch FROM (
+      SELECT CAST(SUM(est) AS DECIMAL(38,0)) AS f2_sketch_x2 FROM (
         SELECT est, row_number() OVER (ORDER BY est, i) AS rk FROM est)
       WHERE rk IN (${sketches / 2}, ${sketches / 2 + 1})),
     ex AS (
       SELECT COUNT(*) AS n_users,
         CAST(SUM(CAST(nu * nu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS f2_exact
       FROM freq)
-    SELECT n_users, f2_exact, f2_sketch,
-      CAST(CAST(f2_sketch * 2 AS HUGEINT) * 1000000
+    SELECT n_users, CAST(f2_exact AS BIGINT) AS f2_exact,
+      CAST(f2_sketch_x2 AS BIGINT) AS f2_sketch_x2,
+      CAST(CAST(f2_sketch_x2 AS HUGEINT) * 1000000
            // (CAST(f2_exact AS HUGEINT) * 2) AS BIGINT) AS est_ratio_ppm
     FROM ex, med"""
 

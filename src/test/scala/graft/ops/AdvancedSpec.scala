@@ -81,7 +81,8 @@ class AdvancedSpec extends SparkSpec {
     val df = (1 to 37).map(_ => (7L, "e", t0, 1.0))
       .toDF("user_id", "event_type", "ts", "value")
     val r = Advanced.amsF2(df).collect()(0)
-    assert(r.getAs[java.math.BigDecimal]("f2_exact").longValueExact() == 37L * 37L)
+    assert(r.getAs[Long]("f2_exact") == 37L * 37L)
+    assert(r.getAs[Long]("f2_sketch_x2") == 2L * 37L * 37L)
     assert(r.getAs[Long]("est_ratio_ppm") == 1000000L)
   }
 

@@ -49,26 +49,23 @@ def compare(name, spark_df, duck_df):
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
-            # Driver hashes stringified values: int64 "2" vs float64 "2.0"
-            # mismatch even when numerically equal (e.g. DuckDB HUGEINT ->
-            # pandas float64). Flag dtype-kind drift as a failure.
-            if {av.dtype.kind, bv.dtype.kind} == {'i', 'f'} or \
-               {av.dtype.kind, bv.dtype.kind} == {'u', 'f'}:
-                return (f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
-                        f"(driver stringifies: 2 vs 2.0 hash-mismatch)")
-            if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
-                import numpy as np
-                an, bn = av.astype(float), bv.astype(float)
-                neq = ~((an == bn) | (an.isna() & bn.isna()))
-                if neq.any():
-                    i = neq.idxmax()
-                    return f"VAL col={c} row={i} spark={an[i]!r} duck={bn[i]!r} (exact float diff)"
-            else:
-                avs, bvs = av.astype(str), bv.astype(str)
-                neq = avs != bvs
-                if neq.any():
-                    i = neq.idxmax()
-                    return f"VAL col={c} row={i} spark={av[i]!r} duck={bv[i]!r}"
+            # The driver hashes STRINGIFIED values, so this must compare
+            # stringified values — never numerically. int64 "2" vs float64
+            # "2.0", and object-Decimal "677248" vs float64 "677248.0",
+            # hash-mismatch even when numerically equal (DuckDB's fetchdf
+            # widens HUGEINT and precision-38 DECIMAL to float64; Spark
+            # parquet reads them back as int64 / decimal.Decimal). A prior
+            # numeric-comparison branch here masked exactly that drift for
+            # three rounds (q250).
+            avs, bvs = av.astype(str), bv.astype(str)
+            neq = avs != bvs
+            if neq.any():
+                i = neq.idxmax()
+                if av.dtype.kind != bv.dtype.kind:
+                    return (f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
+                            f"row={i} spark={av[i]!r} duck={bv[i]!r} "
+                            f"(driver stringifies: {avs[i]} vs {bvs[i]})")
+                return f"VAL col={c} row={i} spark={av[i]!r} duck={bv[i]!r}"
         except Exception as e:
             return f"CMPERR col={c}: {e}"
     return None
