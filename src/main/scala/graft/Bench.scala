@@ -12,6 +12,10 @@ object Bench {
       // queries x several codegen stages each: the warm pass would evict
       // its own compilations before the timed pass reuses them
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // periodic context-cleaner GC: 400+ queries accumulate shuffle files
+      // and broadcast blocks whose cleanup otherwise piggybacks on an
+      // arbitrary later query's timer (the r8/r9 artifact noise class)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT/codegen compile paths + parquet footers, outside timings
@@ -49,10 +53,20 @@ object Bench {
     // A failed query is recorded as -1.0 (never silently timed as a pass);
     // values are rounded to ms so the ONE output line stays short enough for
     // log-tail capture.
+    // Timed loop hygiene (all OUTSIDE the per-query timer): drop any
+    // persistent blocks the query left behind, and force a full GC every
+    // 25 queries so one query's storage/GC debt never lands in a later
+    // query's measurement — the r8 (q225=153.9 s) / r9 (q127=21.1 s)
+    // artifact bands were exactly this debt compounding under driver load.
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 25) { System.gc(); sinceGc = 0 }
+      name -> sec
     }
     // The ONE output line must fit in a 2000-char log tail next to sbt's
     // 72-char success trailer (round-1's full-precision/full-name line was

@@ -54,10 +54,32 @@ object Layout extends QueryModule {
       pmod(col("l_partkey"), lit(256L)).as("x"),
       pmod(col("l_suppkey"), lit(256L)).as("y"))
     val z = keyed.withColumn("zval", zorder2(col("x"), col("y")))
-    val filed = z.withColumn("file_id",
-      ntile(files).over(
-        Window.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber")))
-        .cast("long"))
+    // The file carve needs a global rank over (zval, orderkey, linenumber);
+    // a flat ntile window would serialize the corpus through one partition.
+    // Two-level decomposition (q195/q196): 256 buckets on the 16-bit zval
+    // (leading sort key — cross-bucket order equals flat order), per-bucket
+    // prefix counts in a 256-row window, within-bucket row_number
+    // partitioned by bucket; then ntile's documented fill rule — the first
+    // (n mod files) files take ceil(n/files) rows — applied arithmetically
+    // to the global rank. file_id is identical to the flat ntile form the
+    // oracle keeps.
+    val zb = z.withColumn("bkt", expr("zval DIV 256"))
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPre = zb.groupBy("bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("pj", coalesce(sum("bc").over(wBkt), lit(0L)))
+      .select("bkt", "pj")
+    val n = zb.agg(count(lit(1)).as("n"))
+    val filed = zb.join(broadcast(bktPre), "bkt")
+      .withColumn("rn", col("pj") + row_number().over(wIn))
+      .crossJoin(broadcast(n))
+      .withColumn("file_id", expr(
+        s"""CASE WHEN rn <= (n % $files) * (n DIV $files + 1)
+           | THEN (rn - 1) DIV (n DIV $files + 1)
+           | ELSE (n % $files) + (rn - (n % $files) * (n DIV $files + 1) - 1)
+           |      DIV greatest(n DIV $files, 1) END + 1""".stripMargin))
     filed.groupBy("file_id")
       .agg(
         count(lit(1)).as("n_rows"),

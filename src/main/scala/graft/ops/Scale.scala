@@ -392,19 +392,30 @@ object Scale extends QueryModule {
 
   /** Systematic sampling: every k-th row of a PINNED pseudo-random
     * order (md5 of the key — decorrelated from any physical or semantic
-    * order), start offset fixed at 1. The graded form uses a global
-    * row_number so the oracle reproduces it exactly (the q129/q152
-    * precedent); the production form at 100 TB is per-partition
-    * systematic draws with proportional allocation over
-    * `repartitionByRange(md5)` — same estimator, no global window.
+    * order), start offset fixed at 1. The global rank distributes via
+    * the q195/q196 two-level decomposition: 4096 buckets keyed by the
+    * md5's first 3 hex chars (a PREFIX of the leading sort key, so
+    * cross-bucket order equals flat order), per-bucket prefix counts in
+    * a 4096-row window, within-bucket row_number partitioned by bucket
+    * — rn identical to the flat global-window form the oracle keeps.
     * Output audits the per-stratum sample against its population mass
     * (share ratio ≈ 1/k) and pins membership with an exact checksum.
     */
   def systematicSample(docs: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val sampled = docs
-      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 3))
+    val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPre = base.groupBy("bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("pj", coalesce(sum("bc").over(wBkt), lit(0L)))
+      .select("bkt", "pj")
+    val sampled = base.join(broadcast(bktPre), "bkt")
+      .select(col("doc_id"), col("lang"),
+        (col("pj") + row_number().over(wIn)).as("rn"))
       .filter(pmod(col("rn"), lit(k)) === 1)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sample_checksum"))

@@ -758,22 +758,35 @@ object StatTests extends QueryModule {
     * pooled order (n_chars, source, doc_id) — a pinned discrete
     * convention, same on both engines. Every term is a rational of
     * exact integers, decimal-cast before the cross-row sum
-    * (order-free); the pooled ranking is the oracle-reproducible
-    * global-window form (q129 note: production uses range-partitioned
-    * sort).
+    * (order-free). The pooled ranking distributes via the q195/q196
+    * two-level decomposition: buckets on `n_chars DIV 64` (the leading
+    * sort key, so cross-bucket order equals flat order), per-bucket
+    * prefix counts in a bucket-cardinality window, ranks and running
+    * sums within each bucket partition — j and mj identical to the
+    * flat global-window form the oracle keeps.
     */
   def cvmAd(docs: DataFrame): DataFrame = {
     val s2 = docs.select(col("source")).distinct()
       .orderBy("source").limit(2)
       .collect().map(_.getString(0))
-    val pooled = docs
+    val base = docs
       .filter(col("source").isin(s2.toSeq: _*))
       .select(col("doc_id"), col("source"), col("n_chars"),
         (col("source") === s2(0)).cast("long").as("is1"))
-      .withColumn("j", row_number().over(
-        Window.orderBy(col("n_chars"), col("source"), col("doc_id"))))
-      .withColumn("mj", sum("is1").over(Window.orderBy("j")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bkt", expr("n_chars DIV 64"))
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("n_chars"), col("source"), col("doc_id"))
+    val wInRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPre = base.groupBy("bkt")
+      .agg(count(lit(1)).as("bc"), sum("is1").as("b1"))
+      .withColumn("pj", coalesce(sum("bc").over(wBkt), lit(0L)))
+      .withColumn("p1", coalesce(sum("b1").over(wBkt), lit(0L)))
+      .select("bkt", "pj", "p1")
+    val pooled = base.join(broadcast(bktPre), "bkt")
+      .withColumn("j", col("pj") + row_number().over(wIn))
+      .withColumn("mj", col("p1") + sum("is1").over(wInRun))
     val nm = pooled.agg(sum("is1").as("n"),
       (count(lit(1)) - sum("is1")).as("m"), count(lit(1)).as("nn"))
     pooled.crossJoin(broadcast(nm))

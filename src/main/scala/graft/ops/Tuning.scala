@@ -194,16 +194,14 @@ object Tuning extends QueryModule {
     * candidate watermark delays {0, 1, 5, 15} minutes — rows a
     * streaming job would DROP under each delay, the drop rate in ppm,
     * and the exact completeness percentile each delay buys. Turns the
-    * watermark knob into a measured trade instead of a default. One
-    * global-order window pass (q129 documented oracle form), then
-    * conditional sums per candidate.
+    * watermark knob into a measured trade instead of a default. The
+    * running-max lateness pass distributes via the two-level bucket
+    * decomposition ([[Warehouse.arrivalLatenessUs]] — no flat global
+    * window), then conditional sums per candidate.
     */
   def watermarkAdvisor(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = events
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("late_us", max("us").over(w) - col("us"))
+    val late = Warehouse.arrivalLatenessUs(events)
+      .select("event_id", "late_us")
       .localCheckpoint()
     val n = late.agg(count(lit(1)).as("n"))
     Seq(0L, 1L, 5L, 15L).map { d =>

@@ -114,20 +114,47 @@ object Warehouse extends QueryModule {
 
   // ---------------------------------------------------------------- q346
 
+  /** Arrival-order lateness, distributed: late_us = running-max(event
+    * time in arrival order = event_id) − event time, computed by the
+    * q195/q196 two-level decomposition instead of a flat global window
+    * (which serializes the corpus through one partition). Level 1
+    * buckets arrival order (`event_id DIV 65536` — bucket count grows
+    * with the corpus, each bucket a bounded 65k slice); the bucket
+    * table's prefix-max window is bucket-cardinality-sized (corpus/65536
+    * rows — trivial at any SF). Level 2 runs the running max WITHIN each
+    * bucket, partitioned by bucket. running-max = max(prior-bucket max,
+    * within-bucket running max) — identical to the flat form. Shared by
+    * q346 (lateness audit) and q388 (watermark advisor).
+    */
+  private[ops] def arrivalLatenessUs(events: DataFrame): DataFrame = {
+    val base = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("bkt", expr("event_id DIV 65536"))
+    val wIn = Window.partitionBy("bkt").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktMax = base.groupBy("bkt").agg(max("us").as("bm"))
+      .withColumn("pm", max("bm").over(wBkt))
+      .select("bkt", "pm")
+    base.join(broadcast(bktMax), "bkt")
+      .withColumn("late_us",
+        greatest(coalesce(col("pm"), lit(Long.MinValue)),
+          max("us").over(wIn)) - col("us"))
+      .drop("bkt", "pm")
+  }
+
   /** Event-time lateness audit: with event_id as the documented arrival
     * order, lateness = running-max(event time) − event time. The report
     * per event_type gives the late-row count, the max, the exact mean
     * (integer-µs DIV) and the rank-exact p95 — the numbers that size a
-    * streaming watermark delay. One global-order window (the q129
-    * documented oracle form of a per-partition arrival log).
+    * streaming watermark delay. The running max distributes via the
+    * two-level bucket decomposition in [[arrivalLatenessUs]]; the
+    * oracle keeps the equivalent flat-window SQL form.
     */
   def latenessAudit(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = events
-      .select(col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("late_us", max("us").over(w) - col("us"))
+    val late = arrivalLatenessUs(events)
     val ranked = late.withColumn("rk", row_number().over(
       Window.partitionBy("event_type").orderBy(col("late_us"), col("event_id"))))
     val agg = late.groupBy("event_type")

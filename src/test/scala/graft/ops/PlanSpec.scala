@@ -253,6 +253,41 @@ class PlanSpec extends SparkSpec {
       "the corpus is scanned at most once (rollup is checkpointed)")
   }
 
+  test("q129/q188/q346/q368/q388: no corpus-sized unpartitioned window survives") {
+    // These five previously funneled the whole corpus through ONE
+    // partition via a global-order window. After the q195/q196 two-level
+    // decomposition, the only unpartitioned windows left must be the
+    // bucket-prefix windows — frames of bucket cardinality (corpus/64k or
+    // a few thousand rows), whose order key is exactly the bucket column.
+    def unpartitionedWindows(df: org.apache.spark.sql.DataFrame) = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+    }
+    Seq("q129_zorder_layout", "q188_systematic_sample",
+        "q346_lateness_audit", "q368_cvm_ad").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val bad = unpartitionedWindows(df).filterNot(
+        _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(_ == "bkt"))
+      assert(bad.isEmpty,
+        s"$q still has a global window not over the bucket table: " +
+          bad.map(_.orderSpec.mkString(",")).mkString("; "))
+    }
+    // q388 localCheckpoints the lateness frame (plan truncation), so pin
+    // the shared helper it consumes directly.
+    val late = Warehouse.arrivalLatenessUs(
+      graft.Tables.events(spark, sf("sf0.001")))
+    val bad = unpartitionedWindows(late).filterNot(
+      _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(_ == "bkt"))
+    assert(bad.isEmpty, "arrivalLatenessUs must keep its corpus window partitioned")
+  }
+
   test("q118: VARIANT is parsed once — five variant_gets share one parse_json") {
     // CollapseProject must NOT inline the non-cheap parseJson into each
     // consuming variant_get (5x re-parse per row otherwise)
