@@ -2664,19 +2664,27 @@ object Analytics extends QueryModule {
     // 0/4/8/c), so Binomial(4, 1/4) needs 8 bits, not 4 digits — 3 md5s
     // per row instead of 5 (hashing dominates this query's cost)
     val nHash = (2 * b + 31) / 32
+    // one native pass extracts ALL B weights from the concatenated hash
+    // (graft.functions.BootstrapWeights — bit-identical to the former
+    // per-replicate substr+isin chain, which re-ran ~10 interpreted
+    // string ops per (row, replicate)); posexplode is the map-side ×B
     val reps = orders
       .select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100).cast("decimal(18,0)").as("cents"))
+      // the ×B expansion multiplies work 40-fold, so its parallelism must
+      // not be the SCAN's (a compact parquet source can be one split —
+      // measured one core doing the whole 6M-row expansion at sf0.1):
+      // spread the narrow (k, cents) rows across all cores first. The
+      // explicit count pins the fan-out against AQE's small-shuffle
+      // coalescing (the pre-explode frame is tiny BY DESIGN; post-explode
+      // it is 40x).
+      .repartition(orders.sparkSession.sessionState.conf.numShufflePartitions, col("k"))
       .withColumn("h", concat((1 to nHash).map(i =>
         md5(concat_ws(":", col("k"), lit(i)))): _*))
-      .withColumn("r", explode(expr(s"sequence(1, $b)")))
-      .withColumn("q", col("h").substr(
-        (col("r") - lit(1)) * lit(2) + lit(1), lit(2)))
-      .withColumn("w", (0 until 2).map { i =>
-        val c = substring(col("q"), i + 1, 1)
-        c.isin("0", "1", "2", "3").cast("long") +
-          c.isin("0", "4", "8", "c").cast("long")
-      }.reduce(_ + _))
+      .select(col("cents"),
+        posexplode(graft.functions.BootstrapWeights.bootstrap_weights(col("h"), b)))
+      .withColumnRenamed("pos", "r0").withColumnRenamed("col", "w")
+      .withColumn("r", col("r0") + 1)
     val est = reps.groupBy("r")
       .agg((sum(col("w") * col("cents")).cast("decimal(38,0)").cast("double") /
         sum("w").cast("double") / 100.0).as("est"))
