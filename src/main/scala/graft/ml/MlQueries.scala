@@ -28,5 +28,11 @@ object MlQueries extends QueryModule {
     Q("q52_tfidf_features",
       (s, d) => TextPipeline.tfidfExact(graft.Tables.documents(s, d)),
       Some(TextPipeline.tfidfExactOracle)),
+    Q("q414_adaptive_tuning",
+      (s, d) => Scoring.adaptiveTuningAudit(s, d), None),
+    Q("q415_registry_stages",
+      (s, d) => Registry.stageReport(
+        Registry.syntheticLog(graft.Tables.events(s, d))),
+      Some(Registry.stageReportOracle)),
   )
 }

@@ -46,4 +46,55 @@ class IoSpec extends SparkSpec {
     val latest = Scoring.latestRun(spark, runs).collect()(0)
     assert(latest.getString(0) == "run_b")
   }
+
+  test("M7 registry stage transitions: Archive -> None -> Production with per-stage retrieval") {
+    val dir = Files.createTempDirectory("registry").toString + "/log"
+    val v1 = Registry.register(spark, dir, "cv_model")
+    assert(v1 == 1L)
+    assert(Registry.latestVersion(spark, dir, "cv_model", "None").contains(1L))
+    assert(Registry.promoteToProduction(spark, dir, "cv_model").contains(1L))
+    assert(Registry.latestVersion(spark, dir, "cv_model", "Production").contains(1L))
+    // second version: registering leaves it at None; promotion must
+    // archive v1 and move v2 to Production atomically (04a:158-214)
+    val v2 = Registry.register(spark, dir, "cv_model")
+    assert(v2 == 2L)
+    assert(Registry.promoteToProduction(spark, dir, "cv_model").contains(2L))
+    assert(Registry.latestVersion(spark, dir, "cv_model", "Production").contains(2L))
+    assert(Registry.latestVersion(spark, dir, "cv_model", "Archived").contains(1L))
+    assert(Registry.latestVersion(spark, dir, "cv_model", "None").isEmpty)
+    // a second model namespace does not interfere
+    assert(Registry.register(spark, dir, "other_model") == 1L)
+    assert(Registry.latestVersion(spark, dir, "cv_model", "Production").contains(2L))
+    // SCD2 history (q111 builder): v1 walked None -> Production -> Archived,
+    // with exactly the final interval current
+    val h = Registry.stageHistory(Registry.log(spark, dir))
+      .filter(col("model_version") === "cv_model:1")
+      .orderBy("valid_from_us").collect()
+    assert(h.map(_.getAs[String]("stage")).toSeq == Seq("None", "Production", "Archived"))
+    assert(h.map(_.getAs[Long]("is_current")).toSeq == Seq(0L, 0L, 1L))
+    // intervals chain: each valid_to equals the successor's valid_from
+    assert(h.sliding(2).forall(p =>
+      p(0).getAs[Long]("valid_to_us") == p(1).getAs[Long]("valid_from_us")))
+  }
+
+  test("M5 adaptive tuning: halving spends fewer iterations than the grid at matching best metric") {
+    val feats = Scoring.featurize(Tables.embeddings(spark, sf("sf0.001"))).persist()
+    try {
+      val (tr, te) = Scoring.split(feats)
+      val (adaptive, audit) = Scoring.trainAdaptive(tr)
+      val rows = audit.collect()
+      // allocated budget 6x8 + 3x25 + 1x50 = 173 < the exhaustive 6x50
+      assert(rows.map(_.getAs[Long]("max_iter")).sum == 173L)
+      assert(rows.count(_.getAs[Long]("round") == 1L) == 6)
+      assert(rows.count(_.getAs[Long]("round") == 3L) == 1)
+      // every round keeps its declared survivor count
+      assert(rows.filter(_.getAs[Long]("round") == 1L).count(_.getAs[Long]("kept") == 1L) == 3)
+      assert(rows.filter(_.getAs[Long]("round") == 2L).count(_.getAs[Long]("kept") == 1L) == 1)
+      val ev = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+        .setLabelCol("y")
+      val aAuc = ev.evaluate(adaptive.transform(te))
+      val eAuc = ev.evaluate(Scoring.trainExhaustive(tr).transform(te))
+      assert(aAuc >= eAuc - 0.02, s"adaptive test AUC $aAuc vs exhaustive $eAuc")
+    } finally feats.unpersist(blocking = false)
+  }
 }
