@@ -412,10 +412,12 @@ object Advanced extends QueryModule {
     val profile = c.groupBy("cents")
       .agg(count(lit(1)).as("n"), sum("pos").as("np"))
       .localCheckpoint() // distinct-price-bounded; reused for ranks + scan
-    val byC = Window.orderBy("cents")
-    val ranked = profile
-      .withColumn("cum_n", sum("n").over(
-        byC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // distinct order prices grow ~linearly with the corpus, so the
+    // cumulative scan distributes via the two-level bucket decomposition
+    // (cents DIV 65536 ≈ $655 buckets) instead of a flat global window
+    val ranked = Dist.withRunningSum(profile,
+      expr("CAST(cents AS BIGINT) DIV 65536"), Seq(col("cents")),
+      col("n"), "cum_n")
     val tot = profile.agg(sum("n").as("nn"), sum("np").as("npp"))
     // thresholds at ranks ceil(i*n/10): exact data values, no interpolation
     val ranks = (1 to 9)

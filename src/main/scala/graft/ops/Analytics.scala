@@ -485,14 +485,17 @@ object Analytics extends QueryModule {
 
   /** Equi-depth decile binning of prices (the exact form of MLlib's
     * QuantileDiscretizer fit): global ntile(10) with a unique tiebreak,
-    * then per-bin boundaries + exact mass. The oracle-reproducible
-    * global window; production form is repartitionByRange + per-range
-    * local rank (same audit output).
+    * then per-bin boundaries + exact mass. The tiling distributes via
+    * the q195/q196 two-level bucket decomposition ([[Dist.withNtile]],
+    * cents DIV 65536 buckets on the leading sort key) — bin identical
+    * to the flat global-window form the oracle keeps.
     */
   def equidepthBins(li: DataFrame, bins: Int = 10): DataFrame = {
-    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    Dist.withNtile(
+      li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      expr("CAST(l_extendedprice * 100 AS BIGINT) DIV 65536"),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      bins)
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"),

@@ -358,10 +358,16 @@ object Evaluate extends QueryModule {
     val scored = docs.select(col("doc_id"), col("n_chars"),
       (size(array_distinct(split(col("text"), " "))).cast("double")
         / size(split(col("text"), " ")).cast("double")).as("div_ratio"))
-    val rLen = scored.withColumn("r_len", row_number().over(
-      Window.orderBy(col("n_chars").desc, col("doc_id"))))
-    val fused = rLen.withColumn("r_div", row_number().over(
-        Window.orderBy(col("div_ratio").desc, col("doc_id"))))
+    // both full rankings distribute via the two-level bucket
+    // decomposition (negated buckets are monotone in the descending
+    // leading keys) — r_len/r_div identical to the flat global windows
+    // the oracle keeps
+    val rLen = Dist.withRowNumber(scored,
+      expr("-(n_chars DIV 64)"),
+      Seq(col("n_chars").desc, col("doc_id")), "r_len")
+    val fused = Dist.withRowNumber(rLen,
+        expr("-CAST(div_ratio * 4096 AS BIGINT)"),
+        Seq(col("div_ratio").desc, col("doc_id")), "r_div")
       .select(col("doc_id"), col("r_len"), col("r_div"),
         (lit(1.0) / (lit(k.toDouble) + col("r_len").cast("double"))
           + lit(1.0) / (lit(k.toDouble) + col("r_div").cast("double")))

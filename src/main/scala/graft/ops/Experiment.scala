@@ -202,8 +202,13 @@ object Experiment extends QueryModule {
       dec(col("o_totalprice"), 2).as("score"),
       (col("o_orderpriority") === "1-URGENT").cast("long").as("resp"),
       col("o_orderkey"))
-    val ranked = scored.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("score").desc, col("o_orderkey"))))
+    // ntile(10) DESC distributes via the two-level bucket decomposition;
+    // the bucket (negated cents DIV 65536) is monotone in the descending
+    // leading key — decile identical to the flat global-window form the
+    // oracle keeps
+    val ranked = Dist.withNtile(scored,
+      expr("-(CAST(score * 100 AS BIGINT) DIV 65536)"),
+      Seq(col("score").desc, col("o_orderkey")), 10, "decile")
     val byDecile = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("resp").as("n_resp"))
     val tot = byDecile.agg(sum("n").as("tn"), sum("n_resp").as("tr"))

@@ -144,9 +144,13 @@ object Factorize extends QueryModule {
       // whole oracle — a zero-word doc pins difficulty 0 on both sides.
       .withColumn("difficulty",
         expr("CASE WHEN words > 0 THEN n_chars * 1000L DIV words ELSE 0L END"))
-      .withColumn("stage", ntile(4).over(
-        Window.orderBy(col("difficulty"), col("doc_id"))))
-    staged.groupBy("stage").agg(
+    // ntile(4) distributes via the two-level bucket decomposition
+    // (difficulty DIV 64 buckets) — stage identical to the flat
+    // global-window form the oracle keeps
+    val tiled = Dist.withNtile(staged,
+      expr("difficulty DIV 64"), Seq(col("difficulty"), col("doc_id")),
+      4, "stage")
+    tiled.groupBy("stage").agg(
         count(lit(1)).as("n_docs"),
         min("difficulty").cast("long").as("min_difficulty"),
         max("difficulty").cast("long").as("max_difficulty"),

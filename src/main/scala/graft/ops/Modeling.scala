@@ -179,10 +179,14 @@ object Modeling extends QueryModule {
     * and the ntile becomes a range filter).
     */
   def woeIv(events: DataFrame): DataFrame = {
-    val binned = events.select(col("event_id"), col("value"),
-        (col("event_type") === "purchase").cast("long").as("good"))
-      .withColumn("bin", ntile(10).over(
-        Window.orderBy(col("value"), col("event_id"))))
+    // ntile(10) distributes via the two-level bucket decomposition
+    // (value cents DIV 256 buckets) — bin identical to the flat
+    // global-window form the oracle keeps
+    val binned = Dist.withNtile(
+      events.select(col("event_id"), col("value"),
+        (col("event_type") === "purchase").cast("long").as("good")),
+      expr("CAST(value * 100 AS BIGINT) DIV 256"),
+      Seq(col("value"), col("event_id")), 10, "bin")
     val byBin = binned.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("good").as("n_good"))
       .withColumn("n_bad", col("n") - col("n_good"))

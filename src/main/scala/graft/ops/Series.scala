@@ -121,10 +121,13 @@ object Series extends QueryModule {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("gap", col("us") - lag("us", 1).over(byUser))
       .filter(col("gap").isNotNull)
-    val ranked = gaps
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("gap"), col("user_id"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // the exact-median rank distributes via the two-level bucket
+    // decomposition (gap DIV 2^20 ≈ 1.05 s buckets) — rnk/n identical
+    // to the flat global-window form the oracle keeps
+    val ranked = Dist.withRowNumber(gaps,
+      expr("gap DIV 1048576"),
+      Seq(col("gap"), col("user_id"), col("event_id")),
+      "rnk", Some("n"))
     val med = ranked.agg( // twice the median gap, exact integer
       (sum(when(expr("rnk = (n + 1) div 2"), col("gap")))
         + sum(when(expr("rnk = n div 2 + 1"), col("gap")))).cast("long").as("med2"))
@@ -447,11 +450,14 @@ object Series extends QueryModule {
       (dec(col("l_extendedprice"), 2) * 100).cast("long").as("cents"),
       (col("l_orderkey") % 8).as("shard"),
       col("l_orderkey"), col("l_linenumber"))
-    val byShard = Window.partitionBy("shard")
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val shardMed = priced
-      .withColumn("rnk", row_number().over(byShard))
-      .withColumn("n_s", count(lit(1)).over(Window.partitionBy("shard")))
+    // per-shard and global median ranks both distribute via the
+    // two-level bucket decomposition (cents DIV 65536 buckets; the
+    // shard rank partitions by (shard, bucket)) — rnk/n identical to
+    // the flat per-shard/global windows the oracle keeps
+    val shardMed = Dist.withRowNumber(priced,
+        expr("cents DIV 65536"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        "rnk", Some("n_s"), partition = Seq("shard"))
       .groupBy("shard").agg( // twice the shard median, exact cents
         (sum(when(expr("rnk = (n_s + 1) div 2"), col("cents")))
           + sum(when(expr("rnk = n_s div 2 + 1"), col("cents"))))
@@ -460,10 +466,10 @@ object Series extends QueryModule {
       .withColumn("srnk", row_number().over(Window.orderBy(col("m2"), col("shard"))))
       .filter(col("srnk") === 4 || col("srnk") === 5)
       .agg(sum("m2").cast("long").as("fed4")) // 4x the federated median
-    val globalMed = priced
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val globalMed = Dist.withRowNumber(priced,
+        expr("cents DIV 65536"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        "rnk", Some("n"))
       .agg(
         (sum(when(expr("rnk = (n + 1) div 2"), col("cents")))
           + sum(when(expr("rnk = n div 2 + 1"), col("cents"))))
@@ -807,10 +813,12 @@ object Series extends QueryModule {
     val priced = orders.select(
       (dec(col("o_totalprice"), 2) * 100).cast("long").as("cents"),
       col("o_orderkey"))
-    val ranked = priced
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cents"), col("o_orderkey"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // threshold ranks distribute via the two-level bucket decomposition
+    // (cents DIV 65536 ≈ $655 buckets) — rnk/n identical to the flat
+    // global window the oracle keeps
+    val ranked = Dist.withRowNumber(priced,
+      expr("cents DIV 65536"), Seq(col("cents"), col("o_orderkey")),
+      "rnk", Some("n"))
     val thr = ranked.agg(
       max("n").as("n"),
       max(when(expr("rnk = (9 * n + 9) div 10"), col("cents"))).as("u"),

@@ -8,6 +8,7 @@ import graft.functions.SquaredL2.squared_l2
 import graft.{Q, QueryModule}
 import graft.Tables._
 import graft.Num.dec
+import graft.ops.Dist
 
 /** Embedding-geometry curation operators (SURVEY.md §2.9 extension
   * surface): Gonzalez farthest-point (k-center) diversity seeding and
@@ -497,18 +498,24 @@ object Geometry extends QueryModule {
         .agg(sum(dec(col("ua") * col("ub"), 12)).as("dot"))
         .select((lit(2.0) - lit(2.0) * col("dot").cast("double")).as("d2"))
     }
+    // both rankings distribute via the two-level bucket decomposition:
+    // the per-label rank partitions by (label, vec_id DIV 65536); the
+    // shuffled rank buckets on the md5 hex prefix (a prefix of the
+    // leading sort key) — rk identical to the flat windows the oracle
+    // keeps
     val ids = emb.select(col("vec_id"), col("label"))
-    val posRank = ids.withColumn("rk", row_number().over(
-      Window.partitionBy("label").orderBy("vec_id")))
+    val posRank = Dist.withRowNumber(ids,
+      expr("vec_id DIV 65536"), Seq(col("vec_id")), "rk",
+      partition = Seq("label"))
       .withColumn("rk", col("rk").cast("long"))
       .withColumn("rk",
         // make ranks globally unique per label block: label * 2^40 + rk
         col("label").cast("long") * lit(1099511627776L) + col("rk"))
     val posD2 = pairD2(posRank)
-    val rndRank = ids
-      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("h"), col("vec_id"))).cast("long"))
+    val rndRank = Dist.withRowNumber(
+      ids.withColumn("h", md5(col("vec_id").cast("string").cast("binary"))),
+      substring(col("h"), 1, 3), Seq(col("h"), col("vec_id")), "rk")
+      .withColumn("rk", col("rk").cast("long"))
     val rndD2 = pairD2(rndRank)
     val align = posD2.agg(count(lit(1)).as("n_pos_pairs"),
       sum(dec(col("d2"), 12)).as("sa"))
