@@ -64,4 +64,50 @@ object Num {
 
   /** Deterministic average: exact decimal sum divided by count. */
   def davg(c: Column, scale: Int = 2): Column = dsum(c, scale) / count(lit(1))
+
+  /** x·2^50 as an exact decimal integer. The power-of-two multiply is
+    * exact in IEEE doubles, and for float32-origin data (|x| ≳ 1e-8,
+    * ulp ≥ 2^-50) the product IS an integer — so the decimal cast can
+    * never land on a rounding tie. Raw float32 columns are precisely
+    * the coarse-dyadic population where a plain `CAST(x AS
+    * DECIMAL(p,s))` ties (e.g. -0.22314453125 at scale 10, q308/sf1)
+    * and the engines split: Spark rounds the SHORTEST decimal repr
+    * HALF_UP while DuckDB rounds the full binary expansion half-even.
+    * Use this for sums of raw float-origin values; squares/products are
+    * tie-free at even scales (their dyadic width is even) and may keep
+    * the plain dec() cast.
+    */
+  def bin50(c: Column): Column =
+    (c * lit(1.125899906842624e15)).cast(DecimalType(38, 0))
+
+  /** Exact-integer decimal → double via the 2^52/2^26 three-part split:
+    * each part is an integer < 2^53 whose decimal→double cast is exact
+    * on both engines; reassembly is one fixed IEEE op sequence. Textual
+    * SQL macro (Spark dialect) so the DuckDB oracle twin below stays a
+    * verbatim mirror. Beyond 2^53 a direct CAST(decimal AS DOUBLE)
+    * differs between Spark (BigDecimal) and DuckDB (int128) by 1 ulp.
+    */
+  def splitDblSql(v: String): String =
+    s"""(CASE WHEN ($v) < 0 THEN -1.0D ELSE 1.0D END * (
+       |  CAST((abs($v) - (abs($v) % 4503599627370496)) / 4503599627370496 AS DOUBLE) * 4503599627370496.0D
+       |  + CAST(CAST(abs($v) % 4503599627370496 AS BIGINT) DIV 67108864 AS DOUBLE) * 67108864.0D
+       |  + CAST(CAST(abs($v) % 67108864 AS BIGINT) AS DOUBLE)))""".stripMargin
+
+  /** DuckDB twin of [[splitDblSql]] (HUGEINT in place of DECIMAL). */
+  def splitDblDuck(v: String): String =
+    s"""((CASE WHEN ($v) < 0 THEN -1.0 ELSE 1.0 END) * (
+       |  CAST(abs($v) // 4503599627370496 AS DOUBLE) * 4503599627370496.0
+       |  + CAST((abs($v) % 4503599627370496) // 67108864 AS DOUBLE) * 67108864.0
+       |  + CAST(abs($v) % 67108864 AS DOUBLE)))""".stripMargin
+
+  /** Deterministic mean of a [[bin50]] sum: split-convert, descale by
+    * 2^50, divide by the count — the same three IEEE ops on both
+    * engines. */
+  def bin50MeanSql(s: String, n: String): String =
+    s"(${splitDblSql(s)} / 1.125899906842624e15 / ($n))"
+
+  /** DuckDB twin of [[bin50MeanSql]]; pair with
+    * `SUM(CAST(xv * 1.125899906842624e15 AS HUGEINT))`. */
+  def bin50MeanDuck(s: String, n: String): String =
+    s"(${splitDblDuck(s)} / 1.125899906842624e15 / ($n))"
 }

@@ -1264,30 +1264,55 @@ object Series extends QueryModule {
       .agg(sum(dec(col("o_totalprice") / 1000.0, 6)).cast("decimal(28,6)")
         .as("y"))
       .withColumn("t", row_number().over(Window.orderBy("day")))
+      // exact INTEGER series: y's granularity is 1e-5 kilodollars
+      // (cents/1000), so yi = y·1e5 is lossless. Every moment below is
+      // an exact decimal integer; the only doubles are the hi/lo-split
+      // conversions. The previous double-path formula diverged at sf1:
+      // CAST(DECIMAL(38,12) AS DOUBLE) past 2^53 rounds differently in
+      // Spark (BigDecimal) vs DuckDB (int128) — the q347/q140 hazard.
+      .withColumn("yi", (col("y") * lit(100000L)).cast("decimal(38,0)"))
     val w = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prefix = daily
       .withColumn("ct", sum("t").over(w))
       .withColumn("ctt", sum(expr("CAST(t AS BIGINT) * t")).over(w))
-      .withColumn("cy", sum("y").over(w).cast("decimal(38,6)"))
-      .withColumn("cty", sum(expr("CAST(CAST(t AS DECIMAL(10,0)) * y AS DECIMAL(28,6))"))
-        .over(w).cast("decimal(38,6)"))
-      .withColumn("cyy", sum(expr("CAST(y * y AS DECIMAL(28,12))"))
-        .over(w).cast("decimal(38,12)"))
+      .withColumn("cy", sum("yi").over(w).cast("decimal(38,0)"))
+      .withColumn("cty", sum(expr(
+          "CAST(CAST(t AS DECIMAL(10,0)) * yi AS DECIMAL(38,0))"))
+        .over(w).cast("decimal(38,0)"))
+      .withColumn("cyy", sum(expr("CAST(yi * yi AS DECIMAL(38,0))"))
+        .over(w).cast("decimal(38,0)"))
       .localCheckpoint()
     val tot = prefix.orderBy(col("t").desc).limit(1)
       .select(col("t").as("n"), col("ct").as("st"), col("ctt").as("stt"),
         col("cy").as("sy"), col("cty").as("sty"), col("cyy").as("syy"),
         col("day").as("last_day"))
+    // exact-integer decimal -> double via the 2^52/2^26 three-part
+    // split: each part is an integer < 2^53 (decimal->double cast is
+    // exact on both engines), reassembled in one fixed IEEE op sequence
+    def dbl(v: String): String =
+      s"""(CASE WHEN ($v) < 0 THEN -1.0D ELSE 1.0D END * (
+         |  CAST((abs($v) - (abs($v) % 4503599627370496)) / 4503599627370496 AS DOUBLE) * 4503599627370496.0D
+         |  + CAST(CAST(abs($v) % 4503599627370496 AS BIGINT) DIV 67108864 AS DOUBLE) * 67108864.0D
+         |  + CAST(CAST(abs($v) % 67108864 AS BIGINT) AS DOUBLE)))""".stripMargin
+    // centered second moments in EXACT arithmetic (the n·Σx² − (Σx)²
+    // variance form): the catastrophic cancellation happens in integers,
+    // never in floats
+    def vtt(n: String, st: String, stt: String) =
+      s"(CAST(($n) AS BIGINT) * ($stt) - ($st) * ($st))"
+    def vty(n: String, st: String, sy: String, sty: String) =
+      s"(CAST(($n) AS DECIMAL(20,0)) * ($sty) - CAST(($st) AS DECIMAL(20,0)) * ($sy))"
+    def vyy(n: String, sy: String, syy: String) =
+      s"(CAST(($n) AS DECIMAL(20,0)) * ($syy) - ($sy) * ($sy))"
+    // SSE = (Vyy − Vty²/Vtt)/n, descaled by 1e10 = (1e5)² back to
+    // kilodollar² units; slope = Vty/Vtt descaled by 1e5
     def sse(n: String, st: String, stt: String, sy: String, sty: String,
         syy: String) =
-      s"""(CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
-        - (CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
-          * (CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
-          / (CAST($stt AS DOUBLE) - CAST($st AS DOUBLE) * CAST($st AS DOUBLE) / $n)"""
+      s"""((${dbl(vyy(n, sy, syy))}
+         | - ${dbl(vty(n, st, sy, sty))} * ${dbl(vty(n, st, sy, sty))}
+         |   / CAST(${vtt(n, st, stt)} AS DOUBLE)) / ($n) / 1e10)""".stripMargin
     def slope(n: String, st: String, stt: String, sy: String, sty: String) =
-      s"""(CAST($sty AS DOUBLE) - CAST($st AS DOUBLE) * CAST($sy AS DOUBLE) / $n)
-        / (CAST($stt AS DOUBLE) - CAST($st AS DOUBLE) * CAST($st AS DOUBLE) / $n)"""
+      s"""(${dbl(vty(n, st, sy, sty))} / CAST(${vtt(n, st, stt)} AS DOUBLE) / 1e5)"""
     val s = orders.sparkSession
     val grid = s.range(2, 10).select(col("id").as("i"))
       .crossJoin(broadcast(tot.select(col("n").as("gn"))))
@@ -1318,22 +1343,44 @@ object Series extends QueryModule {
           .as("gain_pct"))
   }
 
-  private val segmentedOracle = """
+  private val segmentedOracle: String = {
+    // DuckDB twins of the Spark-side macros: same three-part split, same
+    // IEEE reassembly shape, HUGEINT in place of DECIMAL(38,0)
+    def dbl(v: String): String =
+      s"""((CASE WHEN ($v) < 0 THEN -1.0 ELSE 1.0 END) * (
+         |  CAST(abs($v) // 4503599627370496 AS DOUBLE) * 4503599627370496.0
+         |  + CAST((abs($v) % 4503599627370496) // 67108864 AS DOUBLE) * 67108864.0
+         |  + CAST(abs($v) % 67108864 AS DOUBLE)))""".stripMargin
+    def vtt(n: String, st: String, stt: String) =
+      s"(CAST(($n) AS BIGINT) * ($stt) - ($st) * ($st))"
+    def vty(n: String, st: String, sy: String, sty: String) =
+      s"(CAST(($n) AS HUGEINT) * ($sty) - CAST(($st) AS HUGEINT) * ($sy))"
+    def vyy(n: String, sy: String, syy: String) =
+      s"(CAST(($n) AS HUGEINT) * ($syy) - ($sy) * ($sy))"
+    def sse(n: String, st: String, stt: String, sy: String, sty: String,
+        syy: String) =
+      s"""((${dbl(vyy(n, sy, syy))}
+         | - ${dbl(vty(n, st, sy, sty))} * ${dbl(vty(n, st, sy, sty))}
+         |   / CAST(${vtt(n, st, stt)} AS DOUBLE)) / ($n) / 1e10)""".stripMargin
+    def slope(n: String, st: String, stt: String, sy: String, sty: String) =
+      s"""(${dbl(vty(n, st, sy, sty))} / CAST(${vtt(n, st, stt)} AS DOUBLE) / 1e5)"""
+    val sseL = sse("p.t", "p.ct", "p.ctt", "p.cy", "p.cty", "p.cyy")
+    val sseR = sse("o.n - p.t", "o.st - p.ct", "o.stt - p.ctt",
+      "o.sy - p.cy", "o.sty - p.cty", "o.syy - p.cyy")
+    s"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-        CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)))
-          AS DECIMAL(28,6)) AS y
+        CAST(CAST(SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6)))
+          AS DECIMAL(28,6)) * 100000 AS HUGEINT) AS yi
       FROM orders GROUP BY 1),
-    tt AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+    tt AS (SELECT day, yi, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
     prefix AS MATERIALIZED (
       SELECT day, t,
         CAST(SUM(t) OVER w AS BIGINT) AS ct,
         CAST(SUM(CAST(t AS BIGINT) * t) OVER w AS BIGINT) AS ctt,
-        CAST(SUM(y) OVER w AS DECIMAL(38,6)) AS cy,
-        CAST(SUM(CAST(CAST(t AS DECIMAL(10,0)) * y AS DECIMAL(28,6)))
-          OVER w AS DECIMAL(38,6)) AS cty,
-        CAST(SUM(CAST(y * y AS DECIMAL(28,12))) OVER w AS DECIMAL(38,12))
-          AS cyy
+        CAST(SUM(yi) OVER w AS HUGEINT) AS cy,
+        CAST(SUM(CAST(t AS HUGEINT) * yi) OVER w AS HUGEINT) AS cty,
+        CAST(SUM(yi * yi) OVER w AS HUGEINT) AS cyy
       FROM tt
       WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         AND CURRENT ROW)),
@@ -1345,35 +1392,16 @@ object Series extends QueryModule {
       FROM (SELECT unnest(generate_series(2, 9)) AS i) g, tot o),
     cands AS (
       SELECT p.t AS b, p.day AS break_day, o.n,
-        ((CAST(p.cyy AS DOUBLE) - CAST(p.cy AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
-          - (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
-            * (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
-            / (CAST(p.ctt AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.ct AS DOUBLE) / p.t))
-        + ((CAST(o.syy - p.cyy AS DOUBLE) - CAST(o.sy - p.cy AS DOUBLE)
-              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
-          - (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
-              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
-            * (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
-              * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
-            / (CAST(o.stt - p.ctt AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
-              * CAST(o.st - p.ct AS DOUBLE) / (o.n - p.t))) AS sse_two,
-        (CAST(p.cty AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.cy AS DOUBLE) / p.t)
-          / (CAST(p.ctt AS DOUBLE) - CAST(p.ct AS DOUBLE) * CAST(p.ct AS DOUBLE) / p.t)
-          AS slope_left,
-        (CAST(o.sty - p.cty AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
-            * CAST(o.sy - p.cy AS DOUBLE) / (o.n - p.t))
-          / (CAST(o.stt - p.ctt AS DOUBLE) - CAST(o.st - p.ct AS DOUBLE)
-            * CAST(o.st - p.ct AS DOUBLE) / (o.n - p.t)) AS slope_right
+        ($sseL) + ($sseR) AS sse_two,
+        ${slope("p.t", "p.ct", "p.ctt", "p.cy", "p.cty")} AS slope_left,
+        ${slope("o.n - p.t", "o.st - p.ct", "o.stt - p.ctt",
+          "o.sy - p.cy", "o.sty - p.cty")} AS slope_right
       FROM prefix p JOIN grid ON p.t = grid.b0 CROSS JOIN tot o
       WHERE p.t >= 2 AND o.n - p.t >= 2),
     best AS (
       SELECT * FROM cands ORDER BY sse_two, b LIMIT 1),
     one AS (
-      SELECT (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-        - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-          * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-          / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / n)
-        AS sse_one, n
+      SELECT ${sse("n", "st", "stt", "sy", "sty", "syy")} AS sse_one, n
       FROM tot)
     SELECT one.n AS n_days, best.b AS break_t, best.break_day,
       ROUND(best.slope_left, 6) AS slope_left_kd,
@@ -1383,6 +1411,7 @@ object Series extends QueryModule {
       ROUND((one.sse_one - best.sse_two) * 100.0 / one.sse_one, 3)
         AS gain_pct
     FROM best, one"""
+  }
 
   // ---------------------------------------------------------------- q399
 

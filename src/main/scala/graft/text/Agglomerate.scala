@@ -35,11 +35,15 @@ object Agglomerate extends QueryModule {
     */
   def centroidLinkage(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
+    // raw-xv sum on the exact 2^50 grid (graft.Num.bin50: a scale-10
+    // decimal cast ties on coarse float32 dyadics, the q308/sf1 hazard)
     val cent = emb.select(col("label"),
         posexplode(col("embedding")).as(Seq("dim", "xv")))
       .groupBy("label", "dim")
-      .agg((sum(dec(col("xv").cast("double"), 10)).cast("double")
-        / count(lit(1))).as("c"))
+      .agg(sum(graft.Num.bin50(col("xv").cast("double"))).as("cs"),
+        count(lit(1)).as("cm"))
+      .select(col("label"), col("dim"),
+        expr(graft.Num.bin50MeanSql("cs", "cm")).as("c"))
     val m = cent.as("x").join(cent.as("y"),
         col("x.dim") === col("y.dim") && col("x.label") < col("y.label"))
       .groupBy(col("x.label").as("a"), col("y.label").as("b"))
@@ -75,15 +79,17 @@ object Agglomerate extends QueryModule {
       .orderBy("step")
   }
 
-  private val linkageOracle = """
+  private val linkageOracle = s"""
     WITH x AS MATERIALIZED (
       SELECT label, generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS xv
       FROM embeddings),
     cent AS MATERIALIZED (
-      SELECT label, dim,
-        CAST(SUM(CAST(xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS c
-      FROM x GROUP BY 1, 2),
+      SELECT label, dim, ${graft.Num.bin50MeanDuck("cs", "cm")} AS c FROM (
+        SELECT label, dim,
+          SUM(CAST(xv * 1.125899906842624e15 AS HUGEINT)) AS cs,
+          COUNT(*) AS cm
+        FROM x GROUP BY 1, 2)),
     m AS MATERIALIZED (
       SELECT CAST(a.label AS BIGINT) AS a, CAST(b.label AS BIGINT) AS b,
         SUM(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(18,10))) AS d2

@@ -36,12 +36,15 @@ object ClusterQuality extends QueryModule {
       .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
         col("xv").cast("double").as("xv"))
 
-  /** Per-(label, dim) centroid means as exact-sum/count doubles. */
+  /** Per-(label, dim) centroid means as exact-sum/count doubles. Raw
+    * float32 elements sum on the exact 2^50 binary grid ([[graft.Num.bin50]])
+    * — a plain scale-10 decimal cast ties on coarse dyadics (q308/sf1).
+    */
   private def centroids(x: DataFrame): DataFrame =
     x.groupBy(col("label").as("clabel"), col("dim"))
-      .agg(sum(dec(col("xv"), 10)).as("s1"), count(lit(1)).as("cn"))
+      .agg(sum(graft.Num.bin50(col("xv"))).as("s1"), count(lit(1)).as("cn"))
       .select(col("clabel"), col("dim"),
-        (col("s1").cast("double") / col("cn")).as("mu"), col("cn"))
+        expr(graft.Num.bin50MeanSql("s1", "cn")).as("mu"), col("cn"))
 
   /** Exact-decimal squared distance of every vector to every label
     * centroid: the k-means E-step join (corpus×dims vs broadcast
@@ -58,11 +61,13 @@ object ClusterQuality extends QueryModule {
         CAST(unnest(embedding) AS DOUBLE) AS xv
       FROM embeddings"""
 
-  private val centroidsSql = """
-      SELECT label AS clabel, dim,
-        CAST(SUM(CAST(xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS mu,
-        COUNT(*) AS cn
-      FROM x GROUP BY 1, 2"""
+  private val centroidsSql = s"""
+      SELECT clabel, dim, ${graft.Num.bin50MeanDuck("s1", "cn")} AS mu, cn
+      FROM (
+        SELECT label AS clabel, dim,
+          SUM(CAST(xv * 1.125899906842624e15 AS HUGEINT)) AS s1,
+          COUNT(*) AS cn
+        FROM x GROUP BY 1, 2)"""
 
   private val vecToCentroidSql = """
       SELECT x.vec_id, x.label, c.clabel,
@@ -205,21 +210,31 @@ object ClusterQuality extends QueryModule {
       .agg(sum("d2").as("ssw"), count(lit(1)).as("n_vecs"))
     val cents = centroids(x)
     val grand = x.groupBy("dim")
-      .agg(sum(dec(col("xv"), 10)).as("gs"), count(lit(1)).as("gn"))
-      .select(col("dim"), (col("gs").cast("double") / col("gn")).as("gmu"))
+      .agg(sum(graft.Num.bin50(col("xv"))).as("gs"), count(lit(1)).as("gn"))
+      .select(col("dim"), expr(graft.Num.bin50MeanSql("gs", "gn")).as("gmu"))
     val ssb = cents.join(broadcast(grand), "dim")
       .groupBy("clabel", "cn")
       .agg(sum(dec((col("mu") - col("gmu")) * (col("mu") - col("gmu")), 9))
         .as("cd2"))
-      .agg(sum(col("cn") * col("cd2")).as("ssb"), count(lit(1)).as("k"))
+      // type the product so Spark keeps scale 9: a LONG×DECIMAL(38,9)
+      // product exceeds precision 38 and the precision-loss rule trims
+      // to scale 6 — which rounded ssb onto an artificial .5 display
+      // tie at sf1 (9.67164996 → 9.671650 → HALF_UP → 9.6717)
+      .agg(sum(col("cn").cast("decimal(10,0)")
+          * col("cd2").cast("decimal(18,9)")).as("ssb"),
+        count(lit(1)).as("k"))
     // The index itself is an exact integer ppm quotient (the q250
     // discipline): a rounded double ratio landed exactly on a 0.5e-6
     // rounding tie at sf0.001, where Spark and DuckDB round-on-double
     // disagree — integer division cannot.
+    // display rounding happens in DECIMAL space (HALF_UP on both
+    // engines): ROUND(double, 4) of an exact scale-9 decimal lands on a
+    // .5 tie whenever the fraction ends in ...5000, where Spark and
+    // DuckDB round binary doubles to opposite sides (seen at sf1)
     ssw.crossJoin(broadcast(ssb))
       .select(col("n_vecs"), col("k"),
-        round(col("ssw").cast("double"), 4).as("ssw"),
-        round(col("ssb").cast("double"), 4).as("ssb"),
+        col("ssw").cast("decimal(38,4)").cast("double").as("ssw"),
+        col("ssb").cast("decimal(38,4)").cast("double").as("ssb"),
         expr("""CAST((CAST(CAST(ssb AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))
                |      * (n_vecs - k) * 1000000)
                | DIV (CAST(CAST(ssw AS DECIMAL(28,9)) * 1000000000 AS DECIMAL(38,0))
@@ -234,8 +249,10 @@ object ClusterQuality extends QueryModule {
       SELECT SUM(d2) AS ssw, COUNT(*) AS n_vecs
       FROM d WHERE label = clabel),
     grand AS (
-      SELECT dim, CAST(SUM(CAST(xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS gmu
-      FROM x GROUP BY 1),
+      SELECT dim, ${graft.Num.bin50MeanDuck("gs", "gn")} AS gmu FROM (
+        SELECT dim, SUM(CAST(xv * 1.125899906842624e15 AS HUGEINT)) AS gs,
+          COUNT(*) AS gn
+        FROM x GROUP BY 1)),
     ssb AS (
       SELECT SUM(cn * cd2) AS ssb, COUNT(*) AS k FROM (
         SELECT c.clabel, MAX(c.cn) AS cn,
@@ -243,8 +260,8 @@ object ClusterQuality extends QueryModule {
         FROM cents c JOIN grand g USING (dim)
         GROUP BY 1))
     SELECT n_vecs, k,
-      ROUND(CAST(ssw AS DOUBLE), 4) AS ssw,
-      ROUND(CAST(ssb AS DOUBLE), 4) AS ssb,
+      CAST(ROUND(ssw, 4) AS DOUBLE) AS ssw,
+      CAST(ROUND(ssb, 4) AS DOUBLE) AS ssb,
       CAST(CAST(CAST(ssb AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
              * (n_vecs - k) * 1000000
            // (CAST(CAST(ssw AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)

@@ -160,15 +160,18 @@ object Geometry extends QueryModule {
     val x = explodeDims(emb)
     // v = E[x²] - E[x]² in doubles over identical decimal→double operands
     // (the n·s2 - s1² integer form would overflow DECIMAL(38) at ~1e9 rows)
+    // raw-xv sum on the exact 2^50 grid (graft.Num.bin50: scale-10
+    // decimal casts tie on coarse float32 dyadics); xv² keeps dec — a
+    // square's dyadic width is even so it can't tie at scale 10
     val moments = x.groupBy("dim").agg(
         count(lit(1)).as("n"),
-        sum(dec(col("xv"), 10)).as("s1"),
+        sum(graft.Num.bin50(col("xv"))).as("s1"),
         sum(dec(col("xv") * col("xv"), 10)).as("s2"))
       .select(col("dim"),
-        (col("s1").cast("double") / col("n")).as("mu"),
+        expr(graft.Num.bin50MeanSql("s1", "n")).as("mu"),
         (col("s2").cast("double") / col("n")
-          - (col("s1").cast("double") / col("n"))
-            * (col("s1").cast("double") / col("n"))).as("v"))
+          - expr(graft.Num.bin50MeanSql("s1", "n"))
+            * expr(graft.Num.bin50MeanSql("s1", "n"))).as("v"))
     val scores = x.join(broadcast(moments), "dim")
       .withColumn("t", (col("xv") - col("mu")) * (col("xv") - col("mu"))
         / col("v"))
@@ -194,20 +197,21 @@ object Geometry extends QueryModule {
       .orderBy("label")
   }
 
-  private val mahalanobisOracle = """
+  private val mahalanobisOracle = s"""
     WITH x AS MATERIALIZED (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS xv
       FROM embeddings),
     moments AS (
       SELECT dim, COUNT(*) AS n,
-        SUM(CAST(xv AS DECIMAL(18,10))) AS s1,
+        SUM(CAST(xv * 1.125899906842624e15 AS HUGEINT)) AS s1,
         SUM(CAST(xv * xv AS DECIMAL(18,10))) AS s2
       FROM x GROUP BY 1),
     mo AS (
-      SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+      SELECT dim, ${graft.Num.bin50MeanDuck("s1", "n")} AS mu,
         CAST(s2 AS DOUBLE) / n
-          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v
+          - ${graft.Num.bin50MeanDuck("s1", "n")}
+            * ${graft.Num.bin50MeanDuck("s1", "n")} AS v
       FROM moments),
     scores AS MATERIALIZED (
       SELECT x.vec_id, x.label,
@@ -348,7 +352,9 @@ object Geometry extends QueryModule {
     val book1 = a1.select("vec_id", "m", "cid")
       .join(x, Seq("vec_id", "m"))
       .groupBy("m", "cid", "dim")
-      .agg((sum(dec(col("xv"), 10)).cast("double") / count(lit(1))).as("cv"))
+      .agg(sum(graft.Num.bin50(col("xv"))).as("cs"), count(lit(1)).as("cm"))
+      .select(col("m"), col("cid"), col("dim"),
+        expr(graft.Num.bin50MeanSql("cs", "cm")).as("cv"))
       .localCheckpoint() // 8 codes × 32 dims; reused by assign + report
     val a2 = assign(book1)
     a2.groupBy(col("m").as("subspace"), col("cid").as("code"))
@@ -365,7 +371,7 @@ object Geometry extends QueryModule {
       .orderBy("subspace", "code")
   }
 
-  private val pqOracle = """
+  private val pqOracle = s"""
     WITH x AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
         CAST(unnest(embedding) AS DOUBLE) AS xv,
@@ -386,10 +392,12 @@ object Geometry extends QueryModule {
           ORDER BY d2, cid) AS rn
         FROM d1) WHERE rn = 1),
     book1 AS MATERIALIZED (
-      SELECT x.m, a.cid, x.dim,
-        CAST(SUM(CAST(x.xv AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS cv
-      FROM a1 a JOIN x ON a.vec_id = x.vec_id AND a.m = x.m
-      GROUP BY 1, 2, 3),
+      SELECT m, cid, dim, ${graft.Num.bin50MeanDuck("cs", "cm")} AS cv FROM (
+        SELECT x.m, a.cid, x.dim,
+          SUM(CAST(x.xv * 1.125899906842624e15 AS HUGEINT)) AS cs,
+          COUNT(*) AS cm
+        FROM a1 a JOIN x ON a.vec_id = x.vec_id AND a.m = x.m
+        GROUP BY 1, 2, 3)),
     d2r AS MATERIALIZED (
       SELECT x.vec_id, x.m, b.cid,
         SUM(CAST((x.xv - b.cv) * (x.xv - b.cv) AS DECIMAL(18,10))) AS d2

@@ -80,9 +80,15 @@ def main():
     # graph-CTE inline at sf1); with one, DuckDB spills to disk instead.
     mem_limit = os.environ.get("GRAFT_DUCKDB_MEMORY", "48GB")
     spill_dir = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_check_spill")
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
     try:
         con.execute(f"SET memory_limit='{mem_limit}'")
         con.execute(f"SET temp_directory='{spill_dir}'")
+        # A thread cap (e.g. 8) keeps a long sweep from exhausting the
+        # process thread limit — DuckDB defaults to one thread per CPU
+        # and a 400-oracle run has died on pthread_create EAGAIN.
+        if threads:
+            con.execute(f"SET threads={int(threads)}")
     except Exception as e:
         print(f"WARN: duckdb memory_limit/temp_directory not applied "
               f"({e}); checker may use unbounded memory", file=sys.stderr)
