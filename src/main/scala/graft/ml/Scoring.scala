@@ -38,10 +38,33 @@ object Scoring {
     (train, test)
   }
 
-  /** The (regParam, elasticNetParam) candidate grid shared by the
-    * exhaustive and adaptive searches. */
+  /** The (regParam, elasticNetParam) candidate grid for the exhaustive
+    * control search. */
   private[ml] val grid: Seq[(Double, Double)] =
     for (r <- Seq(0.0, 0.01, 0.1); e <- Seq(0.0, 0.5)) yield (r, e)
+
+  /** The adaptive search's candidate pool: `n` deterministic draws from
+    * the reference's log-uniform Hyperopt space (`03a_Model
+    * Training.py:436-441` searches lr ~ loguniform(-10,-4) and momentum
+    * ~ loguniform(-10,0)); here regParam ~ exp(U(-10,-4)) and
+    * elasticNetParam ~ exp(U(-10,0)) ∈ (0,1]. Uniforms come from
+    * splitmix64 over (seed, draw index) — a portable pure function, so
+    * the pool is identical across runs, JVMs, and partitionings (the
+    * same hash-uniform policy the engine-side q154 weighted sampler
+    * uses), with none of the non-reproducibility of `Math.random`.
+    */
+  private[ml] def sampledPool(n: Int = 6, seed: Long = 42L): Seq[(Double, Double)] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u(i: Long): Double = (mix(seed * 1000003L + i) >>> 11).toDouble / (1L << 53).toDouble
+    (0 until n).map { i =>
+      (math.exp(-10.0 + 6.0 * u(2L * i)), math.exp(-10.0 + 10.0 * u(2L * i + 1)))
+    }
+  }
 
   /** M5 baseline: exhaustive grid at full budget (every candidate pays
     * maxIter=50). Kept as the control the adaptive search is audited
@@ -81,35 +104,74 @@ object Scoring {
   def trainAdaptive(trainDf: DataFrame): (LogisticRegressionModel, DataFrame) = {
     val spark = trainDf.sparkSession
     import spark.implicits._
+    val (best, rows) = adaptiveRows(trainDf)
+    (best, rows
+      .toDF("round", "reg_param", "elastic_net", "max_iter", "val_auc", "kept"))
+  }
+
+  /** [[trainAdaptive]]'s engine: returns the winner plus the audit as
+    * driver-local rows (session-free, so it can be cached across the q43
+    * and q414 query surfaces). Each round's surviving candidates are fit
+    * CONCURRENTLY on a round-sized thread pool — the TrainValidationSplit
+    * `setParallelism` pattern; every fit is itself a distributed MLlib
+    * job, the threads only overlap job submission — so wall-clock is
+    * max-per-round, not sum.
+    */
+  private def adaptiveRows(trainDf: DataFrame)
+      : (LogisticRegressionModel, Seq[(Long, Double, Double, Long, Double, Long)]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     // deterministic inner validation split (hash predicate, decorrelated
     // from split()'s *37 by a different multiplier)
     val tr0 = trainDf.filter(pmod(col("vec_id") * 53, lit(10)) < 8)
     val va0 = trainDf.filter(pmod(col("vec_id") * 53, lit(10)) >= 8)
-    val evaluator = new BinaryClassificationEvaluator().setLabelCol("y")
     val budgets = Seq(8, 25, 50)
     val keeps = Seq(3, 1, 1)
-    var pool = grid
+    var pool = sampledPool()
     var best: LogisticRegressionModel = null
     val audit = Seq.newBuilder[(Long, Double, Double, Long, Double, Long)]
-    for (r <- budgets.indices) {
-      val scored = pool.map { case (reg, en) =>
-        val m = new LogisticRegression()
-          .setFeaturesCol("features").setLabelCol("y")
-          .setMaxIter(budgets(r)).setRegParam(reg).setElasticNetParam(en)
-          .fit(tr0)
-        ((reg, en), m, evaluator.evaluate(m.transform(va0)))
-      }.sortBy { case ((reg, en), _, auc) => (-auc, reg, en) } // pinned tiebreak
-      val kept = scored.take(keeps(r)).map(_._1).toSet
-      scored.foreach { case ((reg, en), _, auc) =>
-        audit += ((r + 1L, reg, en, budgets(r).toLong, auc,
-          if (kept((reg, en))) 1L else 0L))
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(pool.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(exec)
+    try {
+      for (r <- budgets.indices) {
+        val scored = Await.result(
+          Future.sequence(pool.map { case (reg, en) => Future {
+            // evaluator is NOT thread-safe shared state: one per fit
+            val m = new LogisticRegression()
+              .setFeaturesCol("features").setLabelCol("y")
+              .setMaxIter(budgets(r)).setRegParam(reg).setElasticNetParam(en)
+              .fit(tr0)
+            val auc = new BinaryClassificationEvaluator().setLabelCol("y")
+              .evaluate(m.transform(va0))
+            ((reg, en), m, auc)
+          }}), Duration.Inf)
+          .sortBy { case ((reg, en), _, auc) => (-auc, reg, en) } // pinned tiebreak
+        val kept = scored.take(keeps(r)).map(_._1).toSet
+        scored.foreach { case ((reg, en), _, auc) =>
+          audit += ((r + 1L, reg, en, budgets(r).toLong, auc,
+            if (kept((reg, en))) 1L else 0L))
+        }
+        pool = scored.map(_._1).filter(kept)
+        best = scored.head._2
       }
-      pool = scored.map(_._1).filter(kept)
-      best = scored.head._2
-    }
-    (best, audit.result()
-      .toDF("round", "reg_param", "elastic_net", "max_iter", "val_auc", "kept"))
+    } finally exec.shutdown()
+    (best, audit.result())
   }
+
+  /** ONE adaptive search per corpus directory, shared by the q43
+    * (train+score) and q414 (tuning audit) surfaces: both consume the
+    * identical search over the identical deterministic split, so running
+    * it twice per session re-fit the same 10 models for nothing (the r10
+    * bench's two heaviest queries). The cache holds only driver-side
+    * state — a fitted coefficient vector and a ≤10-row audit — valid for
+    * as long as the parquet under `sfDir` is, which is the whole run.
+    */
+  private val searchCache = scala.collection.concurrent.TrieMap
+    .empty[String, (LogisticRegressionModel, Seq[(Long, Double, Double, Long, Double, Long)])]
+
+  private def sharedSearch(featurized: DataFrame, sfDir: String)
+      : (LogisticRegressionModel, Seq[(Long, Double, Double, Long, Double, Long)]) =
+    searchCache.getOrElseUpdate(sfDir, adaptiveRows(split(featurized)._1))
 
   /** M3/M5: train via the adaptive search (same grid, 173 of the
     * exhaustive 300 allocated iterations — [[trainAdaptive]]). */
@@ -133,8 +195,8 @@ object Scoring {
     val feats = featurize(graft.Tables.embeddings(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (tr, te) = split(feats)
-      val model = train(tr)
+      val (_, te) = split(feats)
+      val model = sharedSearch(feats, sfDir)._1
       val auc = new BinaryClassificationEvaluator().setLabelCol("y")
         .setRawPredictionCol("rawPrediction")
         .evaluate(model.transform(te))
@@ -152,12 +214,13 @@ object Scoring {
     * halving round.
     */
   def adaptiveTuningAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val feats = featurize(graft.Tables.embeddings(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (tr, _) = split(feats)
-      val (_, audit) = trainAdaptive(tr)
-      audit.orderBy("round", "reg_param", "elastic_net")
+      sharedSearch(feats, sfDir)._2
+        .toDF("round", "reg_param", "elastic_net", "max_iter", "val_auc", "kept")
+        .orderBy("round", "reg_param", "elastic_net")
     } finally feats.unpersist(blocking = false)
   }
 

@@ -87,6 +87,16 @@ class IoSpec extends SparkSpec {
       assert(rows.map(_.getAs[Long]("max_iter")).sum == 173L)
       assert(rows.count(_.getAs[Long]("round") == 1L) == 6)
       assert(rows.count(_.getAs[Long]("round") == 3L) == 1)
+      // the pool is sampled from the reference's log-uniform space
+      // (03a:436-441): reg ~ exp(U(-10,-4)), elastic-net ~ exp(U(-10,0)),
+      // deterministic (same draws every run) and all distinct
+      val r1 = rows.filter(_.getAs[Long]("round") == 1L)
+        .map(r => (r.getAs[Double]("reg_param"), r.getAs[Double]("elastic_net")))
+      assert(r1.distinct.length == 6)
+      assert(r1.forall { case (reg, en) =>
+        reg >= math.exp(-10) && reg <= math.exp(-4) &&
+        en >= math.exp(-10) && en <= 1.0 })
+      assert(Scoring.sampledPool().toSet == r1.toSet)
       // every round keeps its declared survivor count
       assert(rows.filter(_.getAs[Long]("round") == 1L).count(_.getAs[Long]("kept") == 1L) == 3)
       assert(rows.filter(_.getAs[Long]("round") == 2L).count(_.getAs[Long]("kept") == 1L) == 1)
