@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => LSort, Aggregate => LAggregate, GlobalLimit => LGlobalLimit, LocalLimit => LLocalLimit, LocalRelation => LLocalRelation, LogicalPlan, Join => LJoin}
 
 /** Surface-wide scale-hazard audit: plans every registered query (no
@@ -17,8 +17,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Sort => L
   *
   * Whitelisted query/hazard pairs are documented inline — each names the
   * reason the shape is bounded (e.g. the windowed frame is a ≤1000-row
-  * aggregate, not the corpus). Exits non-zero on any unexplained hazard,
-  * so it can gate like a test.
+  * aggregate, not the corpus). The CLI exits non-zero on any unexplained
+  * hazard; `PlanAuditSpec` runs [[audit]] over the full registry inside
+  * `sbt test`, so a flat-window regression fails CI.
   *
   * usage: runMain graft.PlanAudit <sfDir> [queryName ...]
   */
@@ -28,13 +29,123 @@ object PlanAudit {
     * provably bounded (post-aggregation scalars / top-k / fixed lattices),
     * with the bound stated. Keep this list SHORT and justified.
     */
-  private val whitelist: Map[String, Set[String]] = Map(
+  val whitelist: Map[String, Set[String]] = Map(
     // the 10 permutation-rank windows run over a localCheckpoint of the
     // per-day revenue aggregate — the checkpoint truncates lineage so the
     // reducing Aggregate beneath is invisible to `reduced`. The frame is
     // calendar-bounded (≤ ~2.6k rows for the 7-year TPC-H shipdate range)
     // at every corpus size.
     "q384_permutation_null" -> Set("GLOBAL-WINDOW"))
+
+  /** One query's audit: scale hazards (should be empty or whitelisted)
+    * plus INFO notes for manual review — each bounded global window is
+    * annotated with the grouping keys of the Aggregate(s) that bound its
+    * frame (`bounded-by=[...]`), so a calendar/type-keyed frame (fixed
+    * cardinality) is distinguishable from a distinct-value/user-keyed one
+    * (grows with the corpus — candidates for the ops/Dist treatment).
+    */
+  final case class Audit(hazards: Seq[String], infos: Seq[String])
+
+  def audit(df: DataFrame): Audit = {
+    val opt = df.queryExecution.optimizedPlan
+    val phys = df.queryExecution.sparkPlan.treeString
+
+    val hazards = scala.collection.mutable.ListBuffer.empty[String]
+    val infos = scala.collection.mutable.ListBuffer.empty[String]
+
+    // "reduced" = every leaf under this node passes through an
+    // operator that collapses corpus-scale cardinality before it:
+    // an Aggregate (output ∝ group count, not input rows), a
+    // Limit, or a LocalRelation (literal dim). A single-partition
+    // window/sort over a reduced frame is O(groups), not O(corpus)
+    // — bounded, not a scale hazard (it can still be LARGE if the
+    // group key is high-cardinality; that subset is reported as
+    // INFO with its bounding keys for manual review, not flagged).
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: LAggregate | _: LGlobalLimit |
+           _: LLocalLimit | _: LLocalRelation => true
+      case j: LJoin => reduced(j.left) && reduced(j.right)
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(reduced)
+    }
+
+    // the topmost bounding operators under a reduced frame: the
+    // grouping keys of those Aggregates ARE the frame's cardinality
+    // (limits/literal relations are constant-bounded).
+    def bounders(p: LogicalPlan): Seq[String] = p match {
+      case a: LAggregate =>
+        if (a.groupingExpressions.isEmpty) Seq("<scalar>")
+        else a.groupingExpressions.map(_.sql)
+      case _: LGlobalLimit | _: LLocalLimit => Seq("<limit>")
+      case _: LLocalRelation => Seq("<literal>")
+      case other => other.children.flatMap(bounders)
+    }
+
+    // 1. corpus-wide window: empty partitionSpec over an
+    // unreduced (corpus-sized) input.
+    val boundedBy = scala.collection.mutable.ListBuffer.empty[String]
+    opt.foreach {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        if (reduced(w.child))
+          boundedBy += bounders(w.child).distinct.mkString(",")
+        else hazards += "GLOBAL-WINDOW"
+      case _ =>
+    }
+
+    // 2. global sort over an unreduced input that is not the
+    // outermost presentation ORDER BY. A sort directly under a
+    // Limit compiles to TakeOrderedAndProject (distributed
+    // per-partition top-k + single merge of k·parts rows) — not
+    // a global sort at all, so exclude those first.
+    val underLimit = scala.collection.mutable.Set.empty[LSort]
+    @annotation.tailrec
+    def sortBelow(p: LogicalPlan): Option[LSort] = p match {
+      case s: LSort => Some(s)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        sortBelow(pr.child)
+      case ll: LLocalLimit => sortBelow(ll.child)
+      case _ => None
+    }
+    opt.foreach {
+      case l: LLocalLimit => sortBelow(l.child).foreach(underLimit += _)
+      case l: LGlobalLimit => sortBelow(l.child).foreach(underLimit += _)
+      case _ =>
+    }
+    val innerGlobalSorts = opt.collect {
+      case s: LSort if s.global && !reduced(s.child) &&
+        !underLimit.contains(s) => s
+    }
+    // the outermost sort (presentation ORDER BY) is expected:
+    // range-partitioned, streams to the result. Walk the root
+    // spine through row-preserving unary nodes to find it.
+    @annotation.tailrec
+    def spineSort(p: LogicalPlan): Option[LSort] = p match {
+      case s: LSort => Some(s)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project => spineSort(pr.child)
+      case _ => None
+    }
+    val presentation =
+      spineSort(opt).count(innerGlobalSorts.contains)
+    if (innerGlobalSorts.size > presentation)
+      hazards += s"GLOBAL-SORT-NONFINAL(${innerGlobalSorts.size - presentation})"
+    if (boundedBy.nonEmpty && hazards.isEmpty)
+      infos += s"${boundedBy.size} bounded global window(s) over aggregated frames " +
+        boundedBy.map(k => s"bounded-by=[$k]").mkString("; ")
+
+    // 3/4. physical shapes
+    if (phys.contains("CartesianProduct")) hazards += "CARTESIAN"
+    val spExchanges = "Exchange SinglePartition".r.findAllIn(phys).size
+    // a single trailing single-partition exchange under a global
+    // limit/sort is presentation; more than one is structural
+    if (spExchanges > 1) hazards += s"SINGLE-PARTITION($spExchanges)"
+
+    Audit(hazards.toSeq, infos.toSeq)
+  }
+
+  /** Unwhitelisted hazards for a named query (the gate condition). */
+  def unexplained(name: String, a: Audit): Seq[String] =
+    a.hazards.filterNot(h =>
+      whitelist.getOrElse(name, Set.empty).exists(h.startsWith))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -57,88 +168,12 @@ object PlanAudit {
           // streaming plans are finalized per-microbatch; static audit n/a
         } else {
           planned += 1
-          val opt = df.queryExecution.optimizedPlan
-          val phys = df.queryExecution.sparkPlan.treeString
-
-          val hazards = scala.collection.mutable.ListBuffer.empty[String]
-
-          // "reduced" = every leaf under this node passes through an
-          // operator that collapses corpus-scale cardinality before it:
-          // an Aggregate (output ∝ group count, not input rows), a
-          // Limit, or a LocalRelation (literal dim). A single-partition
-          // window/sort over a reduced frame is O(groups), not O(corpus)
-          // — bounded, not a scale hazard (it can still be LARGE if the
-          // group key is high-cardinality; that subset is reported as
-          // INFO for manual review, not flagged).
-          def reduced(p: LogicalPlan): Boolean = p match {
-            case _: LAggregate | _: LGlobalLimit |
-                 _: LLocalLimit | _: LLocalRelation => true
-            case j: LJoin => reduced(j.left) && reduced(j.right)
-            case other if other.children.isEmpty => false
-            case other => other.children.forall(reduced)
-          }
-
-          // 1. corpus-wide window: empty partitionSpec over an
-          // unreduced (corpus-sized) input.
-          var reducedWindows = 0
-          opt.foreach {
-            case w: LWindow if w.partitionSpec.isEmpty =>
-              if (reduced(w.child)) reducedWindows += 1
-              else hazards += "GLOBAL-WINDOW"
-            case _ =>
-          }
-
-          // 2. global sort over an unreduced input that is not the
-          // outermost presentation ORDER BY. A sort directly under a
-          // Limit compiles to TakeOrderedAndProject (distributed
-          // per-partition top-k + single merge of k·parts rows) — not
-          // a global sort at all, so exclude those first.
-          val underLimit = scala.collection.mutable.Set.empty[LSort]
-          @annotation.tailrec
-          def sortBelow(p: LogicalPlan): Option[LSort] = p match {
-            case s: LSort => Some(s)
-            case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
-              sortBelow(pr.child)
-            case ll: LLocalLimit => sortBelow(ll.child)
-            case _ => None
-          }
-          opt.foreach {
-            case l: LLocalLimit => sortBelow(l.child).foreach(underLimit += _)
-            case l: LGlobalLimit => sortBelow(l.child).foreach(underLimit += _)
-            case _ =>
-          }
-          val innerGlobalSorts = opt.collect {
-            case s: LSort if s.global && !reduced(s.child) &&
-              !underLimit.contains(s) => s
-          }
-          // the outermost sort (presentation ORDER BY) is expected:
-          // range-partitioned, streams to the result. Walk the root
-          // spine through row-preserving unary nodes to find it.
-          @annotation.tailrec
-          def spineSort(p: LogicalPlan): Option[LSort] = p match {
-            case s: LSort => Some(s)
-            case pr: org.apache.spark.sql.catalyst.plans.logical.Project => spineSort(pr.child)
-            case _ => None
-          }
-          val presentation =
-            spineSort(opt).count(innerGlobalSorts.contains)
-          if (innerGlobalSorts.size > presentation)
-            hazards += s"GLOBAL-SORT-NONFINAL(${innerGlobalSorts.size - presentation})"
-          if (reducedWindows > 0 && hazards.isEmpty)
-            println(s"INFO $name: $reducedWindows bounded global window(s) over aggregated frames")
-
-          // 3/4. physical shapes
-          if (phys.contains("CartesianProduct")) hazards += "CARTESIAN"
-          val spExchanges = "Exchange SinglePartition".r.findAllIn(phys).size
-          // a single trailing single-partition exchange under a global
-          // limit/sort is presentation; more than one is structural
-          if (spExchanges > 1) hazards += s"SINGLE-PARTITION($spExchanges)"
-
-          val unexplained = hazards.filterNot(h =>
-            whitelist.getOrElse(name, Set.empty).exists(h.startsWith))
-          if (unexplained.nonEmpty) {
+          val a = audit(df)
+          a.infos.foreach(i => println(s"INFO $name: $i"))
+          val un = unexplained(name, a)
+          if (un.nonEmpty) {
             flagged += 1
-            println(s"FLAG $name: ${unexplained.mkString(", ")}")
+            println(s"FLAG $name: ${un.mkString(", ")}")
           }
         }
       } catch {

@@ -31,10 +31,15 @@ object Registry {
       .toDF("model_name", "version", "stage", "seq")
   }
 
-  /** The transition log (empty if nothing registered yet). */
-  def log(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
-    else emptyLog(spark)
+  /** The transition log (empty if nothing registered yet). Existence is
+    * probed through the Hadoop FileSystem API so `dir` may live on any
+    * supported filesystem (hdfs://, s3a://, file:), not just the local
+    * disk a `java.io.File` check would see. */
+  def log(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(dir) else emptyLog(spark)
+  }
 
   private def append(spark: SparkSession, dir: String,
       rows: Seq[(String, Long, String, Long)]): Unit = {
@@ -43,6 +48,11 @@ object Registry {
       .write.mode("append").parquet(dir)
   }
 
+  /** SINGLE-WRITER assumption (like mlflow's registry DB, writes go
+    * through one coordinator): nextSeq is a read-modify-write over the
+    * log, so two concurrent writers could mint the same seq. Readers
+    * stay correct for registry queries keyed by (model_name, version,
+    * seq) order, but serialize mutations through one process. */
   private def nextSeq(l: DataFrame): Long =
     l.agg(coalesce(max("seq"), lit(0L))).collect()(0).getLong(0) + 1L
 

@@ -830,14 +830,29 @@ object Analytics extends QueryModule {
       .crossJoin(broadcast(maxd))
       .select(col("o_custkey"), datediff(col("maxd"), col("last_d")).as("rec_days"),
         col("f"), col("m"))
-    val rW = Window.orderBy(col("rec_days"), col("o_custkey"))
-    val fW = Window.orderBy(col("f").desc, col("o_custkey"))
-    val mW = Window.orderBy(col("m").desc, col("o_custkey"))
-    cust
+    // Three customer-proportional quintile carves, each distributed via
+    // Dist.withNtile. Buckets refine the leading key's TIE GROUPS with a
+    // coarsened prefix of the custkey tiebreak (monotone within ties):
+    // recency has ≤ ~2.6k distinct days and frequency ≤ ~dozens of
+    // distinct counts, so bucketing on the leading key alone would open
+    // a customers/|distinct| window in one task. Monetary cents are
+    // near-unique, so a coarsened value bucket suffices.
+    val kb = expr("o_custkey DIV 65536")
+    val scored = Seq[(org.apache.spark.sql.Column, Seq[org.apache.spark.sql.Column], String)](
+      (struct(col("rec_days"), kb), Seq(col("rec_days"), col("o_custkey")), "r_score"),
+      (struct(negate(col("f")), kb), Seq(col("f").desc, col("o_custkey")), "f_score"),
+      (floor(negate(col("m")) / 4096), Seq(col("m").desc, col("o_custkey")), "m_score"))
+      // each decomposition reads its input twice (bucket table + join
+      // side): materialize between stages or the customer summary is
+      // re-derived 2^3 times
+      .foldLeft(cust.localCheckpoint()) { case (d, (bkt, ord, out)) =>
+        Dist.withNtile(d, bkt, ord, 5, out)
+          .withColumn(out, col(out).cast("long"))
+          .localCheckpoint()
+      }
+    scored
       .select(col("o_custkey"), col("m"),
-        ntile(5).over(rW).cast("long").as("r_score"),
-        ntile(5).over(fW).cast("long").as("f_score"),
-        ntile(5).over(mW).cast("long").as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
         (sum(dec(col("m"), 2)).cast("double") / count(lit(1))).as("avg_monetary"))
@@ -1397,9 +1412,12 @@ object Analytics extends QueryModule {
         (col("event_type") === ta).cast("long").as("is_a"))
     val byV = pool.groupBy("v")
       .agg(count(lit(1)).as("cnt"), sum("is_a").as("cnt_a"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byV
-      .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+    // the distinct-value grid is value-range-bounded but still grows with
+    // corpus richness — the running count distributes via Dist
+    // (v DIV 64 buckets the leading — only — sort key)
+    val ranked = Dist.withRunningSum(byV, expr("v DIV 64"), Seq(col("v")),
+        col("cnt"), "run")
+      .withColumn("cum", col("run") - col("cnt"))
       // doubled average rank of a tie group starting after `cum` items
       .withColumn("avg2", lit(2L) * col("cum") + col("cnt") + lit(1L))
     val s = ranked.agg(
@@ -1454,10 +1472,11 @@ object Analytics extends QueryModule {
     val scaled = events.select((col("ts") < cut).as("is_ref"),
       round(col("value") * 100).cast("long").as("v"))
     val ref = scaled.filter(col("is_ref"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = ref.groupBy("v").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(w))
+    // the distinct-value grid grows with corpus richness: the reference
+    // CDF distributes via Dist (v DIV 64 buckets the leading sort key)
+    val cums = Dist.withRunningSum(
+        ref.groupBy("v").agg(count(lit(1)).as("cnt")),
+        expr("v DIV 64"), Seq(col("v")), col("cnt"), "cum")
       .crossJoin(broadcast(ref.agg(count(lit(1)).as("total"))))
     val boundCols = (1 to 9).map(i =>
       min(when(col("cum") * 10 >= col("total") * i, col("v"))).as(s"b$i"))
@@ -2259,16 +2278,22 @@ object Analytics extends QueryModule {
         col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"),
         coalesce(col("cents"), lit(0).cast("decimal(18,0)")).as("cents"))
-      .localCheckpoint() // one spend pass feeds the distinct-cents window AND the rank join
+    // Per-row ranks are never materialized: a tie group of cnt customers
+    // at the same cents with `before` predecessors contributes
+    // cents · (cnt·before + cnt(cnt+1)/2) to Σ i·cents in closed form —
+    // which also removes the per-cents rank window whose zero-spend tie
+    // group (customers without orders, ~1/3 of TPC-H) would funnel a
+    // corpus-scale partition through one task. The distinct-cents
+    // running count distributes via Dist.
     val grp = spend.groupBy("cents").agg(count(lit(1)).as("cnt"))
-    val wg = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    val base = grp.withColumn("before", coalesce(sum("cnt").over(wg), lit(0L)))
-    val wi = Window.partitionBy("cents").orderBy("c_custkey")
-    val ranked = spend.join(base, "cents")
-      .withColumn("i", (col("before") + row_number().over(wi)).cast("decimal(18,0)"))
-    ranked.agg(count(lit(1)).as("n"),
-        sum(col("cents")).cast("decimal(38,0)").as("s"),
-        sum(col("i") * col("cents")).cast("decimal(38,0)").as("si"))
+    val base = Dist.withRunningSum(grp, floor(col("cents") / 4096),
+        Seq(col("cents")), col("cnt"), "run")
+      .withColumn("before", col("run") - col("cnt"))
+    base.agg(sum("cnt").as("n"),
+        sum(col("cents") * col("cnt")).cast("decimal(38,0)").as("s"),
+        sum(expr("""CAST(cents * (CAST(cnt AS DECIMAL(38,0)) * before
+          | + CAST((cnt * (cnt + 1)) DIV 2 AS DECIMAL(38,0)))
+          | AS DECIMAL(38,0))""".stripMargin)).cast("decimal(38,0)").as("si"))
       .select(col("n"),
         (col("s").cast("double") / 100.0).as("total_spend"),
         round((lit(2).cast("decimal(18,0)") * col("si") -
@@ -2387,10 +2412,12 @@ object Analytics extends QueryModule {
         (col("event_type") === "purchase").cast("long").as("isp"))
     val grid = f.groupBy("value")
       .agg(sum(col("isp")).as("np"), sum(lit(1L) - col("isp")).as("nv"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.select(col("value"),
-      sum("np").over(w).as("cp"), sum("nv").over(w).as("cv"))
+    // the distinct-value grid grows with corpus richness: both running
+    // CDFs distribute via ONE Dist decomposition (floor(value) buckets
+    // the leading — only — sort key; one prefix table, one join)
+    val cum = Dist.withRunningSums(grid, floor(col("value")),
+        Seq(col("value")), Seq(col("np") -> "cp", col("nv") -> "cv"))
+      .select(col("value"), col("cp"), col("cv"))
     val tot = grid.agg(sum("np").as("tp"), sum("nv").as("tv"))
     cum.crossJoin(broadcast(tot))
       .select(col("tp"), col("tv"),

@@ -14,8 +14,37 @@ import org.apache.spark.sql.functions._
   * row_number WITHIN each bucket, partitioned by bucket. rn = prefix +
   * within-bucket rank is identical to the flat global-window form the
   * DuckDB oracles keep.
+  *
+  * Scale bound on level 1: the prefix table has one row per (partition,
+  * bucket) and is broadcast by default, and its own prefix window runs in
+  * one task — so callers must size the bucket width to keep the bucket
+  * COUNT at metadata scale (≤ ~10M rows; at ~1e12 corpus rows that means
+  * buckets of ≥ ~1e5 rows). Every in-repo call site uses a fixed-arity
+  * bucket key (256-4096 buckets), far inside the bound. For bucket
+  * tables past broadcast limits pass `broadcastPrefix = false` to take a
+  * shuffle join instead (the one-task prefix window then still holds to
+  * ~100M buckets; beyond that add a third level).
+  *
+  * NULL keys: the prefix join is null-safe (`<=>`), so rows whose bucket
+  * or partition expression evaluates to NULL are RANKED, not dropped —
+  * the NULL bucket groups together and sorts first (Spark's default
+  * ASC NULLS FIRST), matching the flat `row_number` form for an
+  * ascending leading key. For a DESCENDING leading key (negated bucket)
+  * flat desc ranks NULLs last; pre-coalesce the bucket to a sentinel
+  * that preserves your intended NULL placement in that case.
   */
 object Dist {
+
+  /** Null-safe equi-join of `left` to a renamed copy of `right` on
+    * `keys` (broadcast `right` when `bcast`), keeping `left`'s key
+    * columns plus `right`'s payload columns. */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], bcast: Boolean): DataFrame = {
+    val renamed = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, "__p_" + k))
+    val cond = keys.map(k => col(k) <=> col("__p_" + k)).reduce(_ && _)
+    left.join(if (bcast) broadcast(renamed) else renamed, cond)
+      .drop(keys.map("__p_" + _): _*)
+  }
 
   /** Appends `rn` = exact row_number over `order` (globally, or within
     * each `partition` group when given), and optionally `total` = the
@@ -27,7 +56,8 @@ object Dist {
     * inside buckets, so the result equals
     * `row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*))`
     * row for row — but the widest window ever opened is one bucket, and
-    * the bucket table itself is corpus/width rows.
+    * the bucket table itself is corpus/width rows (see the object doc
+    * for the bucket-count bound and NULL-key semantics).
     */
   def withRowNumber(
       df: DataFrame,
@@ -35,7 +65,8 @@ object Dist {
       order: Seq[Column],
       rn: String = "rn",
       total: Option[String] = None,
-      partition: Seq[String] = Nil): DataFrame = {
+      partition: Seq[String] = Nil,
+      broadcastPrefix: Boolean = true): DataFrame = {
     val b = df.withColumn("__bkt", bucket)
     val keys = partition :+ "__bkt"
     val wIn = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
@@ -45,7 +76,7 @@ object Dist {
     val pre = pre0
       .withColumn("__pj", coalesce(sum("__bc").over(wBkt), lit(0L)))
       .select((keys :+ "__pj").map(col): _*)
-    val ranked = b.join(broadcast(pre), keys)
+    val ranked = nullSafeJoin(b, pre, keys, broadcastPrefix)
       .withColumn(rn, col("__pj") + row_number().over(wIn))
       .drop("__bkt", "__pj")
     total match {
@@ -56,7 +87,7 @@ object Dist {
       case Some(n) =>
         val tot = pre0.groupBy(partition.map(col): _*)
           .agg(sum("__bc").cast("long").as(n))
-        ranked.join(broadcast(tot), partition)
+        nullSafeJoin(ranked, tot, partition, bcast = true)
     }
   }
 
@@ -64,30 +95,57 @@ object Dist {
     * (UNBOUNDED PRECEDING..CURRENT ROW), distributed the same way:
     * per-bucket prefix sums on the bucket table, within-bucket running
     * sums partitioned by bucket. `value` must be integral (the prefix
-    * zero is 0L). Same `bucket` monotonicity contract.
+    * zero is 0L). Same `bucket` monotonicity contract, bucket-count
+    * bound, and NULL-key semantics (null-safe join; NULL buckets rank
+    * first) as [[withRowNumber]].
     */
   def withRunningSum(
       df: DataFrame,
       bucket: Column,
       order: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
-    val b = df.withColumn("__bkt", bucket).withColumn("__v", value)
+      out: String,
+      broadcastPrefix: Boolean = true): DataFrame =
+    withRunningSums(df, bucket, order, Seq(value -> out), broadcastPrefix)
+
+  /** [[withRunningSum]] for several value columns at once: ONE bucket
+    * aggregation, one prefix window, one join — not one decomposition
+    * per column. `values` maps each value expression to its output
+    * column name.
+    */
+  def withRunningSums(
+      df: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      values: Seq[(Column, String)],
+      broadcastPrefix: Boolean = true): DataFrame = {
+    val vcols = values.indices.map(i => s"__v$i")
+    val b = values.zip(vcols).foldLeft(df.withColumn("__bkt", bucket)) {
+      case (d, ((v, _), vc)) => d.withColumn(vc, v)
+    }
     val wIn = Window.partitionBy("__bkt").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBkt = Window.orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pre = b.groupBy("__bkt").agg(sum("__v").as("__bs"))
-      .withColumn("__ps", coalesce(sum("__bs").over(wBkt), lit(0L)))
-      .select("__bkt", "__ps")
-    b.join(broadcast(pre), "__bkt")
-      .withColumn(out, col("__ps") + sum("__v").over(wIn))
-      .drop("__bkt", "__ps", "__v")
+    val pre = b.groupBy("__bkt")
+      .agg(vcols.map(vc => sum(vc).as(s"__bs_$vc")).head,
+        vcols.map(vc => sum(vc).as(s"__bs_$vc")).tail: _*)
+      .select(col("__bkt") +: vcols.map(vc =>
+        coalesce(sum(s"__bs_$vc").over(wBkt), lit(0L)).as(s"__ps_$vc")): _*)
+    val joined = nullSafeJoin(b, pre, Seq("__bkt"), broadcastPrefix)
+    values.zip(vcols).foldLeft(joined) { case (d, ((_, out), vc)) =>
+      d.withColumn(out, col(s"__ps_$vc") + sum(vc).over(wIn))
+    }.drop("__bkt")
+      .drop(vcols: _*)
+      .drop(vcols.map(vc => s"__ps_$vc"): _*)
   }
 
   /** Appends `bin` = exact `ntile(bins)` over `order` (SQL NTILE tiling:
     * the first N mod bins tiles get one extra row), via the distributed
-    * row_number above. Same `bucket` monotonicity contract.
+    * row_number above. Same `bucket` monotonicity contract. The
+    * `greatest(..., 1)` guards the n < bins divide (the THEN branch
+    * covers every row in that regime, but the ELSE divisor must still be
+    * non-zero for the codegen'd expression to be total).
     */
   def withNtile(
       df: DataFrame,
@@ -101,6 +159,6 @@ object Dist {
            | THEN (__rn - 1) DIV (__n DIV $bins + 1) + 1
            | ELSE (__n % $bins)
            |   + (__rn - (__n % $bins) * (__n DIV $bins + 1) - 1)
-           |     DIV (__n DIV $bins) + 1 END""".stripMargin))
+           |     DIV greatest(__n DIV $bins, 1) + 1 END""".stripMargin))
       .drop("__rn", "__n")
 }

@@ -765,11 +765,11 @@ object Insights extends QueryModule {
       .groupBy("user_id", "sid", "s_us", "t1").agg(min("p_us").as("t2"))
     // global agg after the rank filter so an EMPTY step still yields
     // one (NULL-median) row — a crossJoin against an empty frame would
-    // annihilate the report
-    def lowerMedian(df: DataFrame, c: String, out: String) = df
-      .select(col(c).as("lat"))
-      .withColumn("rk", row_number().over(Window.orderBy("lat")))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    // annihilate the report. The latency rank is signup-proportional, so
+    // it distributes via Dist (65 ms latency bands bucket the sort key).
+    def lowerMedian(df: DataFrame, c: String, out: String) = Dist
+      .withRowNumber(df.select(col(c).as("lat")),
+        expr("lat DIV 65536"), Seq(col("lat")), "rk", Some("n"))
       .filter(col("rk") === expr("(n + 1) DIV 2"))
       .agg(min("lat").as(out))
     val nSg = sg.agg(count(lit(1)).as("n_signups"))

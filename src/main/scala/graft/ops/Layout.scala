@@ -56,30 +56,15 @@ object Layout extends QueryModule {
     val z = keyed.withColumn("zval", zorder2(col("x"), col("y")))
     // The file carve needs a global rank over (zval, orderkey, linenumber);
     // a flat ntile window would serialize the corpus through one partition.
-    // Two-level decomposition (q195/q196): 256 buckets on the 16-bit zval
-    // (leading sort key — cross-bucket order equals flat order), per-bucket
-    // prefix counts in a 256-row window, within-bucket row_number
-    // partitioned by bucket; then ntile's documented fill rule — the first
-    // (n mod files) files take ceil(n/files) rows — applied arithmetically
-    // to the global rank. file_id is identical to the flat ntile form the
+    // Dist.withNtile (q195/q196 two-level decomposition): 256 buckets on
+    // the 16-bit zval (leading sort key — cross-bucket order equals flat
+    // order), then ntile's documented fill rule — the first (n mod files)
+    // files take ceil(n/files) rows — applied arithmetically to the
+    // global rank. file_id is identical to the flat ntile form the
     // oracle keeps.
-    val zb = z.withColumn("bkt", expr("zval DIV 256"))
-    val wIn = Window.partitionBy("bkt")
-      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
-    val wBkt = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bktPre = zb.groupBy("bkt").agg(count(lit(1)).as("bc"))
-      .withColumn("pj", coalesce(sum("bc").over(wBkt), lit(0L)))
-      .select("bkt", "pj")
-    val n = zb.agg(count(lit(1)).as("n"))
-    val filed = zb.join(broadcast(bktPre), "bkt")
-      .withColumn("rn", col("pj") + row_number().over(wIn))
-      .crossJoin(broadcast(n))
-      .withColumn("file_id", expr(
-        s"""CASE WHEN rn <= (n % $files) * (n DIV $files + 1)
-           | THEN (rn - 1) DIV (n DIV $files + 1)
-           | ELSE (n % $files) + (rn - (n % $files) * (n DIV $files + 1) - 1)
-           |      DIV greatest(n DIV $files, 1) END + 1""".stripMargin))
+    val filed = Dist.withNtile(z, expr("zval DIV 256"),
+      Seq(col("zval"), col("l_orderkey"), col("l_linenumber")),
+      files, "file_id")
     filed.groupBy("file_id")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -122,10 +107,11 @@ object Layout extends QueryModule {
   def compactionPlan(li: DataFrame, quotaBytes: Long = 1L << 20): DataFrame = {
     val manifest = li.groupBy("l_partkey")
       .agg(sum((col("l_quantity") * 100 + lit(37)).cast("long")).as("bytes"))
-    val before = Window.orderBy("l_partkey")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    manifest
-      .withColumn("cum_before", coalesce(sum("bytes").over(before), lit(0L)))
+    // the manifest is metadata-scale but still corpus-proportional (one
+    // row per part key): the running byte total distributes via Dist
+    Dist.withRunningSum(manifest, expr("l_partkey DIV 65536"),
+        Seq(col("l_partkey")), col("bytes"), "run")
+      .withColumn("cum_before", col("run") - col("bytes"))
       .withColumn("bin", expr(s"cum_before div $quotaBytes")) // exact integer div
       .groupBy("bin")
       .agg(

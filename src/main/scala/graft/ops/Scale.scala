@@ -393,7 +393,7 @@ object Scale extends QueryModule {
   /** Systematic sampling: every k-th row of a PINNED pseudo-random
     * order (md5 of the key — decorrelated from any physical or semantic
     * order), start offset fixed at 1. The global rank distributes via
-    * the q195/q196 two-level decomposition: 4096 buckets keyed by the
+    * [[Dist.withRowNumber]]: 4096 buckets keyed by the
     * md5's first 3 hex chars (a PREFIX of the leading sort key, so
     * cross-bucket order equals flat order), per-bucket prefix counts in
     * a 4096-row window, within-bucket row_number partitioned by bucket
@@ -402,20 +402,12 @@ object Scale extends QueryModule {
     * (share ratio ≈ 1/k) and pins membership with an exact checksum.
     */
   def systematicSample(docs: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bkt", substring(col("h"), 1, 3))
-    val wIn = Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))
-    val wBkt = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bktPre = base.groupBy("bkt").agg(count(lit(1)).as("bc"))
-      .withColumn("pj", coalesce(sum("bc").over(wBkt), lit(0L)))
-      .select("bkt", "pj")
-    val sampled = base.join(broadcast(bktPre), "bkt")
-      .select(col("doc_id"), col("lang"),
-        (col("pj") + row_number().over(wIn)).as("rn"))
+    val sampled = Dist.withRowNumber(base,
+        substring(col("h"), 1, 3), Seq(col("h"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("rn"))
       .filter(pmod(col("rn"), lit(k)) === 1)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), sum("doc_id").as("sample_checksum"))

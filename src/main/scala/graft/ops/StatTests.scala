@@ -708,8 +708,12 @@ object StatTests extends QueryModule {
     val spend = orders.groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
         .cast("decimal(38,0)").as("cents"))
-    val w = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-    val d = spend.withColumn("decile", ntile(10).over(w).cast("long"))
+    // per-customer spend is corpus-proportional: the decile carve
+    // distributes via Dist.withNtile (floor(cents/65536) buckets the
+    // leading sort key; NTILE fill rule applied to the global rank)
+    val d = Dist.withNtile(spend, floor(col("cents") / 65536),
+        Seq(col("cents").asc, col("o_custkey").asc), 10, "decile")
+      .withColumn("decile", col("decile").cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).cast("decimal(38,0)").as("s"))
@@ -970,9 +974,11 @@ object StatTests extends QueryModule {
   def kruskalWallis(events: DataFrame): DataFrame = {
     val vals = events.select(col("event_type"),
       (dec(col("value"), 2) * 100).cast("long").as("c"))
-    val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byVal = vals.groupBy("c").agg(count(lit(1)).as("t"))
-      .withColumn("cum", sum("t").over(w))
+    // distinct-cents grid grows with corpus richness: the cumulative
+    // count distributes via Dist (c DIV 64 buckets the leading sort key)
+    val byVal = Dist.withRunningSum(
+        vals.groupBy("c").agg(count(lit(1)).as("t")),
+        expr("c DIV 64"), Seq(col("c")), col("t"), "cum")
       .select(col("c"), col("t"), (lit(2) * col("cum") - col("t") + 1).as("r2"))
     val grp = vals.groupBy("event_type", "c").agg(count(lit(1)).as("gc"))
       .join(byVal, "c")
@@ -1192,10 +1198,11 @@ object StatTests extends QueryModule {
       .filter(col("d") =!= 0)
       .select(col("user_id"), abs(col("d")).as("ad"),
         (col("d") > 0).cast("long").as("pos"))
-    val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byVal = d.groupBy("ad")
-      .agg(count(lit(1)).as("t"), sum("pos").as("tpos"))
-      .withColumn("cum", sum("t").over(w))
+    // the distinct |d| grid is user-proportional: the cumulative count
+    // distributes via Dist (ad DIV 4096 buckets the leading sort key)
+    val byVal = Dist.withRunningSum(
+        d.groupBy("ad").agg(count(lit(1)).as("t"), sum("pos").as("tpos")),
+        expr("ad DIV 4096"), Seq(col("ad")), col("t"), "cum")
       .select(col("ad"), col("t"), col("tpos"),
         (lit(2) * col("cum") - col("t") + 1).as("r2"))
     byVal.agg(sum("t").as("n"),

@@ -148,21 +148,30 @@ object CorpusAudit extends QueryModule {
     * of the token mass — the statistic behind tokenizer vocabulary
     * sizing ("a 32k vocab covers 99.8% of web text"). The cumulative
     * walk runs over the frequency-ranked vocabulary (vocabulary-sized,
-    * not corpus-sized — the one global window is over |V| rows; at
-    * 100 TB |V| is millions, still a single executor's work after the
-    * postings shuffle). Threshold tests are exact integer comparisons
-    * (100·cum vs pct·S) — no float boundary.
+    * not corpus-sized) and distributes via the [[graft.ops.Dist]]
+    * two-level decomposition, so even a multi-million-type |V| never
+    * funnels through one task. Threshold tests are exact integer
+    * comparisons (100·cum vs pct·S) — no float boundary.
     */
   def vocabCoverage(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = docs
       .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
-    val ord = Window.orderBy(col("f").desc, col("tok"))
-    val cum = freq.withColumn("cum", sum("f").over(ord))
-      .withColumn("rnk", row_number().over(ord))
-      .withColumn("s", sum("f").over(Window.partitionBy()))
-    cum.agg(
+    // The cumulative walk over the frequency-ranked vocabulary
+    // distributes via Dist. The bucket is (−f, 2-char token prefix) —
+    // the prefix refines FREQUENCY TIES (a prefix of the tiebreak key is
+    // monotone in it), because bucketing by −f alone would put every
+    // hapax legomenon (~half of any natural vocabulary) in ONE bucket's
+    // window. The global total and the top type are separate bounded
+    // aggregates (one scalar, one distributed top-1).
+    val cum = graft.ops.Dist.withRunningSum(freq,
+      struct(negate(col("f")), substring(col("tok"), 1, 2)),
+      Seq(col("f").desc, col("tok")), col("f"), "cum")
+    val tot = freq.agg(sum("f").as("s"))
+    val top = freq.orderBy(col("f").desc, col("tok")).limit(1)
+      .select(col("tok").as("top_token"), col("f").as("top_f"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
         count(lit(1)).as("n_types"),
         max("s").as("n_tokens"),
         sum(when((col("cum") - col("f")) * 100 < col("s") * 50, 1L)
@@ -170,9 +179,8 @@ object CorpusAudit extends QueryModule {
         sum(when((col("cum") - col("f")) * 100 < col("s") * 90, 1L)
           .otherwise(0L)).as("types_90pct"),
         sum(when((col("cum") - col("f")) * 100 < col("s") * 99, 1L)
-          .otherwise(0L)).as("types_99pct"),
-        max(when(col("rnk") === 1, col("tok"))).as("top_token"),
-        max("f").as("top_f"))
+          .otherwise(0L)).as("types_99pct"))
+      .crossJoin(broadcast(top))
       .select(col("n_types"), col("n_tokens"),
         col("types_50pct"), col("types_90pct"), col("types_99pct"),
         col("top_token"),

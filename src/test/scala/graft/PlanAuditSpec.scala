@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CI gate for the surface-wide scale-hazard audit (SURVEY.md §4): a
+  * future corpus-wide global window / mid-plan global sort / cartesian
+  * product regression on ANY registered query fails `sbt test`, not just
+  * the standalone `runMain graft.PlanAudit`.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("the audit detector trips on a deliberately flat global window") {
+    val flat = Tables.events(spark, sf("sf0.001"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy("event_id"))) // corpus through one task: the hazard class
+    val a = PlanAudit.audit(flat)
+    assert(a.hazards.contains("GLOBAL-WINDOW"),
+      s"expected GLOBAL-WINDOW, got ${a.hazards}")
+  }
+
+  test("the detector does NOT trip on a bounded (aggregated-frame) global window") {
+    val bounded = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(desc("n"))))
+    val a = PlanAudit.audit(bounded)
+    assert(a.hazards.isEmpty, s"bounded window flagged: ${a.hazards}")
+    assert(a.infos.exists(_.contains("bounded-by=[event_type]")),
+      s"expected a bounded-by annotation, got ${a.infos}")
+  }
+
+  test("every registered batch query plans clean (no unexplained scale hazards)") {
+    val dir = sf("sf0.001")
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, dir)
+      if (df.isStreaming) None // per-microbatch plans; static audit n/a
+      else {
+        val un = PlanAudit.unexplained(name, PlanAudit.audit(df))
+        if (un.nonEmpty) Some(s"$name: ${un.mkString(", ")}") else None
+      }
+    }
+    assert(flagged.isEmpty, s"scale hazards:\n${flagged.mkString("\n")}")
+  }
+}

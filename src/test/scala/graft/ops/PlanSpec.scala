@@ -274,7 +274,7 @@ class PlanSpec extends SparkSpec {
         "q346_lateness_audit", "q368_cvm_ad").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
       val bad = unpartitionedWindows(df).filterNot(
-        _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(_ == "bkt"))
+        _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(n => n == "bkt" || n == "__bkt"))
       assert(bad.isEmpty,
         s"$q still has a global window not over the bucket table: " +
           bad.map(_.orderSpec.mkString(",")).mkString("; "))
@@ -284,7 +284,7 @@ class PlanSpec extends SparkSpec {
     val late = Warehouse.arrivalLatenessUs(
       graft.Tables.events(spark, sf("sf0.001")))
     val bad = unpartitionedWindows(late).filterNot(
-      _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(_ == "bkt"))
+      _.orderSpec.flatMap(_.child.references.toSeq).map(_.name).forall(n => n == "bkt" || n == "__bkt"))
     assert(bad.isEmpty, "arrivalLatenessUs must keep its corpus window partitioned")
   }
 
