@@ -19,7 +19,7 @@ object ImageSchema {
     * struct (02_Data Ingest.py:124-131).
     */
   val exifStruct: StructType = StructType(
-    ExifTags.TAGS.map { case (_, n) => StructField(n, StringType, nullable = true) } :+
+    ExifTags.schemaNames.map(n => StructField(n, StringType, nullable = true)) :+
       StructField("GPSInfo", gpsStruct, nullable = true))
 
   /** U1 return type (02_Data Ingest.py:190-199). */

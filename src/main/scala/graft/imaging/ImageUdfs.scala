@@ -27,7 +27,7 @@ object ImageUdfs {
               if (exif.gps.isEmpty) null
               else Row.fromSeq(ExifTags.GPSTAGS.map { case (_, n) => exif.gps.getOrElse(n, null) })
             Row.fromSeq(
-              ExifTags.TAGS.map { case (_, n) => exif.tags.getOrElse(n, null) } :+ gpsRow)
+              ExifTags.schemaNames.map(n => exif.tags.getOrElse(n, null)) :+ gpsRow)
           }
         Row(m.height, m.width, m.dpi.map(d => Seq(d._1, d._2)).orNull,
           m.layers, m.mode, m.format, exifRow)

@@ -110,4 +110,25 @@ class ImagingSpec extends SparkSpec {
     assert(t.length == 3 * 224 * 224)
     assert(t.forall(v => v > -3.0f && v < 3.0f))
   }
+
+  test("exif schema: full public registry width, name-deduped struct fields") {
+    // full TIFF 6.0 / EXIF 2.32 / DNG tag registry (PIL TAGS parity)
+    assert(ExifTags.TAGS.size >= 245, s"TAGS=${ExifTags.TAGS.size}")
+    assert(ExifTags.GPSTAGS.size == 32)
+    // TIFF/EP twins (0x920B..) share names with EXIF-IFD ids (0xA20B..);
+    // the struct collapses them to one field, like PIL's per-name dict keys
+    assert(ExifTags.schemaNames.distinct == ExifTags.schemaNames)
+    assert(ExifTags.schemaNames.size < ExifTags.TAGS.size)
+    assert(ExifTags.tagName(0x920B) == ExifTags.tagName(0xA20B))
+    val fields = ImageSchema.exifStruct.fieldNames
+    assert(fields.length == ExifTags.schemaNames.size + 1) // + nested GPSInfo
+    assert(fields.distinct.length == fields.length)
+    assert(fields.last == "GPSInfo")
+    // a tag present in the wider registry surfaces by name; absent tags null
+    val bytes = SyntheticImages.withExif(SyntheticImages.solid(16, 16, 1, 2, 3),
+      Seq(0x010F -> "graftcam", 0xA500 -> "2.2"))
+    val exif = ExifReader.read(bytes)
+    assert(exif.tags("Make") == "graftcam")
+    assert(exif.tags("Gamma") == "2.2")
+  }
 }
