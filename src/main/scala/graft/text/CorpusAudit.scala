@@ -225,22 +225,13 @@ object CorpusAudit extends QueryModule {
     val w = 16
     val dfCap = 20
     val minShared = 3
-    // chars are materialized ONCE per doc (split('') is one pass) —
-    // per-position substring(text, i, 1) would re-seek the UTF8 buffer
-    // from the start each call, turning the gram hashing quadratic in
-    // document length (measured: 18 s -> ~1 s at sf0.1)
-    val hashed = docs.filter(length(col("text")) >= k + w - 1)
+    // native O(n) evaluator (rolling k-gram hash + monotonic-deque window
+    // min, graft.functions.WinnowingFps) — the SQL-transform form it
+    // replaces re-hashed every k-gram and re-scanned every window,
+    // O(n*(k+w)) per doc, and was the heaviest stable query on the bench
+    val fps = docs.filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
-      .select(col("doc_id"),
-        expr(
-          s"""transform(sequence(1, size(cs) - ${k - 1}),
-             |  i -> aggregate(slice(cs, i, $k), 0L, (acc, x) -> acc * 31 + x))"""
-            .stripMargin).as("hs"))
-    val fps = hashed.select(col("doc_id"),
-      explode(expr(
-        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
-          s"p -> array_min(slice(hs, p, $w))))")).as("fp"))
+        explode(graft.functions.WinnowingFps.winnowing_fps(col("text"), k, w)).as("fp"))
     val posting = fps.groupBy("fp")
       .agg(collect_list("doc_id").as("ds"), count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap))

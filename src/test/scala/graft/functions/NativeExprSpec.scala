@@ -172,6 +172,40 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("winnowing_fps equals the transform/array_min SQL form bit-for-bit") {
+    import graft.functions.WinnowingFps.winnowing_fps
+    import spark.implicits._
+    val k = 8; val w = 16
+    val extra = Seq(
+      (9000001L, "a" * (k + w - 1)),          // exactly one window
+      (9000002L, "a" * (k + w - 2)),          // one char short: empty
+      (9000003L, ""),                          // empty text
+      (9000004L, "héllo wörld 日本語 😀 padding to pass the length gate"),
+      (9000005L, ("xyz" * 40) + "q" + ("xyz" * 40)), // periodic text, heavy fp ties
+    ).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    // hoist the k-gram hash array into its own projection (the pre-native
+    // q296 shape): inlining it under the per-window lambda would
+    // re-evaluate the full transform at every p — O(n^2) per doc
+    val both = d
+      .select(col("doc_id"), winnowing_fps(col("text"), k, w).as("native"),
+        expr(
+          s"""CASE WHEN length(text) >= ${k + w - 1} THEN
+             |  transform(sequence(1, length(text) - ${k - 1}),
+             |    i -> aggregate(slice(transform(split(text, ''), c -> ascii(c)), i, $k),
+             |           0L, (acc, x) -> acc * 31 + x))
+             |ELSE NULL END""".stripMargin).as("hs"))
+      .select(col("doc_id"), col("native"),
+        expr(s"""CASE WHEN hs IS NULL THEN array()
+                |ELSE array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+                |       p -> array_min(slice(hs, p, $w)))) END""".stripMargin)
+          .as("sqlform"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
