@@ -264,27 +264,15 @@ object Curate extends QueryModule {
     * corpus bytes, partitioned by doc; LCPs are exact integers.
     */
   def longestRepeat(docs: DataFrame): DataFrame = {
-    val suf = docs.select(col("doc_id"), col("source"),
-      // Guarded: Spark's sequence(1, 0) defaults to step -1 and yields
-      // [1, 0] for an empty text, while the oracle's generate_series is
-      // empty — the CASE keeps a zero-length doc out of both engines.
-      explode(expr(
-        """CASE WHEN length(text) >= 1
-          |  THEN transform(sequence(1, length(text)),
-          |                 i -> substring(text, i, 20))
-          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .as("s"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("s")
-    val lcp = suf
-      .withColumn("nxt", lead("s", 1).over(byDoc))
-      .filter(col("nxt").isNotNull)
-      .withColumn("lcp", expr(
-        """array_max(transform(sequence(1, 20),
-          |  i -> CASE WHEN substring(s, 1, i) = substring(nxt, 1, i)
-          |            AND length(s) >= i AND length(nxt) >= i
-          |       THEN i ELSE 0 END))""".stripMargin))
-    val perDoc = lcp.groupBy("doc_id", "source")
-      .agg(max("lcp").as("lrs"))
+    // native per-doc evaluator (graft.functions.LongestRepeat): documents
+    // are independent, so the previous explode(capped suffixes) ->
+    // per-doc window sort -> adjacent-LCP pipeline (a ~20x corpus-bytes
+    // explode plus a corpus shuffle on doc_id) collapses to a projection.
+    // NULL = fewer than 2 chars — exactly the docs the SQL form's
+    // adjacent-pair frame excluded from the report.
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        graft.functions.LongestRepeat.longest_repeat(col("text"), 20).as("lrs"))
+      .filter(col("lrs").isNotNull)
     perDoc.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         round(sum("lrs").cast("double") / count(lit(1)), 4).as("mean_lrs"),

@@ -206,6 +206,39 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("longest_repeat equals the suffix-explode/window SQL form bit-for-bit") {
+    import graft.functions.LongestRepeat.longest_repeat
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val extra = Seq(
+      (9000001L, ""), (9000002L, "x"),            // <2 chars: NULL / excluded
+      (9000003L, "xy"),                            // one pair, lcp 0
+      (9000004L, "aa"),                            // minimal repeat
+      (9000005L, "b" * 60),                        // repeat beyond the 20 cap
+      (9000006L, "the rain the rain falls again"), // planted repeat
+    ).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    val native = d.select(col("doc_id"), longest_repeat(col("text"), 20).as("lrs"))
+      .filter(col("lrs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suf = d.select(col("doc_id"),
+      explode(expr(
+        """CASE WHEN length(text) >= 1
+          |  THEN transform(sequence(1, length(text)), i -> substring(text, i, 20))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("s"))
+    val sql = suf
+      .withColumn("nxt", lead("s", 1).over(Window.partitionBy("doc_id").orderBy("s")))
+      .filter(col("nxt").isNotNull)
+      .withColumn("lcp", expr(
+        """array_max(transform(sequence(1, 20),
+          |  i -> CASE WHEN substring(s, 1, i) = substring(nxt, 1, i)
+          |            AND length(s) >= i AND length(nxt) >= i
+          |       THEN i ELSE 0 END))""".stripMargin))
+      .groupBy("doc_id").agg(max("lcp").as("lrs"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native == sql)
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
