@@ -236,12 +236,19 @@ object CorpusStats extends QueryModule {
     * broadcast; output is the per-language score histogram.
     */
   def dsirWeights(docs: DataFrame): DataFrame = {
-    val feats = docs.select(col("doc_id"), col("lang"), expr(
-      "explode(transform(sequence(1, length(text) - 1), i -> substring(text, i, 2)))").as("f"))
-    val cnt = feats.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
-    val fstats = feats.groupBy("f").agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("kt"),
-      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("kr"))
+    // native per-doc bigram counting (graft.functions.CharNGramCounts):
+    // the previous per-position explode + groupBy(doc, f) shuffled one
+    // row per corpus CHARACTER; counting in-task leaves only the per-doc
+    // distinct-bigram frame (~hundreds of rows/doc on ASCII text) and
+    // both downstream aggregates derive from it (kt/kr are occurrence
+    // sums, identical to counting positions)
+    val cnt = docs.select(col("doc_id"), col("lang"),
+        explode(graft.functions.CharNGramCounts.char_ngram_counts(col("text"), 2)).as("fc"))
+      .select(col("doc_id"), col("lang"),
+        col("fc.f").as("f"), col("fc.c").as("c"))
+    val fstats = cnt.groupBy("f").agg(
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("kt"),
+      sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("kr"))
     val tots = fstats.agg(sum("kt").as("nt"), sum("kr").as("nr"), count(lit(1)).as("v"))
     val lr = fstats.crossJoin(broadcast(tots))
       .select(col("f"), round(expr(

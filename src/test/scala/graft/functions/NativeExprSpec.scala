@@ -239,6 +239,28 @@ class NativeExprSpec extends SparkSpec {
     assert(native == sql)
   }
 
+  test("char_ngram_counts equals explode+groupBy counting bit-for-bit") {
+    import graft.functions.CharNGramCounts.char_ngram_counts
+    import spark.implicits._
+    val extra = Seq(
+      (9000001L, ""), (9000002L, "x"),   // sub-n: empty array
+      (9000003L, "xy"), (9000004L, "aaaa"),
+      (9000005L, "héllo wörld 日本語 😀"), // multibyte byte-slicing
+      (9000006L, "Case CASE case"),       // case preserved (no lowercase)
+    ).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    val native = d.select(col("doc_id"),
+        explode(char_ngram_counts(col("text"), 2)).as("fc"))
+      .select(col("doc_id"), col("fc.f"), col("fc.c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sql = d.filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(native == sql)
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))
