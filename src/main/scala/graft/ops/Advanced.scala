@@ -333,31 +333,41 @@ object Advanced extends QueryModule {
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.p_brand") < col("y.p_brand"))
       .groupBy(col("x.p_brand").as("a"), col("y.p_brand").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // |brands|² rows
+      .agg(count(lit(1)).as("w")) // |brands|² rows
+    // The weighted brand graph is catalog-bounded (|brands|² rows — a
+    // fixed domain, NOT corpus-proportional), so the peel runs on the
+    // driver over the collected edge list: the previous per-round
+    // semi-join/localCheckpoint chain paid ~6 Spark-job floors to filter
+    // a few hundred rows. One corpus pass (the co-occurrence groupBy
+    // above) remains the only distributed work at any scale.
+    val spark = li.sparkSession
+    import spark.implicits._
+    val wEdges = co.select(col("a"), col("b"), col("w").cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     // median co-occurrence over integer counts lands on .0/.5 — exact
-    val medW = co.agg(expr("percentile(w, 0.5)").as("mw"))
-    var edges = co.crossJoin(broadcast(medW))
-      .filter(col("w").cast("double") >= col("mw"))
-      .select("a", "b")
-      .localCheckpoint()
-    var alive = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
-      .distinct()
+    // (percentile() linear interpolation on the sorted multiset)
+    val ws = wEdges.map(_._3).sorted
+    val mw =
+      if (ws.isEmpty) 0.0
+      else {
+        val pos = 0.5 * (ws.length - 1)
+        val lo = ws(pos.toInt).toDouble
+        val hi = ws(math.ceil(pos).toInt).toDouble
+        lo + (pos - pos.toInt) * (hi - lo)
+      }
+    var edges = wEdges.collect { case (a, b, w) if w.toDouble >= mw => (a, b) }
+    var alive = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     for (_ <- 1 to rounds) {
-      val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      alive = deg.filter(col("deg") >= k).select("n").localCheckpoint()
-      edges = edges
-        .join(alive.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(alive.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint()
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+      alive = deg.collect { case (n, d) if d >= k => n }.toArray.sorted
+      val keep = alive.toSet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
     }
-    val finalDeg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("core_deg"))
-    alive.join(finalDeg, Seq("n"), "left")
-      .select(col("n").as("brand"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+    val finalDeg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    alive.toSeq.map(n => (n, finalDeg.getOrElse(n, 0L)))
+      .toDF("brand", "core_deg")
       .orderBy("brand")
   }
 
