@@ -51,23 +51,37 @@ object Geometry extends QueryModule {
     */
   def kcenterSeeds(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    val x = explodeDims(emb).localCheckpoint() // reused every round
-    val norms = x.groupBy("vec_id")
-      .agg(sum(dec(col("xv") * col("xv"), 10)).as("n2"))
+    // Whole-array exact-decimal folds: the per-dim explode (|vecs|·dims
+    // rows, localCheckpointed and re-shuffled through a dim-join every
+    // round) is gone — each round is one NARROW pass over the vectors
+    // with the ≤k selected seeds broadcast as a collected list. The
+    // DECIMAL(18,10) per-dim terms and DECIMAL(28,10) running sum are
+    // the exact types sum() used, so d2 is bit-identical (decimal
+    // addition is order-free).
+    val sumD2 =
+      """aggregate(zip_with(embedding, s.sv, (x, y) ->
+        |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+        |       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(18,10))),
+        |  CAST(0 AS DECIMAL(28,10)),
+        |  (acc, v) -> CAST(acc + v AS DECIMAL(28,10)))""".stripMargin
+    val norms = emb.select(col("vec_id"), expr(
+      """aggregate(embedding, CAST(0 AS DECIMAL(28,10)),
+        |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |                             AS DECIMAL(18,10)) AS DECIMAL(28,10)))"""
+        .stripMargin).as("n2"))
     val seed = norms.orderBy(col("n2").desc, col("vec_id")).limit(1)
       .collect()(0)
     var selected = Seq(seed.getLong(0))
     val picks = Seq.newBuilder[(Int, Long, java.math.BigDecimal)]
     picks += ((1, seed.getLong(0), seed.getDecimal(1)))
     for (round <- 2 to 4) {
-      val sel = x.filter(col("vec_id").isInCollection(selected))
-        .select(col("vec_id").as("sid"), col("dim"), col("xv").as("sv"))
-      val best = x.join(broadcast(sel), "dim")
-        .groupBy("vec_id", "sid")
-        .agg(sum(dec((col("xv") - col("sv")) * (col("xv") - col("sv")), 10))
-          .as("d2"))
-        .groupBy("vec_id").agg(min("d2").as("min_d2"))
-        .filter(!col("vec_id").isInCollection(selected))
+      val sel = emb.filter(col("vec_id").isInCollection(selected))
+        .agg(collect_list(struct(col("vec_id").as("sid"),
+          col("embedding").as("sv"))).as("seeds"))
+      val best = emb.filter(!col("vec_id").isInCollection(selected))
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"),
+          expr(s"array_min(transform(seeds, s -> $sumD2))").as("min_d2"))
         .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
         .collect()(0)
       selected = selected :+ best.getLong(0)
