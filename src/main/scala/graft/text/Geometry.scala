@@ -344,38 +344,61 @@ object Geometry extends QueryModule {
     * codebook (8 codes × 32 dims).
     */
   def productQuantization(emb: DataFrame): DataFrame = {
-    val x = explodeDims(emb)
-      .withColumn("m", when(col("dim") <= 32, 1).otherwise(2))
-      .localCheckpoint() // four passes: 2 assignments + book + report
-    val seeds = x.filter(col("vec_id").between(1, 4))
-      .select(col("m"), col("dim"), col("vec_id").cast("int").as("cid"),
-        col("xv").as("cv"))
+    // Whole-half-array assignments: each vector carries its two 32-dim
+    // subspace halves as arrays, and an assignment round folds the exact
+    // DECIMAL(18,10)/(28,10) squared distance against the 4 broadcast
+    // codewords per subspace in ONE narrow pass — the previous shape
+    // joined a |vecs|·dims exploded frame against the codebook (a 4x row
+    // multiplication) and ranked with a per-(vec,m) window, twice. Only
+    // the codebook RE-ESTIMATE still explodes dims (per-dim bin50 means
+    // need a per-dimension group), one pass instead of four.
+    val halves = emb.select(col("vec_id"), explode(expr(
+        """array(named_struct('m', 1, 'h', slice(embedding, 1, 32)),
+          |      named_struct('m', 2, 'h', slice(embedding, 33, 32)))"""
+          .stripMargin)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.h").as("h"))
+      .localCheckpoint() // reused: 2 assignments + book re-estimate
+    val d2Fold =
+      """aggregate(zip_with(h, s.cv, (x, y) ->
+        |    CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)
+        |         AS DECIMAL(18,10))),
+        |  CAST(0 AS DECIMAL(28,10)),
+        |  (acc, v) -> CAST(acc + v AS DECIMAL(28,10)))""".stripMargin
 
-    def assign(book: DataFrame): DataFrame = {
-      val d2 = x.join(broadcast(book), Seq("m", "dim"))
-        .groupBy("vec_id", "m", "cid")
-        .agg(sum(dec((col("xv") - col("cv")) * (col("xv") - col("cv")), 10))
-          .as("d2"))
-      d2.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cid"), col("d2"))
-    }
+    // book rows: (m, cid, cv: array<double> in subspace-local dim order)
+    def assign(book: DataFrame): DataFrame =
+      halves.join(broadcast(
+          book.groupBy("m").agg(collect_list(struct(col("cid"), col("cv")))
+            .as("cands"))), "m")
+        .select(col("vec_id"), col("m"), expr(
+          // array_sort on (d2, cid) structs = the row_number(d2, cid) pick
+          s"array_sort(transform(cands, s -> named_struct('d2', $d2Fold, 'cid', s.cid)))[0]")
+          .as("best"))
+        .select(col("vec_id"), col("m"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
 
+    val seeds = halves.filter(col("vec_id").between(1, 4))
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        expr("transform(h, x -> CAST(x AS DOUBLE))").as("cv"))
     val a1 = assign(seeds)
     val book1 = a1.select("vec_id", "m", "cid")
-      .join(x, Seq("vec_id", "m"))
-      .groupBy("m", "cid", "dim")
-      .agg(sum(graft.Num.bin50(col("xv"))).as("cs"), count(lit(1)).as("cm"))
-      .select(col("m"), col("cid"), col("dim"),
+      .join(halves, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"),
+        posexplode(col("h")).as(Seq("dim0", "xv")))
+      .groupBy("m", "cid", "dim0")
+      .agg(sum(graft.Num.bin50(col("xv").cast("double"))).as("cs"),
+        count(lit(1)).as("cm"))
+      .select(col("m"), col("cid"), col("dim0"),
         expr(graft.Num.bin50MeanSql("cs", "cm")).as("cv"))
       .localCheckpoint() // 8 codes × 32 dims; reused by assign + report
-    val a2 = assign(book1)
+    val a2 = assign(book1
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'d', dim0, 'v', cv))), e -> e.v)").as("cv")))
     a2.groupBy(col("m").as("subspace"), col("cid").as("code"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
-      .join(book1
-          .filter(col("dim") === when(col("m") === 1, 1).otherwise(33))
+      .join(book1.filter(col("dim0") === 0) // posexplode is 0-based: first dim of each half
           .select(col("m").as("subspace"), col("cid").as("code"),
             round(col("cv"), 6).as("c_dim1")),
         Seq("subspace", "code"))
