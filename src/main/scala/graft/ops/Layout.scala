@@ -157,9 +157,9 @@ object Layout extends QueryModule {
     * range checksum (collisions only mask drift at ~2^-32 per colliding
     * pair); max value 122·Σ31^i < 2^45, no overflow.
     */
-  private def rowHashSqlSpark: String =
+  private def rowHashSqlSpark(mExpr: String): String =
     (0 until 8).map { i =>
-      s"cast(ascii(substring(_m, ${i + 1}, 1)) as bigint) * ${math.pow(31, 7 - i).toLong}L"
+      s"cast(ascii(substring($mExpr, ${i + 1}, 1)) as bigint) * ${math.pow(31, 7 - i).toLong}L"
     }.mkString(" + ")
 
   private[ops] def rowHashSqlDuck(mExpr: String): String =
@@ -173,41 +173,43 @@ object Layout extends QueryModule {
     // stage would run single-threaded; the narrow pre-shuffle spreads it
     // across the cluster AND is the exact partitioning the per-bucket
     // rollup needs, so the groupBy adds no second exchange
-    def rowHash(df: DataFrame): DataFrame = df
+    // SINGLE scan: the b-side manifest is a deterministic derivation of
+    // the same rows (filter + price perturbation), so both row hashes
+    // project from one pass — h_b NULL for "lost" rows — and one grouped
+    // aggregate replaces two scan+shuffle pipelines plus the full-outer
+    // join (b's buckets are a subset of a's by construction; an absent
+    // b-bucket is exactly n_b = 0).
+    def mOf(price: String): String =
+      s"substring(md5(cast(concat_ws('|', l_orderkey, l_linenumber, " +
+        s"cast(round(l_quantity) as bigint), " +
+        s"cast(round($price * 100) as bigint)) as binary)), 1, 8)"
+    val hashed = li
       .select(
         expr(s"l_orderkey div $bucketSpan").as("bucket"),
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"))
       .repartition(32, col("bucket")) // pinned width: AQE would coalesce an advisory repartition of ~30MB back to 1 partition (the q103 lesson), re-serializing the digest stage
       .select(
+        col("bucket"), col("l_orderkey"),
+        expr(mOf("l_extendedprice")).as("_ma"),
+        expr(mOf( // "corrupted" rows
+          "(CASE WHEN pmod(l_orderkey, 977) = 5 THEN l_extendedprice + 1.0 " +
+            "ELSE l_extendedprice END)")).as("_mb"))
+      .select(
         col("bucket"),
-        expr(
-          "substring(md5(cast(concat_ws('|', l_orderkey, l_linenumber, " +
-            "cast(round(l_quantity) as bigint), " +
-            "cast(round(l_extendedprice * 100) as bigint)) as binary)), 1, 8)").as("_m"))
-      .select(col("bucket"), expr(rowHashSqlSpark).as("h"))
-    def manifest(df: DataFrame): DataFrame =
-      rowHash(df).groupBy("bucket")
-        .agg(count(lit(1)).as("n"), sum("h").as("checksum"))
-    val a = manifest(li)
-    val b = manifest(
-      li.filter(pmod(col("l_orderkey"), lit(971L)) =!= 3) // "lost" rows
-        .withColumn("l_extendedprice", // "corrupted" rows
-          when(pmod(col("l_orderkey"), lit(977L)) === 5,
-            col("l_extendedprice") + 1.0).otherwise(col("l_extendedprice"))))
-    a.select(col("bucket"), col("n").as("n_a"), col("checksum").as("ck_a"))
-      .join(b.select(col("bucket"), col("n").as("n_b"), col("checksum").as("ck_b")),
-        Seq("bucket"), "full_outer")
+        expr(rowHashSqlSpark("_ma")).as("h_a"),
+        when(pmod(col("l_orderkey"), lit(971L)) === 3, lit(null)) // "lost" rows
+          .otherwise(expr(rowHashSqlSpark("_mb"))).as("h_b"))
+    hashed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_a"), sum("h_a").as("ck_a"),
+        count(col("h_b")).as("n_b"), sum("h_b").as("ck_b"))
       .withColumn("status",
-        when(col("n_b").isNull, "only_in_a")
-          .when(col("n_a").isNull, "only_in_b")
+        when(col("n_b") === 0L, "only_in_a")
           .when(col("n_a") =!= col("n_b"), "count_drift")
           .when(col("ck_a") =!= col("ck_b"), "content_drift")
           .otherwise("match"))
       .filter(col("status") =!= "match")
-      .select(col("bucket"), col("status"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .select(col("bucket"), col("status"), col("n_a"), col("n_b"))
       .orderBy("bucket")
   }
 
