@@ -80,10 +80,14 @@ object Modeling extends QueryModule {
       .withColumn("r11", lit(1.0))
       .withColumn("r22", lit(1.0))
       .select("n", "r11", "r22", "r12", "r1y", "r2y")
-      .localCheckpoint()
-    val lambdas = Seq(0.0, 0.01, 0.1, 1.0, 10.0)
-    lambdas.map { lam =>
-      mom.select(lit(lam).as("lambda_rel"),
+    // The λ grid runs as ONE projection over the exploded 5-row frame:
+    // the previous per-λ select + unionAll compiled five copies of the
+    // closed-form expression tree and scheduled five jobs on a 1-row
+    // checkpointed frame; λ as a column is the same IEEE arithmetic.
+    val lam = "lambda_rel"
+    mom.select(col("*"), explode(expr(
+        "array(0.0D, 0.01D, 0.1D, 1.0D, 10.0D)")).as(lam))
+      .select(col(lam),
         expr(s"""ROUND(((r22 + $lam) * r1y - r12 * r2y)
           / ((r11 + $lam) * (r22 + $lam) - r12 * r12), 6)""").as("beta_qty"),
         expr(s"""ROUND(((r11 + $lam) * r2y - r12 * r1y)
@@ -106,7 +110,7 @@ object Modeling extends QueryModule {
             * (((r11 + $lam) * r2y - r12 * r1y)
               / ((r11 + $lam) * (r22 + $lam) - r12 * r12)) * r22, 6)""")
           .as("r2_fit"))
-    }.reduce(_ unionAll _).orderBy("lambda_rel")
+      .orderBy("lambda_rel")
   }
 
   private val ridgeOracle = """
