@@ -205,15 +205,23 @@ object Walks extends QueryModule {
           |  i -> named_struct('w1', t[i], 'w2', t[i+1]))
           |ELSE array() END""".stripMargin)).as("b"))
       .select(col("source"), col("b.w1"), col("b.w2"))
-      .localCheckpoint() // reused by both EM passes
+    // ONE corpus groupBy (distinct bigram counts); the unigram/total
+    // frames derive from it, and the EM passes run over DISTINCT bigrams
+    // weighted by cb — every occurrence of a bigram contributes the
+    // identical posterior, so sum(post) over occurrences equals
+    // sum(post·cb) over distinct bigrams EXACTLY (decimal × integer).
+    // The previous shape checkpointed the corpus-occurrence frame, ran
+    // four groupBys over it, and carried per-OCCURRENCE posterior rows
+    // through both EM shuffles.
     val cb = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = bg.groupBy("source", "w1").agg(count(lit(1)).as("cu"))
-    val c2 = bg.groupBy("source", "w2").agg(count(lit(1)).as("c2"))
-    val n = bg.groupBy("source").agg(count(lit(1)).as("n"))
-    val probs = bg
-      .join(cb, Seq("source", "w1", "w2")).join(cu, Seq("source", "w1"))
+      .localCheckpoint() // reused: cu/c2/n derivations + both EM passes
+    val cu = cb.groupBy("source", "w1").agg(sum("cb").as("cu"))
+    val c2 = cb.groupBy("source", "w2").agg(sum("cb").as("c2"))
+    val n = cb.groupBy("source").agg(sum("cb").as("n"))
+    val probs = cb
+      .join(cu, Seq("source", "w1"))
       .join(c2, Seq("source", "w2")).join(n, Seq("source"))
-      .select(col("source"),
+      .select(col("source"), col("cb"), col("n"),
         (col("cb").cast("double") / col("cu")).as("p2"),
         (col("c2").cast("double") / col("n")).as("p1"))
       .localCheckpoint()
@@ -226,8 +234,12 @@ object Walks extends QueryModule {
             |""".stripMargin))
         .groupBy("source")
         .agg(round(
-          sum(col("post").cast("decimal(28,12)")).cast("double")
-            / count(lit(1)), 12).cast("decimal(14,12)").as("lam"))
+          // post ∈ [0,1]: DECIMAL(13,12) rounds at the same scale the
+          // occurrence form's DECIMAL(28,12) cast did; × DECIMAL(10,0)
+          // stays exact at DECIMAL(24,12) (no precision-overflow rescale)
+          sum(expr("CAST(post AS DECIMAL(13,12)) * CAST(cb AS DECIMAL(10,0))"))
+            .cast("double") / max(col("n")), 12)
+          .cast("decimal(14,12)").as("lam"))
 
     val lam0 = n.select(col("source"),
       lit(BigDecimal("0.5")).cast("decimal(14,12)").as("lam"))
