@@ -219,31 +219,36 @@ object Training extends QueryModule {
     */
   def rakeKeywords(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "is", "in")
-    val toks = docs.select(col("doc_id"), col("source"),
-        posexplode(filter(split(col("text"), " "), t => t =!= lit("")))
-          .as(Seq("pos", "tok")))
-    val content = toks.filter(!col("tok").isInCollection(stop))
-      .withColumn("island", col("pos") - row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-    val phraseLen = content.groupBy("doc_id", "source", "island")
-      .agg(count(lit(1)).as("plen"))
-    val occ = content.join(phraseLen, Seq("doc_id", "source", "island"))
-    val wordStats = occ.groupBy("source", "tok")
-      .agg(count(lit(1)).as("freq"), sum("plen").cast("long").as("degree"))
+    // Doc-local gaps-and-islands in one native pass
+    // (graft.functions.RakeIslands): the previous shape shuffled every
+    // corpus token through a per-doc row_number window, a per-island
+    // groupBy and a join just to delimit phrases. An island occurrence
+    // carries (plen, phrase); split(phrase) recovers the member-token
+    // multiset losslessly, so word statistics (freq = member
+    // occurrences, degree = Σ plen) and the per-occurrence score
+    // (Σ member micro — identical across occurrences of a phrase, the
+    // quantity the old groupBy(doc, island) + max() computed) all
+    // derive from the island frame without doc-level keys.
+    val isl = docs.select(col("source"),
+        explode(graft.functions.RakeIslands.rake_islands(col("text"), stop)).as("i"))
+      .select(col("source"), col("i.plen").as("plen"), col("i.phrase").as("phrase"))
+      .localCheckpoint() // reused: word stats + phrase rollup
+    val wordStats = isl
+      .select(col("source"), col("plen").cast("long").as("plen_l"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("freq"), sum("plen_l").as("degree"))
       .withColumn("micro", expr("degree * 1000000L DIV freq"))
-    val phrases = occ
-      .filter(col("plen") <= 6)
-      .join(broadcast(wordStats), Seq("source", "tok"))
-      .groupBy("doc_id", "source", "island")
-      .agg(
-        max("plen").as("plen"),
-        sum("micro").cast("long").as("score_micro"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ").as("phrase"))
-    val ranked = phrases.groupBy("source", "phrase")
-      .agg(count(lit(1)).as("n_occ"), max("plen").as("plen"),
-        max("score_micro").as("score_micro"))
+    val ranked = isl.filter(col("plen") <= 6)
+      .groupBy("source", "phrase")
+      .agg(count(lit(1)).as("n_occ"), max("plen").as("plen"))
+      .select(col("source"), col("phrase"), col("n_occ"), col("plen"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .join(broadcast(wordStats.select("source", "tok", "micro")),
+        Seq("source", "tok"))
+      .groupBy("source", "phrase")
+      .agg(max("n_occ").as("n_occ"), max("plen").as("plen"),
+        sum("micro").cast("long").as("score_micro"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("source")
           .orderBy(col("score_micro").desc, col("phrase"))))

@@ -261,6 +261,42 @@ class NativeExprSpec extends SparkSpec {
     assert(native == sql)
   }
 
+  test("rake_islands equals the posexplode/window gaps-and-islands form") {
+    import graft.functions.RakeIslands.rake_islands
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "to", "and", "is", "in")
+    val extra = Seq(
+      (9000001L, ""), (9000002L, "the of and"),       // all stopwords / empty
+      (9000003L, "rain rain the rain rain rain"),      // repeat members, 2 islands
+      (9000004L, "  double  spaces the  trailing  "),  // empty tokens dropped
+      (9000005L, "one the one the one"),               // same phrase, 3 occurrences
+    ).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    // native: island occurrences as (plen, phrase) multiset per doc
+    val native = d.select(col("doc_id"),
+        explode(rake_islands(col("text"), stop)).as("i"))
+      .select(col("doc_id"), col("i.plen"), col("i.phrase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    // SQL twin: pos - row_number islands, phrase assembled in pos order
+    val toks = d.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), t => t =!= lit("")))
+        .as(Seq("pos", "tok")))
+    val sql = toks.filter(!col("tok").isInCollection(stop))
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).cast("int").as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"))
+      .select("doc_id", "plen", "phrase")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(native == sql)
+  }
+
   test("cosine_sim equals the zip_with/aggregate fold bit-for-bit") {
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50)
       .crossJoin(broadcast(Tables.embeddings(spark, sf("sf0.001"))

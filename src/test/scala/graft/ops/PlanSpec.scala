@@ -146,13 +146,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q142_table_diff")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"digest repartition must pin width:\n${p.take(1500)}")
-    // the manifest aggregation must reuse the bucket partitioning: exactly
-    // one hashpartitioning exchange per side (the pinned repartition), none
-    // introduced for the groupBy or the full-outer join
+    // single-pass shape: both manifests project from ONE scan, so the
+    // whole query carries exactly one hashpartitioning exchange (the
+    // pinned digest repartition — the grouped rollup reuses it) and no
+    // join operator at all
     val exchanges = "Exchange hashpartitioning\\(bucket".r
       .findAllIn(p).length
-    assert(exchanges == 2,
-      s"expected only the two pinned repartitions on bucket:\n${p.take(1500)}")
+    assert(exchanges == 1,
+      s"expected exactly the one pinned repartition on bucket:\n${p.take(1500)}")
+    assert(!p.contains("Join"),
+      s"manifest compare must not join (one-pass aggregate):\n${p.take(1500)}")
   }
 
   test("q129: zorder value is plain shift/mask arithmetic inside codegen") {
