@@ -1274,15 +1274,23 @@ object Analytics extends QueryModule {
     nodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
   }
 
+  // MATERIALIZED stages (the q246/q247 lesson): an inlined `edges` CTE
+  // re-runs the 4-way corpus join once per reference — five times, three
+  // of them inside the closure's own 3-way join — which at sf1 spilled
+  // DuckDB past an 80 GB temp budget. The early DISTINCT on
+  // (supplier_nation, custkey) also bounds the pre-customer frame at
+  // |nations|·|customers| without changing the distinct pair set.
   private val triangleOracle = """
-    WITH edges AS (
-      SELECT DISTINCT LEAST(s_nationkey, c_nationkey) AS a,
-        GREATEST(s_nationkey, c_nationkey) AS b
+    WITH sn AS MATERIALIZED (
+      SELECT DISTINCT s_nationkey AS sn, o_custkey
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN customer ON o_custkey = c_custkey
-      WHERE s_nationkey <> c_nationkey),
+      JOIN supplier ON l_suppkey = s_suppkey),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT LEAST(sn, c_nationkey) AS a,
+        GREATEST(sn, c_nationkey) AS b
+      FROM sn JOIN customer ON o_custkey = c_custkey
+      WHERE sn <> c_nationkey),
     nodes AS (
       SELECT COUNT(*) AS n_nodes FROM (
         SELECT a AS n FROM edges UNION SELECT b FROM edges)),
