@@ -297,25 +297,26 @@ object Geometry extends QueryModule {
       .orderBy("label")
   }
 
+  // Whole-array distance folds (list_zip), NOT a per-dim explode: the
+  // previous x⋈anchors USING (dim) materialized |vecs|·dims·anchors rows
+  // plus per-group list() buffers — past the checker's 48 GB budget at
+  // sf1. The fold runs in the same dim order over the same doubles, so
+  // every d2 is bit-identical.
   private val tripletOracle = """
-    WITH x AS MATERIALIZED (
-      SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
-        CAST(unnest(embedding) AS DOUBLE) AS xv
-      FROM embeddings),
-    anchor_ids AS (
+    WITH anchor_ids AS (
       SELECT vec_id AS aid FROM embeddings
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
     anchors AS MATERIALIZED (
-      SELECT x.vec_id AS aid, label AS alabel, dim, xv AS av
-      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
+      SELECT e.vec_id AS aid, e.label AS alabel, e.embedding AS aemb
+      FROM embeddings e JOIN anchor_ids a ON e.vec_id = a.aid),
     d2 AS MATERIALIZED (
       SELECT x.vec_id, x.label, a.aid, a.alabel,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          list_transform(list_zip(x.embedding, a.aemb),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
           (acc, v) -> acc + v) AS d2
-      FROM x JOIN anchors a USING (dim)
-      WHERE x.vec_id <> a.aid
-      GROUP BY 1, 2, 3, 4),
+      FROM embeddings x JOIN anchors a ON x.vec_id <> a.aid),
     per_anchor AS (
       SELECT aid, alabel,
         MIN(CASE WHEN label = alabel THEN d2 END) AS dpos,

@@ -73,7 +73,6 @@ def compare(name, spark_df, duck_df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
     # Guardrails for the big derived corpora (sf1 scale-up): without a
     # memory limit a pathological oracle plan grows until the kernel
     # OOM-kills the whole checker (seen at 130 GB on an unmaterialized
@@ -81,18 +80,24 @@ def main():
     mem_limit = os.environ.get("GRAFT_DUCKDB_MEMORY", "48GB")
     spill_dir = os.environ.get("GRAFT_DUCKDB_SPILL", "/tmp/duckdb_check_spill")
     threads = os.environ.get("GRAFT_DUCKDB_THREADS")
-    try:
-        con.execute(f"SET memory_limit='{mem_limit}'")
-        con.execute(f"SET temp_directory='{spill_dir}'")
-        # A thread cap (e.g. 8) keeps a long sweep from exhausting the
-        # process thread limit — DuckDB defaults to one thread per CPU
-        # and a 400-oracle run has died on pthread_create EAGAIN.
-        if threads:
-            con.execute(f"SET threads={int(threads)}")
-    except Exception as e:
-        print(f"WARN: duckdb memory_limit/temp_directory not applied "
-              f"({e}); checker may use unbounded memory", file=sys.stderr)
-    load_tables(con, sf_dir)
+
+    def fresh_con():
+        c = duckdb.connect()
+        try:
+            c.execute(f"SET memory_limit='{mem_limit}'")
+            c.execute(f"SET temp_directory='{spill_dir}'")
+            # A thread cap (e.g. 8) keeps a long sweep from exhausting the
+            # process thread limit — DuckDB defaults to one thread per CPU
+            # and a 400-oracle run has died on pthread_create EAGAIN.
+            if threads:
+                c.execute(f"SET threads={int(threads)}")
+        except Exception as e:
+            print(f"WARN: duckdb memory_limit/temp_directory not applied "
+                  f"({e}); checker may use unbounded memory", file=sys.stderr)
+        load_tables(c, sf_dir)
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     fails = []
@@ -109,7 +114,16 @@ def main():
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0]}"); n_fail += 1; fails.append(name); continue
+            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0]}"); n_fail += 1; fails.append(name)
+            # one OOM'd query poisons the connection (buffers from the
+            # failed plan stay accounted against the memory limit, so
+            # every later query dies on kilobyte allocations) — rebuild it
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
+            continue
         err = compare(name, spark_df, duck_df)
         if err:
             print(f"FAIL {name}: {err}"); n_fail += 1; fails.append(name)
