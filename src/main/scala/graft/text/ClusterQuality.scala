@@ -309,22 +309,24 @@ object ClusterQuality extends QueryModule {
       .orderBy("rank")
   }
 
+  // list_zip whole-array folds (same dim-order double arithmetic) — the
+  // per-dim x JOIN anchors explode blew the checker's DuckDB budget at
+  // sf1 (|vecs|*dims*anchors rows plus list() buffers); see tripletOracle
   private val hubnessOracle = s"""
-    WITH x AS MATERIALIZED ($xSql),
-    anchor_ids AS (
+    WITH anchor_ids AS (
       SELECT vec_id AS aid FROM embeddings
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
     anchors AS MATERIALIZED (
-      SELECT x.vec_id AS aid, label AS alabel, dim, xv AS av
-      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
+      SELECT e.vec_id AS aid, e.label AS alabel, e.embedding AS aemb
+      FROM embeddings e JOIN anchor_ids a ON e.vec_id = a.aid),
     d2 AS (
       SELECT x.vec_id, a.aid,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          list_transform(list_zip(x.embedding, a.aemb),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
           (acc, v) -> acc + v) AS d2
-      FROM x JOIN anchors a USING (dim)
-      WHERE x.vec_id <> a.aid
-      GROUP BY 1, 2),
+      FROM embeddings x JOIN anchors a ON x.vec_id <> a.aid),
     votes AS (
       SELECT aid, COUNT(*) AS k_occ FROM (
         SELECT vec_id, aid,
@@ -381,22 +383,22 @@ object ClusterQuality extends QueryModule {
           .as("id_twonn"))
   }
 
+  // list_zip whole-array folds — same rationale as hubnessOracle
   private val twonnOracle = s"""
-    WITH x AS MATERIALIZED ($xSql),
-    anchor_ids AS (
+    WITH anchor_ids AS (
       SELECT vec_id AS aid FROM embeddings
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
     anchors AS MATERIALIZED (
-      SELECT x.vec_id AS aid, dim, xv AS av
-      FROM x JOIN anchor_ids a ON x.vec_id = a.aid),
+      SELECT e.vec_id AS aid, e.embedding AS aemb
+      FROM embeddings e JOIN anchor_ids a ON e.vec_id = a.aid),
     d2 AS (
       SELECT a.aid, x.vec_id,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          list((x.xv - a.av) * (x.xv - a.av) ORDER BY x.dim)),
+          list_transform(list_zip(x.embedding, a.aemb),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
           (acc, v) -> acc + v) AS d2
-      FROM x JOIN anchors a USING (dim)
-      WHERE x.vec_id <> a.aid
-      GROUP BY 1, 2),
+      FROM embeddings x JOIN anchors a ON x.vec_id <> a.aid),
     nn AS (
       SELECT aid,
         MIN(CASE WHEN rn = 1 THEN d2 END) AS d1,
