@@ -308,59 +308,64 @@ object Experiment extends QueryModule {
       .orderBy("item")
   }
 
+  // Every stage MATERIALIZED: DuckDB inlines an un-hinted CTE at each
+  // reference, and the p3->t3->p2->...->p0 chain references each prior
+  // stage twice — exponential re-expansion of the daily self-join
+  // (observed: 61 GB spill at sf1; the iteration frames are
+  // |event_types|-sized, so materializing them is free).
   private val btOracle = """
-    WITH daily AS (
+    WITH daily AS MATERIALIZED (
       SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
       FROM events GROUP BY 1, 2, 3),
-    wins0 AS (
+    wins0 AS MATERIALIZED (
       SELECT a.event_type AS i, b.event_type AS j, COUNT(*) AS w_ij
       FROM daily a JOIN daily b
         ON a.user_id = b.user_id AND a.day = b.day
         AND a.event_type <> b.event_type AND a.c > b.c
       GROUP BY 1, 2),
-    matrix AS (
+    matrix AS MATERIALIZED (
       SELECT i, j, CAST(SUM(w_ij) AS BIGINT) AS w_ij FROM (
         SELECT i, j, w_ij FROM wins0
         UNION ALL SELECT j, i, 0 FROM wins0)
       GROUP BY 1, 2),
-    nij AS (
+    nij AS MATERIALIZED (
       SELECT m.i, m.j, m.w_ij, m.w_ij + r.w_ij AS n_ij
       FROM matrix m JOIN matrix r ON m.i = r.j AND m.j = r.i),
-    w_tot AS (SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w FROM nij GROUP BY 1),
-    p0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS p FROM w_tot),
-    t1 AS (
+    w_tot AS MATERIALIZED (SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w FROM nij GROUP BY 1),
+    p0 AS MATERIALIZED (SELECT i AS item, CAST(1.0 AS DOUBLE) AS p FROM w_tot),
+    t1 AS MATERIALIZED (
       SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) AS denom
       FROM nij n JOIN p0 pi ON n.i = pi.item JOIN p0 pj ON n.j = pj.item
       GROUP BY 1),
-    r1 AS (
+    r1 AS MATERIALIZED (
       SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
       FROM w_tot w JOIN t1 t ON w.i = t.i),
-    p1 AS (
+    p1 AS MATERIALIZED (
       SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) FROM r1) AS DOUBLE) AS p
       FROM r1),
-    t2 AS (
+    t2 AS MATERIALIZED (
       SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) AS denom
       FROM nij n JOIN p1 pi ON n.i = pi.item JOIN p1 pj ON n.j = pj.item
       GROUP BY 1),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
       FROM w_tot w JOIN t2 t ON w.i = t.i),
-    p2 AS (
+    p2 AS MATERIALIZED (
       SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) FROM r2) AS DOUBLE) AS p
       FROM r2),
-    t3 AS (
+    t3 AS MATERIALIZED (
       SELECT n.i, CAST(SUM(CAST(n.n_ij / (pi.p + pj.p) AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) AS denom
       FROM nij n JOIN p2 pi ON n.i = pi.item JOIN p2 pj ON n.j = pj.item
       GROUP BY 1),
-    r3 AS (
+    r3 AS MATERIALIZED (
       SELECT w.i AS item, CAST(w.w AS DOUBLE) / CAST(t.denom AS DOUBLE) AS praw
       FROM w_tot w JOIN t3 t ON w.i = t.i),
-    p3 AS (
+    p3 AS MATERIALIZED (
       SELECT item, praw / CAST((SELECT CAST(SUM(CAST(praw AS DECIMAL(28,9)))
         AS DECIMAL(38,9)) FROM r3) AS DOUBLE) AS p
       FROM r3)
