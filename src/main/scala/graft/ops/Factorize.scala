@@ -41,21 +41,32 @@ object Factorize extends QueryModule {
     * eigenvalue estimate ‖Xv₁‖²/‖v₁‖².
     */
   def powerIteration(emb: DataFrame): DataFrame = {
-    val x = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim0", "xv")))
-      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+    // Whole-array folds for the t half-steps (the q279 discipline): t_k
+    // is a per-vector dot product against a 64-dim vector, so the
+    // per-dim explode + broadcast dim-join + groupBy(vec_id) collapses
+    // to one narrow pass — the DECIMAL(18,12)/(28,12) fold reproduces
+    // sum()'s exact types. Only the w half-steps explode dims (they are
+    // per-DIMENSION sums across vectors).
+    val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    // v carried as a 1-row array column in dim order
+    def tOf(vArr: DataFrame): DataFrame =
+      base.crossJoin(broadcast(vArr))
+        .select(col("vec_id"), col("embedding"), expr(
+          """aggregate(zip_with(embedding, varr, (x, v) ->
+            |    CAST(CAST(x AS DOUBLE) * v AS DECIMAL(18,12))),
+            |  CAST(0 AS DECIMAL(28,12)),
+            |  (acc, e) -> CAST(acc + e AS DECIMAL(28,12)))""".stripMargin)
+          .cast("double").as("t"))
+    def wOf(t: DataFrame): DataFrame = t
+      .select(col("t"), posexplode(col("embedding")).as(Seq("dim0", "xv")))
+      .select((col("dim0") + 1).as("dim"), col("t"),
         col("xv").cast("double").as("xv"))
-      .localCheckpoint() // rows×dims pass reused by all four half-steps
-
-    // one power step against vector v (64 rows: dim, v) → new raw w
-    def step(v: DataFrame): DataFrame = {
-      val t = x.join(broadcast(v), "dim")
-        .groupBy("vec_id")
-        .agg(sum(dec(col("xv") * col("v"), 12)).cast("double").as("t"))
-      x.join(t, "vec_id")
-        .groupBy("dim")
-        .agg(sum(dec(col("t") * col("xv"), 12)).cast("double").as("w"))
-    }
+      .groupBy("dim")
+      .agg(sum(dec(col("t") * col("xv"), 12)).cast("double").as("w"))
+    def asArr(v: DataFrame): DataFrame =
+      v.agg(expr("transform(array_sort(collect_list(named_struct(" +
+        "'d', dim, 'v', v))), e -> e.v)").as("varr"))
+    def step(v: DataFrame): DataFrame = wOf(tOf(v))
     // max-abs normalize + pin to the 1e-9 grid so iter-2 operands match
     def normalize(w: DataFrame): DataFrame = {
       val m = w.agg(max(abs(col("w"))).as("m"))
@@ -63,15 +74,13 @@ object Factorize extends QueryModule {
         .select(col("dim"), round(col("w") / col("m"), 9).as("v"))
     }
 
-    val v1 = normalize(step(
-      x.select(col("dim")).distinct().withColumn("v", lit(1.0))))
-      .localCheckpoint() // 64 rows; reused by t2, w2 and the Rayleigh denom
-    val t2 = x.join(broadcast(v1), "dim")
-      .groupBy("vec_id")
-      .agg(sum(dec(col("xv") * col("v"), 12)).cast("double").as("t"))
-    val w2 = x.join(t2, "vec_id")
-      .groupBy("dim")
-      .agg(sum(dec(col("t") * col("xv"), 12)).cast("double").as("w"))
+    val ones = base.limit(1)
+      .select(expr("transform(embedding, x -> CAST(1.0 AS DOUBLE))").as("varr"))
+    val v1 = normalize(step(ones))
+      .localCheckpoint() // 64 rows; reused by t2 and the Rayleigh denom
+    val t2 = tOf(asArr(v1))
+      .localCheckpoint() // reused by w2 and the Rayleigh numerator
+    val w2 = wOf(t2)
     val v2 = normalize(w2)
     val rayleigh = t2.agg(sum(dec(col("t") * col("t"), 12)).as("num"))
       .crossJoin(broadcast(
