@@ -285,25 +285,42 @@ object Experiment extends QueryModule {
         col("i") === col("i2") && col("j") === col("j2"))
       .select(col("i"), col("j"), col("w_ij"),
         (col("w_ij") + col("w_ji")).as("n_ij"))
-      .localCheckpoint()
-    val wTot = nij.groupBy("i").agg(sum("w_ij").as("w")).localCheckpoint()
-    var p = wTot.select(col("i").as("item"), lit(1.0).as("p"))
+    // The pair matrix is |event_types|²-bounded (a fixed domain, never
+    // corpus-proportional), so the MM iterations run on the driver over
+    // the collected edge list — the per-iteration join/checkpoint chain
+    // paid ~2 Spark-job floors per iteration to transform ≤dozens of
+    // rows. The decimal steps mirror the SQL exactly: double→DECIMAL(28,9)
+    // is shortest-repr HALF_UP (Spark's Cast), sums are exact BigDecimal
+    // adds, DECIMAL→double is BigDecimal.doubleValue.
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    def dec9(d: Double): JBig =
+      JBig.valueOf(d).setScale(9, RoundingMode.HALF_UP)
+    val nijRows = nij
+      .select(col("i"), col("j"), col("w_ij").cast("long"),
+        col("n_ij").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val wTot: Map[String, Long] =
+      nijRows.groupBy(_._1).map { case (i, xs) => i -> xs.map(_._3).sum }
+    var p: Map[String, Double] = wTot.map { case (i, _) => i -> 1.0 }
     for (_ <- 1 to iters) {
-      val terms = nij
-        .join(p.select(col("item").as("i"), col("p").as("pi")), "i")
-        .join(p.select(col("item").as("j"), col("p").as("pj")), "j")
-        .groupBy("i")
-        .agg(sum(expr("CAST(n_ij / (pi + pj) AS DECIMAL(28,9))")).as("denom"))
-      val raw = wTot.join(terms, "i")
-        .select(col("i").as("item"),
-          expr("CAST(w AS DOUBLE) / CAST(denom AS DOUBLE)").as("praw"))
-      val z = raw.agg(sum(expr("CAST(praw AS DECIMAL(28,9))")).as("z"))
-      p = raw.crossJoin(broadcast(z))
-        .select(col("item"), expr("praw / CAST(z AS DOUBLE)").as("p"))
-        .localCheckpoint() // |items| rows; keeps the iteration tree flat
+      val denom: Map[String, JBig] = nijRows.groupBy(_._1).map {
+        case (i, xs) =>
+          i -> xs.map { case (_, j, _, nIj) =>
+            dec9(nIj.toDouble / (p(i) + p(j)))
+          }.reduce(_ add _)
+      }
+      val raw: Map[String, Double] = wTot.map { case (i, w) =>
+        i -> w.toDouble / denom(i).doubleValue()
+      }
+      val z = raw.values.map(dec9).reduce(_ add _).doubleValue()
+      p = raw.map { case (i, pr) => i -> pr / z }
     }
-    wTot.select(col("i").as("item"), col("w")).join(p, "item")
-      .select(col("item"), col("w").as("total_wins"),
+    wTot.toSeq.map { case (i, w) => (i, w, p(i)) }
+      .toDF("item", "total_wins", "p")
+      .select(col("item"), col("total_wins"),
         round(col("p"), 6).as("strength"))
       .orderBy("item")
   }
