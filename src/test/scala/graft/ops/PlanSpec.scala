@@ -221,12 +221,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q270: power-iteration half-steps broadcast the 64-row vector, not the corpus") {
-    // each x.join(broadcast(v)) must plan as a broadcast hash join; a
-    // sort-merge join here would shuffle the rows x dims corpus per step
+    // the t half-steps carry v as a broadcast 1-row ARRAY column (a
+    // broadcast nested-loop join against one row — the whole-array fold
+    // shape); nothing may shuffle the corpus to meet the vector side
     val p = plan("q270_power_iteration")
-    assert(p.contains("BroadcastHashJoin"),
-      "the dim-vector joins must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the vector side must broadcast")
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus shuffle join in the half-steps:\n${p.take(1200)}")
   }
 
   test("q267: RAKE word-statistics join broadcasts the vocabulary side") {
