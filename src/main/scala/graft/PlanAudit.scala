@@ -37,6 +37,27 @@ object PlanAudit {
     // at every corpus size.
     "q384_permutation_null" -> Set("GLOBAL-WINDOW"))
 
+  /** Entity-id keys whose distinct count is FIXED by the schema, not the
+    * corpus (region/nation are 5/25 at every TPC-H scale factor). Every
+    * OTHER `*key`/`*_id` grouping key — part/supplier/customer/order/
+    * lineitem keys, doc_id, vec_id, event_id — grows with the corpus, so
+    * an aggregate keyed by one is corpus-proportional despite passing
+    * the `reduced` (aggregated-frame) test.
+    */
+  private val fixedDomainKeys = Set(
+    "r_regionkey", "n_nationkey", "n_regionkey", "s_nationkey", "c_nationkey")
+
+  /** Whether a bounded frame's grouping-key SQL references a
+    * corpus-proportional entity id (see [[fixedDomainKeys]]). Token-level:
+    * `<scalar>`/`<limit>`/`<literal>` bounders and fixed-domain keys
+    * (brand, type, event_type, calendar dates…) never match.
+    */
+  private[graft] def corpusProportionalKey(keySql: String): Boolean =
+    keySql.toLowerCase.split("[^a-z0-9_]+").exists { t =>
+      (t.endsWith("key") || t.endsWith("_id") || t == "id") &&
+        !fixedDomainKeys.contains(t)
+    }
+
   /** One query's audit: scale hazards (should be empty or whitelisted)
     * plus INFO notes for manual review — each bounded global window is
     * annotated with the grouping keys of the Aggregate(s) that bound its
@@ -131,6 +152,79 @@ object PlanAudit {
     if (boundedBy.nonEmpty && hazards.isEmpty)
       infos += s"${boundedBy.size} bounded global window(s) over aggregated frames " +
         boundedBy.map(k => s"bounded-by=[$k]").mkString("; ")
+
+    // 5. pairwise dominance joins over corpus-proportional aggregates:
+    // a BroadcastNestedLoopJoin does O(left·right) compares AND
+    // broadcasts its build side, so it is only sane when the build side
+    // is bounded by a FIXED domain (dim table, calendar, type lattice).
+    // An Aggregate keyed by a corpus-proportional key (part/order/
+    // doc/vec/event ids grow with the corpus in this schema) passes the
+    // `reduced` test above but still broadcasts a corpus-sized frame —
+    // the q151-skyline class. Flag any non-equi join (BNLJ is how those
+    // compile) where either side is an aggregate bounded by such a key.
+    if (phys.contains("BroadcastNestedLoopJoin")) {
+      def hasEquiKey(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+        e.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.EqualTo => true
+          case _: org.apache.spark.sql.catalyst.expressions.EqualNullSafe => true
+          case _ => false
+        }
+      // side class: a non-reduced side is the raw corpus; a reduced side
+      // whose bounders include a corpus key is corpus-PROPORTIONAL; a
+      // reduced side with only fixed-domain/scalar/limit/literal
+      // bounders is constant-bounded. |L|·|R| compares only explode
+      // when BOTH sides grow with the corpus — crossJoin(corpus,
+      // broadcast(scalar)) is linear and stays clean. A localCheckpoint
+      // truncates lineage to a LogicalRDD leaf the audit cannot see
+      // through; those sides are reported as INFO (the repo convention
+      // is that every checkpoint site documents its frame bound), not
+      // flagged — the static hazard covers the statically-visible class.
+      def checkpointed(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _ => false
+      }
+      // a Filter with an equality-to-literal conjunct (vec_id = 0, the
+      // single-query-vector probe) bounds its output by the key's
+      // multiplicity — treated as non-growing so brute-force oracles
+      // that broadcast ONE point-selected row stay clean.
+      def pointFiltered(p: LogicalPlan): Boolean = {
+        import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        p.exists {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            conjuncts(f.condition).exists {
+              case EqualTo(_: AttributeReference, _: Literal) => true
+              case EqualTo(_: Literal, _: AttributeReference) => true
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+      def grows(side: LogicalPlan): Option[Seq[String]] =
+        if (checkpointed(side) || pointFiltered(side)) None
+        else if (!reduced(side)) Some(Seq("<raw>"))
+        else {
+          val bad = bounders(side).filter(corpusProportionalKey)
+          if (bad.nonEmpty) Some(bad.distinct) else None
+        }
+      var ckptJoins = 0
+      opt.foreach {
+        case j: LJoin if j.condition.forall(!hasEquiKey(_)) =>
+          (grows(j.left), grows(j.right)) match {
+            case (Some(l), Some(r)) =>
+              hazards += s"BNLJ-CORPUS-BROADCAST(${(l ++ r).distinct.mkString(",")})"
+            case _ =>
+          }
+          if (checkpointed(j.left) || checkpointed(j.right)) ckptJoins += 1
+        case _ =>
+      }
+      if (ckptJoins > 0)
+        infos += s"$ckptJoins non-equi join(s) over checkpointed frame(s) — " +
+          "bound must be documented at the localCheckpoint call site"
+    }
 
     // 3/4. physical shapes
     if (phys.contains("CartesianProduct")) hazards += "CARTESIAN"

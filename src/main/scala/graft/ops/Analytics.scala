@@ -450,23 +450,36 @@ object Analytics extends QueryModule {
 
   /** 2-D Pareto skyline (preference query): parts minimizing (avg
     * price, total quantity) — a part survives iff no other part is <=
-    * on both measures and < on at least one. Runs on the AGGREGATED
-    * part manifest (the 100 TB shape: skyline inputs are summaries, ~10^4
-    * rows, so the quadratic dominance anti-join is a broadcast
-    * nested-loop over a small side — the right plan; the raw corpus
-    * never enters the pairwise phase).
+    * on both measures and < on at least one. The part manifest is
+    * |l_partkey|-sized — corpus-PROPORTIONAL in TPC-H, not
+    * catalog-fixed — so the textbook quadratic dominance anti-join
+    * (O(|parts|²) compares over a corpus-proportional broadcast) is the
+    * wrong plan at scale. In 2-D the skyline is a sorted sweep: a part
+    * survives iff (a) its total_qty is the MIN within its exact
+    * avg_price group (an equal-price row with lower qty dominates:
+    * p2<=p ∧ q2<q), and (b) every strictly-cheaper price's min qty is
+    * strictly above its qty (p2<p ∧ q2<=q would dominate). Full
+    * (p,q)-duplicates survive together — dominance needs a strict
+    * inequality somewhere — which (a)+(b) preserve. The prefix-min over
+    * price groups distributes via [[Dist.withRunningMinExcl]] (prices
+    * are value-bounded, so the BIGINT DIV 64 bucket key has fixed
+    * ~1.6k arity at every corpus size); the join back to the manifest
+    * is a plain equi-shuffle. One pass, no pairwise phase.
     */
   def skylineParts(li: DataFrame): DataFrame = {
     val m = li.groupBy("l_partkey")
       .agg(
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         sum(round(col("l_quantity")).cast("long")).as("total_qty"))
-      .localCheckpoint() // manifest is small; both join sides reuse it
-    val o = m.select(col("avg_price").as("p2"), col("total_qty").as("q2"))
-    m.join(broadcast(o),
-        col("p2") <= col("avg_price") && col("q2") <= col("total_qty") &&
-          (col("p2") < col("avg_price") || col("q2") < col("total_qty")),
-        "left_anti")
+    val g = Dist.withRunningMinExcl(
+      m.groupBy("avg_price").agg(min("total_qty").as("qmin")),
+      expr("CAST(avg_price AS BIGINT) DIV 64"), // avg_price > 0: DIV truncation monotone
+      Seq(col("avg_price")),
+      col("qmin"), "prev_min")
+    m.join(g, Seq("avg_price"))
+      .filter(col("total_qty") === col("qmin") &&
+        (col("prev_min").isNull || col("prev_min") > col("total_qty")))
+      .select(col("l_partkey"), col("avg_price"), col("total_qty"))
       .orderBy("avg_price", "l_partkey")
   }
 

@@ -140,6 +140,36 @@ object Dist {
       .drop(vcols.map(vc => s"__ps_$vc"): _*)
   }
 
+  /** Appends `out` = exact running MIN of `value` over `order`,
+    * EXCLUSIVE of the current row (UNBOUNDED PRECEDING..1 PRECEDING;
+    * NULL for the first row) — the prefix-min sweep behind one-pass
+    * dominance/skyline tests. Distributed the same way as the running
+    * sums: per-bucket mins on the bucket table, an exclusive prefix-min
+    * window over buckets (one task, bucket-count rows), then a
+    * within-bucket exclusive running-min window partitioned by bucket;
+    * `least` (null-skipping) stitches the two. Same `bucket`
+    * monotonicity contract, bucket-count bound, and NULL-key semantics
+    * as [[withRowNumber]].
+    */
+  def withRunningMinExcl(
+      df: DataFrame,
+      bucket: Column,
+      order: Seq[Column],
+      value: Column,
+      out: String,
+      broadcastPrefix: Boolean = true): DataFrame = {
+    val b = df.withColumn("__bkt", bucket).withColumn("__v", value)
+    val wIn = Window.partitionBy("__bkt").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkt = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = b.groupBy("__bkt").agg(min("__v").as("__bm"))
+      .select(col("__bkt"), min("__bm").over(wBkt).as("__pm"))
+    nullSafeJoin(b, pre, Seq("__bkt"), broadcastPrefix)
+      .withColumn(out, least(col("__pm"), min("__v").over(wIn)))
+      .drop("__bkt", "__v", "__pm")
+  }
+
   /** Appends `bin` = exact `ntile(bins)` over `order` (SQL NTILE tiling:
     * the first N mod bins tiles get one extra row), via the distributed
     * row_number above. Same `bucket` monotonicity contract. The

@@ -29,6 +29,31 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a bounded-by annotation, got ${a.infos}")
   }
 
+  test("the detector trips on a quadratic dominance BNLJ over a corpus-keyed aggregate") {
+    val m = Tables.events(spark, sf("sf0.001"))
+      .groupBy("event_id").agg(sum("value").as("v"), count(lit(1)).as("n"))
+    val o = m.select(col("v").as("v2"), col("n").as("n2"))
+    // the q151-r11 shape: corpus-proportional manifest broadcast into a
+    // non-equi anti-join — O(|ids|²) compares
+    val dominance = m.join(broadcast(o),
+      col("v2") <= col("v") && col("n2") <= col("n") &&
+        (col("v2") < col("v") || col("n2") < col("n")), "left_anti")
+    val a = PlanAudit.audit(dominance)
+    assert(a.hazards.exists(_.startsWith("BNLJ-CORPUS-BROADCAST")),
+      s"expected BNLJ-CORPUS-BROADCAST, got ${a.hazards}")
+  }
+
+  test("the detector does NOT trip on a dim-bounded non-equi broadcast join") {
+    val bands = Tables.nation(spark, sf("sf0.001"))
+      .groupBy("n_nationkey").agg(count(lit(1)).as("lo"))
+      .select(col("lo"), (col("lo") + 10).as("hi"))
+    val banded = Tables.events(spark, sf("sf0.001"))
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+    val a = PlanAudit.audit(banded)
+    assert(!a.hazards.exists(_.startsWith("BNLJ")),
+      s"fixed-domain (n_nationkey) build side flagged: ${a.hazards}")
+  }
+
   test("every registered batch query plans clean (no unexplained scale hazards)") {
     val dir = sf("sf0.001")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
