@@ -104,16 +104,19 @@ case class VectorSumAgg(
 }
 
 /** Exact element-wise sum over array&lt;decimal(p&le;18,s)&gt;: accumulates
-  * UNSCALED longs per dimension, so the per-group sum is order-independent
-  * and bit-exact (the repo's decimal-sum rule for cross-row double
-  * aggregation) while keeping VectorSumAgg's shuffle shape (|groups| x
-  * width fixed buffers, map-side merged). Output: array&lt;decimal(38,s)&gt;
-  * — callers cast to double after the exact sum, mirroring the oracle's
+  * UNSCALED 128-bit integers per dimension (a hi/lo long pair with manual
+  * carry), so the per-group sum is order-independent and bit-exact (the
+  * repo's decimal-sum rule for cross-row double aggregation) while
+  * keeping VectorSumAgg's shuffle shape (|groups| x width fixed buffers,
+  * map-side merged). Output: array&lt;decimal(38,s)&gt; — callers cast to
+  * double after the exact sum, mirroring the oracle's
   * `CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)`.
   *
-  * Unscaled-long overflow bound: |per-dim sum| &lt; 2^63 / 10^s (9.2e10 at
-  * s=8) — ample for per-group embedding sums of unit-scale values; widen
-  * the buffer to BigInt if a workload ever exceeds it.
+  * Overflow bound: |per-dim sum| &lt; 2^127 / 10^s in the buffer — beyond
+  * any corpus (10^19 rows of maxed decimal(18) inputs stay inside it);
+  * eval still throws loudly if the final sum exceeds decimal(38)'s 10^38
+  * range rather than wrapping. Buffer layout: hi words in [0, n), lo
+  * words (unsigned) in [n, 2n).
   */
 case class VectorSumDecAgg(
     child: Expression,
@@ -141,19 +144,29 @@ case class VectorSumDecAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
+  // adds signed-128 (bhi, blo) into buf's dim i (hi at i, lo at n + i)
+  @inline private def add128(buf: Array[Long], n: Int, i: Int,
+      bhi: Long, blo: Long): Unit = {
+    val lo = buf(n + i)
+    val nlo = lo + blo
+    val carry = ((lo & blo) | ((lo | blo) & ~nlo)) >>> 63
+    buf(i) = buf(i) + bhi + carry
+    buf(n + i) = nlo
+  }
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val acc = if (buf.isEmpty) new Array[Long](n) else buf
-    require(acc.length == n,
-      s"vec_sum_dec: mixed vector widths (${acc.length} vs $n)")
+    val acc = if (buf.isEmpty) new Array[Long](2 * n) else buf
+    require(acc.length == 2 * n,
+      s"vec_sum_dec: mixed vector widths (${acc.length / 2} vs $n)")
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        acc(i) = Math.addExact(acc(i),
-          arr.getDecimal(i, elemType.precision, elemType.scale).toUnscaledLong)
+        val u = arr.getDecimal(i, elemType.precision, elemType.scale).toUnscaledLong
+        add128(acc, n, i, u >> 63, u) // sign-extend the 64-bit input to 128
       }
       i += 1
     }
@@ -164,16 +177,33 @@ case class VectorSumDecAgg(
     if (a.isEmpty) return b
     if (b.isEmpty) return a
     require(a.length == b.length,
-      s"vec_sum_dec: mixed vector widths (${a.length} vs ${b.length})")
+      s"vec_sum_dec: mixed vector widths (${a.length / 2} vs ${b.length / 2})")
+    val n = a.length / 2
     var i = 0
-    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    while (i < n) { add128(a, n, i, b(i), b(n + i)); i += 1 }
     a
   }
 
   override def eval(buf: Array[Long]): Any =
     if (buf.isEmpty) null
-    else new GenericArrayData(
-      buf.map(l => org.apache.spark.sql.types.Decimal(l, 38, elemType.scale): Any))
+    else {
+      val n = buf.length / 2
+      val out = new Array[Any](n)
+      val bytes = new Array[Byte](16)
+      val bb = ByteBuffer.wrap(bytes)
+      var i = 0
+      while (i < n) {
+        bb.clear(); bb.putLong(buf(i)); bb.putLong(buf(n + i))
+        // two's-complement big-endian (hi, lo) is exactly BigInteger's
+        // byte encoding of the signed 128-bit sum
+        val unscaled = new java.math.BigInteger(bytes)
+        out(i) = org.apache.spark.sql.types.Decimal(
+          BigDecimal(new java.math.BigDecimal(unscaled, elemType.scale)),
+          38, elemType.scale)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.length)

@@ -382,26 +382,31 @@ object Geometry extends QueryModule {
       .select(col("m"), col("vec_id").cast("int").as("cid"),
         expr("transform(h, x -> CAST(x AS DOUBLE))").as("cv"))
     val a1 = assign(seeds)
+    // Codebook re-estimate as ONE whole-array pass: quantize each half to
+    // bin50 fixed-point (identical rounding to the former per-dim
+    // sum(bin50(xv)) — same double*2^50 → decimal cast) and sum
+    // element-wise with the exact 128-bit vec_sum_dec aggregate, then
+    // divide per dim through the split-double macro. Replaces the
+    // |vecs|×32 posexplode + groupBy(m,cid,dim0) — the last per-dim
+    // explode this operator had — with a |vecs|-row aggregate whose
+    // shuffle is 8 codes × one 32-wide buffer.
     val book1 = a1.select("vec_id", "m", "cid")
       .join(halves, Seq("vec_id", "m"))
-      .select(col("m"), col("cid"),
-        posexplode(col("h")).as(Seq("dim0", "xv")))
-      .groupBy("m", "cid", "dim0")
-      .agg(sum(graft.Num.bin50(col("xv").cast("double"))).as("cs"),
-        count(lit(1)).as("cm"))
-      .select(col("m"), col("cid"), col("dim0"),
-        expr(graft.Num.bin50MeanSql("cs", "cm")).as("cv"))
-      .localCheckpoint() // 8 codes × 32 dims; reused by assign + report
-    val a2 = assign(book1
       .groupBy("m", "cid")
-      .agg(expr("transform(array_sort(collect_list(named_struct(" +
-        "'d', dim0, 'v', cv))), e -> e.v)").as("cv")))
+      .agg(graft.functions.VectorSumAgg.vec_sum_dec(expr(
+          "transform(h, x -> CAST(CAST(x AS DOUBLE) * 1.125899906842624e15 AS DECIMAL(18,0)))"))
+          .as("cs"),
+        count(lit(1)).as("cm"))
+      .select(col("m"), col("cid"),
+        expr(s"transform(cs, s -> ${graft.Num.bin50MeanSql("s", "cm")})").as("cv"))
+      .localCheckpoint() // 8 codes × 32-dim arrays; reused by assign + report
+    val a2 = assign(book1)
     a2.groupBy(col("m").as("subspace"), col("cid").as("code"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
-      .join(book1.filter(col("dim0") === 0) // posexplode is 0-based: first dim of each half
+      .join(book1 // first dim of each half
           .select(col("m").as("subspace"), col("cid").as("code"),
-            round(col("cv"), 6).as("c_dim1")),
+            round(element_at(col("cv"), 1), 6).as("c_dim1")),
         Seq("subspace", "code"))
       .select(col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"), col("n_members"),

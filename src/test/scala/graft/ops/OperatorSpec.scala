@@ -83,6 +83,22 @@ class OperatorSpec extends SparkSpec {
       assert(v.compareTo(exploded(k)) == 0, s"label/dim $k") }
   }
 
+  test("vec_sum_dec survives per-dim sums past the 64-bit unscaled range") {
+    import spark.implicits._
+    import graft.functions.VectorSumAgg.vec_sum_dec
+    // 24 x 9e17 = 2.16e19 > 2^63-1 ~ 9.22e18: a long accumulator would
+    // wrap; the 128-bit hi/lo buffer must carry exactly. The negative
+    // dim crosses zero repeatedly to exercise sign extension.
+    val df = (1 to 24).map(i => (1, Seq("900000000000000000", "-900000000000000000")))
+      .toDF("k", "raw")
+    val got = df.groupBy("k")
+      .agg(vec_sum_dec(expr("transform(raw, x -> cast(x as decimal(18,0)))")).as("s"))
+      .select(expr("cast(s[0] as string)"), expr("cast(s[1] as string)"))
+      .head()
+    assert(got.getString(0) == "21600000000000000000", got.toString)
+    assert(got.getString(1) == "-21600000000000000000", got.toString)
+  }
+
   test("top_k_by agrees with the window row_number formulation") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf("sf0.001"))
