@@ -359,21 +359,24 @@ object Geometry extends QueryModule {
           .stripMargin)).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.h").as("h"))
       .localCheckpoint() // reused: 2 assignments + book re-estimate
-    val d2Fold =
-      """aggregate(zip_with(h, s.cv, (x, y) ->
-        |    CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)
-        |         AS DECIMAL(18,10))),
-        |  CAST(0 AS DECIMAL(28,10)),
-        |  (acc, v) -> CAST(acc + v AS DECIMAL(28,10)))""".stripMargin
-
-    // book rows: (m, cid, cv: array<double> in subspace-local dim order)
+    // book rows: (m, cid, cv: array<double> in subspace-local dim order).
+    // The per-candidate distance is the native QuantizedSqDist expression
+    // — bit-identical to the former interpreted aggregate(zip_with(...))
+    // decimal fold (same per-term CAST AS DECIMAL(18,10) quantization,
+    // exact sum), but a generated long-accumulating loop instead of
+    // boxed per-element BigDecimal churn (that fold was ~80% of q291's
+    // sf1 runtime across the two assignment passes).
     def assign(book: DataFrame): DataFrame =
       halves.join(broadcast(
           book.groupBy("m").agg(collect_list(struct(col("cid"), col("cv")))
             .as("cands"))), "m")
-        .select(col("vec_id"), col("m"), expr(
+        .select(col("vec_id"), col("m"),
           // array_sort on (d2, cid) structs = the row_number(d2, cid) pick
-          s"array_sort(transform(cands, s -> named_struct('d2', $d2Fold, 'cid', s.cid)))[0]")
+          element_at(array_sort(transform(col("cands"), s =>
+            struct(
+              graft.functions.QuantizedSqDist
+                .quantized_sq_dist(col("h"), s.getField("cv")).as("d2"),
+              s.getField("cid").as("cid")))), 1)
           .as("best"))
         .select(col("vec_id"), col("m"),
           col("best.cid").as("cid"), col("best.d2").as("d2"))
