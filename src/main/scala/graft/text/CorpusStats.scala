@@ -238,26 +238,42 @@ object CorpusStats extends QueryModule {
   def dsirWeights(docs: DataFrame): DataFrame = {
     // native per-doc bigram counting (graft.functions.CharNGramCounts):
     // the previous per-position explode + groupBy(doc, f) shuffled one
-    // row per corpus CHARACTER; counting in-task leaves only the per-doc
-    // distinct-bigram frame (~hundreds of rows/doc on ASCII text) and
-    // both downstream aggregates derive from it (kt/kr are occurrence
-    // sums, identical to counting positions)
-    val cnt = docs.select(col("doc_id"), col("lang"),
-        explode(graft.functions.CharNGramCounts.char_ngram_counts(col("text"), 2)).as("fc"))
-      .select(col("doc_id"), col("lang"),
-        col("fc.f").as("f"), col("fc.c").as("c"))
-    val fstats = cnt.groupBy("f").agg(
-      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("kt"),
-      sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("kr"))
+    // row per corpus CHARACTER; counting in-task leaves only per-doc
+    // count maps, checkpointed ONCE so the feature-stats pass and the
+    // scoring pass share a single text scan. Empty-feature docs are
+    // dropped up front (they had no cnt rows in the exploded form, so
+    // they never scored).
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+        graft.functions.CharNGramCounts.char_ngram_counts(col("text"), 2).as("fcs"))
+      .filter(size(col("fcs")) > 0)
+      .localCheckpoint()
+    val fstats = perDoc
+      .select(col("lang"), explode(col("fcs")).as("fc"))
+      .select(col("lang"), col("fc.f").as("f"), col("fc.c").as("c"))
+      .groupBy("f").agg(
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("kt"),
+        sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("kr"))
     val tots = fstats.agg(sum("kt").as("nt"), sum("kr").as("nr"), count(lit(1)).as("v"))
-    val lr = fstats.crossJoin(broadcast(tots))
+    // The feature table is charset²-bounded (≤ ~9.4k on ASCII corpora;
+    // 385 observed at sf1) — collect it and inline the log-ratios as ONE
+    // map literal, so scoring is an in-task fold over each doc's count
+    // map: no per-feature join, no |docs|×features shuffle. The
+    // per-document score is the same exact decimal dot product (terms
+    // quantized to DECIMAL(38,6); exact adds are order-independent).
+    val lrRows = fstats.crossJoin(broadcast(tots))
       .select(col("f"), round(expr(
         """ln((CAST(kt + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) /
           |   (CAST(kr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))""".stripMargin), 6)
         .cast("decimal(18,6)").as("lr"))
-    val score = cnt.join(broadcast(lr), "f")
-      .groupBy("doc_id", "lang")
-      .agg(sum((col("c").cast("decimal(18,0)") * col("lr")).cast("decimal(38,6)")).as("score"))
+      .collect() // bounded: |charset|² features, see above
+    val lrMap = org.apache.spark.sql.GraftBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        lrRows.map(r => r.getString(0) -> r.getDecimal(1)).toMap,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.DecimalType(18, 6), valueContainsNull = false)))
+    val score = perDoc.select(col("doc_id"), col("lang"),
+      graft.functions.CountMapDot.count_map_dot(col("fcs"), lrMap).as("score"))
     score.groupBy(col("lang"),
         floor(col("score").cast("double") / 10.0).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"),
