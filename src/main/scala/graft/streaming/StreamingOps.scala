@@ -721,6 +721,65 @@ object StreamingOps extends QueryModule {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Batch twins of every streaming pipeline's TRANSFORM shape, for the
+    * static scale-hazard audit: the streaming queries themselves execute
+    * to completion when constructed (their returned frame is a
+    * checkpointed result the audit cannot see through), so PlanAuditSpec
+    * sweeps these instead — same projections/joins/windows/aggregations
+    * on the batch events table, only the source and the stateful
+    * plumbing differ. A corpus-wide flat window hiding inside a
+    * foreachBatch body or a pre-sink transform shows up here.
+    */
+  def batchTwins: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    import graft.Num._
+    def events(s: SparkSession, d: String) = graft.Tables.events(s, d)
+    Seq(
+      ("q44_q408_window_agg", (s: SparkSession, d: String) =>
+        events(s, d)
+          .groupBy(window(col("ts"), "5 minutes").getField("start").as("bucket_start"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))),
+      ("q72_q124_dedup", (s: SparkSession, d: String) =>
+        events(s, d).union(events(s, d))
+          .select("event_id", "event_type", "value")
+          .dropDuplicates("event_id")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))),
+      ("q69_interval_join", (s: SparkSession, d: String) => {
+        val p = events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val e = events(s, d).filter(col("event_type") === "error")
+          .select(col("event_id").as("e_event_id"),
+            col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+        p.join(e, col("user_id") === col("e_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("interval 5 minutes") &&
+          col("e_ts") <= col("p_ts"))
+      }),
+      ("q131_enrich_join", (s: SparkSession, d: String) =>
+        events(s, d)
+          .join(broadcast(graft.Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))),
+      ("q88_batch_partial", (s: SparkSession, d: String) =>
+        events(s, d).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec(col("value"), 2)).as("value_partial"))),
+      ("q95_latest_wins", (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        events(s, d).select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }))
+    // q45/q84's fold twin is the registered q45 batch query (audited in
+    // the main sweep); q41/q51's enrichment/scoring twins are the
+    // registered q40/q42/q43 batch plans.
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q408_append_window_finals",
       (s, d) => appendWindowFinals(s, d), Some(appendFinalsOracle)),

@@ -54,6 +54,18 @@ class PlanAuditSpec extends SparkSpec {
       s"fixed-domain (n_nationkey) build side flagged: ${a.hazards}")
   }
 
+  test("the streaming pipelines' batch twins plan clean") {
+    // the streaming queries run to completion at construction time (their
+    // result frame is checkpointed — opaque to the audit), so their
+    // transform shapes are audited through StreamingOps.batchTwins
+    val dir = sf("sf0.001")
+    val flagged = graft.streaming.StreamingOps.batchTwins.flatMap { case (name, fn) =>
+      val un = PlanAudit.unexplained(name, PlanAudit.audit(fn(spark, dir)))
+      if (un.nonEmpty) Some(s"$name: ${un.mkString(", ")}") else None
+    }
+    assert(flagged.isEmpty, s"scale hazards in streaming twins:\n${flagged.mkString("\n")}")
+  }
+
   test("every registered batch query plans clean (no unexplained scale hazards)") {
     val dir = sf("sf0.001")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
