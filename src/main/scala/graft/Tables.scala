@@ -57,7 +57,12 @@ object Num {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.DecimalType
 
-  def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+  // native DECIMAL(18,s) quantizer: identical semantics to
+  // `c.cast(DecimalType(18, scale))` (it delegates to that very Cast for
+  // non-double inputs and uncertain values) with a proven integer fast
+  // path for the double hot case — see graft.functions.DecCast
+  def dec(c: Column, scale: Int = 2): Column =
+    graft.functions.DecCast.dec_cast(c, scale)
 
   /** Exact, order-independent sum of a double column, returned as double. */
   def dsum(c: Column, scale: Int = 2): Column = sum(dec(c, scale)).cast("double")

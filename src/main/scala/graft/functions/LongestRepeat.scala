@@ -33,13 +33,18 @@ case class LongestRepeat(child: Expression, cap: Int)
   override def prettyName: String = "longest_repeat"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // iterate CODE POINTS, not UTF-16 units (the WinnowingFps /
+    // CharNGramCounts convention): the SQL twin and the DuckDB oracle
+    // both count characters, so a charAt/length walk would add
+    // lone-low-surrogate suffix positions and count an astral char as
+    // length 2 on non-BMP text
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     if (n < 2) return null
     val idx = new Array[Integer](n)
     var i = 0
     while (i < n) { idx(i) = i; i += 1 }
-    // sort suffix start positions by their cap-char-capped suffix
+    // sort suffix start positions by their cap-codepoint-capped suffix
     java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
         val la = math.min(cap, n - a)
@@ -47,8 +52,8 @@ case class LongestRepeat(child: Expression, cap: Int)
         val lim = math.min(la, lb)
         var t = 0
         while (t < lim) {
-          val ca = s.charAt(a + t)
-          val cb = s.charAt(b + t)
+          val ca = cp(a + t)
+          val cb = cp(b + t)
           if (ca != cb) return ca - cb
           t += 1
         }
@@ -62,7 +67,7 @@ case class LongestRepeat(child: Expression, cap: Int)
       val b = idx(i).intValue()
       val lim = math.min(math.min(cap, n - a), math.min(cap, n - b))
       var l = 0
-      while (l < lim && s.charAt(a + l) == s.charAt(b + l)) l += 1
+      while (l < lim && cp(a + l) == cp(b + l)) l += 1
       if (l > best) best = l
       i += 1
     }

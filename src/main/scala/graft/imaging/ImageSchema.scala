@@ -16,11 +16,16 @@ object ImageSchema {
     ExifTags.GPSTAGS.map { case (_, n) => StructField(n, StringType, nullable = true) })
 
   /** Exif struct: one string field per tag, GPSInfo replaced by the nested
-    * struct (02_Data Ingest.py:124-131).
+    * struct AT ITS TAG-ID POSITION — 0x8825, between SpectralSensitivity
+    * and ISOSpeedRatings — matching the reference's in-place
+    * substitution while iterating PIL's id-ordered TAGS dict
+    * (02_Data Ingest.py:111-132); positional consumers (struct equality,
+    * parquet column order) see the same field order as the reference.
     */
   val exifStruct: StructType = StructType(
-    ExifTags.schemaNames.map(n => StructField(n, StringType, nullable = true)) :+
-      StructField("GPSInfo", gpsStruct, nullable = true))
+    ExifTags.schemaNamesBeforeGps.map(n => StructField(n, StringType, nullable = true)) ++
+      Seq(StructField("GPSInfo", gpsStruct, nullable = true)) ++
+      ExifTags.schemaNamesAfterGps.map(n => StructField(n, StringType, nullable = true)))
 
   /** U1 return type (02_Data Ingest.py:190-199). */
   val metadataStruct: StructType = StructType(Seq(

@@ -26,8 +26,12 @@ object ImageUdfs {
             val gpsRow =
               if (exif.gps.isEmpty) null
               else Row.fromSeq(ExifTags.GPSTAGS.map { case (_, n) => exif.gps.getOrElse(n, null) })
+            // mirror exifStruct's field order: GPSInfo sits at its
+            // 0x8825 tag-id position, not appended
             Row.fromSeq(
-              ExifTags.schemaNames.map(n => exif.tags.getOrElse(n, null)) :+ gpsRow)
+              ExifTags.schemaNamesBeforeGps.map(n => exif.tags.getOrElse(n, null)) ++
+                Seq(gpsRow) ++
+                ExifTags.schemaNamesAfterGps.map(n => exif.tags.getOrElse(n, null)))
           }
         Row(m.height, m.width, m.dpi.map(d => Seq(d._1, d._2)).orNull,
           m.layers, m.mode, m.format, exifRow)

@@ -48,29 +48,70 @@ object Registry {
       .write.mode("append").parquet(dir)
   }
 
-  /** SINGLE-WRITER assumption (like mlflow's registry DB, writes go
-    * through one coordinator): nextSeq is a read-modify-write over the
-    * log, so two concurrent writers could mint the same seq. Readers
-    * stay correct for registry queries keyed by (model_name, version,
-    * seq) order, but serialize mutations through one process. */
+  /** nextSeq is a read-modify-write over the log; every mutation runs it
+    * under [[withLock]] so concurrent writers cannot mint the same seq. */
   private def nextSeq(l: DataFrame): Long =
     l.agg(coalesce(max("seq"), lit(0L))).collect()(0).getLong(0) + 1L
 
+  /** Serialize registry mutations with a create-exclusive lock file
+    * beside the log (`<dir>.lock` — NOT inside it: the log dir is a
+    * parquet dataset whose readers must not see foreign files). Local
+    * filesystems take `File.createNewFile` (atomic open(O_CREAT|O_EXCL)
+    * on POSIX); other schemes take Hadoop's `create(path, overwrite =
+    * false)` (atomic namenode op on HDFS). A crashed writer cannot wedge
+    * the registry: a lock older than [[lockStaleMs]] is broken and
+    * re-contended; acquisition past [[lockWaitMs]] fails loudly rather
+    * than deadlocking the caller. Replaces the former documented
+    * single-writer assumption with actual mutual exclusion.
+    */
+  private val lockStaleMs = 60000L
+  private val lockWaitMs = 30000L
+  private def withLock[T](spark: SparkSession, dir: String)(f: => T): T = {
+    val lockPath = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isLocal = Option(lockPath.toUri.getScheme).forall(_ == "file")
+    def tryAcquire(): Boolean =
+      if (isLocal) {
+        val f = new java.io.File(lockPath.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        f.createNewFile()
+      } else {
+        try { fs.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    var acquired = tryAcquire()
+    while (!acquired && System.currentTimeMillis() < deadline) {
+      try {
+        val st = fs.getFileStatus(lockPath)
+        if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs)
+          fs.delete(lockPath, false) // stale holder: break the lock
+      } catch { case _: java.io.FileNotFoundException => } // freed: retry now
+      if (!{ acquired = tryAcquire(); acquired }) Thread.sleep(25)
+    }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"registry lock $lockPath not acquired within ${lockWaitMs}ms")
+    try f finally fs.delete(lockPath, false)
+  }
+
   /** Register a new version of `name` (stage None, mlflow's initial
     * stage); returns the assigned version. */
-  def register(spark: SparkSession, dir: String, name: String): Long = {
-    val l = log(spark, dir)
-    val v = l.filter(col("model_name") === name)
-      .agg(coalesce(max("version"), lit(0L))).collect()(0).getLong(0) + 1L
-    append(spark, dir, Seq((name, v, "None", nextSeq(l))))
-    v
-  }
+  def register(spark: SparkSession, dir: String, name: String): Long =
+    withLock(spark, dir) {
+      val l = log(spark, dir)
+      val v = l.filter(col("model_name") === name)
+        .agg(coalesce(max("version"), lit(0L))).collect()(0).getLong(0) + 1L
+      append(spark, dir, Seq((name, v, "None", nextSeq(l))))
+      v
+    }
 
   /** Explicit stage transition for one version (the
     * `transition_model_version_stage` analogue). */
   def transition(spark: SparkSession, dir: String, name: String,
-      version: Long, stage: String): Unit =
+      version: Long, stage: String): Unit = withLock(spark, dir) {
     append(spark, dir, Seq((name, version, stage, nextSeq(log(spark, dir)))))
+  }
 
   /** Latest log row per (model_name, version) = that version's current
     * stage. */
@@ -96,7 +137,7 @@ object Registry {
     * version currently in Production, then promote the latest None
     * version. Returns the promoted version (None if nothing is staged). */
   def promoteToProduction(spark: SparkSession, dir: String,
-      name: String): Option[Long] = {
+      name: String): Option[Long] = withLock(spark, dir) {
     val cur = currentStages(log(spark, dir))
       .filter(col("model_name") === name)
       .select("version", "stage").collect()

@@ -174,17 +174,48 @@ object Lifecycle extends QueryModule {
     */
   def forgetCascade(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame, events: DataFrame): DataFrame = {
+    // Constraint propagation must be OFF for this plan: the optimizer
+    // infers `hv(key) % 20 = 0` from the request filter through every
+    // equi-join and re-evaluates the interpreted md5-fold on the PROBE
+    // side — ALL orders/lineitem/events rows (~20s of the former 12-16s
+    // sf1 readings; the fold is ~100× the cost of the hash-join probe it
+    // "saves"). localCheckpoint alone does not help: Spark 4's
+    // LogicalRDD preserves origin constraints exactly so such inference
+    // still applies. The conf window must cover EXECUTION (the optimizer
+    // runs at action time), so the 4-row audit is materialized inside it.
+    val spark = customer.sparkSession
+    val key = "spark.sql.constraintPropagation.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      forgetCascadePlan(customer, orders, lineitem, events).localCheckpoint()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The cascade plan itself (see [[forgetCascade]] for the
+    * constraint-propagation execution window it must run under).
+    */
+  private def forgetCascadePlan(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, events: DataFrame): DataFrame = {
+    // the request manifest is |customer|/20 keys — reused by three
+    // semi-joins, so compute the md5-fold once
     val requests = customer.select(col("c_custkey"))
       .withColumn("h", hv("c_custkey"))
       .filter(col("h") % 20 === 0)
       .select(col("c_custkey"))
+      .localCheckpoint()
     val custDel = customer.join(requests, Seq("c_custkey"), "left_semi")
     val ordDel = orders.join(
       requests.select(col("c_custkey").as("o_custkey")),
       Seq("o_custkey"), "left_semi")
-    val liDel = lineitem.join(
-      ordDel.select(col("o_orderkey").as("l_orderkey")).distinct(),
-      Seq("l_orderkey"), "left_semi")
+    // the cascaded order-key manifest is reused by the lineitem probe AND
+    // counted itself — checkpoint the ~5% key set once
+    val ordDelKeys = ordDel
+      .select(col("o_orderkey").as("l_orderkey")).distinct().localCheckpoint()
+    val liDel = lineitem.join(ordDelKeys, Seq("l_orderkey"), "left_semi")
     val evDel = events.join(
       requests.select(col("c_custkey").as("user_id")),
       Seq("user_id"), "left_semi")

@@ -216,6 +216,11 @@ class NativeExprSpec extends SparkSpec {
       (9000004L, "aa"),                            // minimal repeat
       (9000005L, "b" * 60),                        // repeat beyond the 20 cap
       (9000006L, "the rain the rain falls again"), // planted repeat
+      // non-BMP: astral chars are ONE code point each (Spark SQL
+      // length/substring count code points); a UTF-16 charAt walk would
+      // invent lone-surrogate suffixes and count each emoji as 2
+      (9000007L, "😀😀ab😀😀ab"),
+      (9000008L, "x😀x😀x"),
     ).toDF("doc_id", "text")
     val d = docs.select("doc_id", "text").union(extra)
     val native = d.select(col("doc_id"), longest_repeat(col("text"), 20).as("lrs"))

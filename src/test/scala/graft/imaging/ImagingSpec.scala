@@ -123,7 +123,13 @@ class ImagingSpec extends SparkSpec {
     val fields = ImageSchema.exifStruct.fieldNames
     assert(fields.length == ExifTags.schemaNames.size + 1) // + nested GPSInfo
     assert(fields.distinct.length == fields.length)
-    assert(fields.last == "GPSInfo")
+    // GPSInfo sits at its 0x8825 tag-id position (reference iterates
+    // PIL's id-ordered TAGS and substitutes the nested struct in place:
+    // 02_Data Ingest.py:124-131), between SpectralSensitivity (0x8824)
+    // and ISOSpeedRatings (0x8827)
+    val gi = fields.indexOf("GPSInfo")
+    assert(fields(gi - 1) == "SpectralSensitivity", fields(gi - 1))
+    assert(fields(gi + 1) == "ISOSpeedRatings", fields(gi + 1))
     // a tag present in the wider registry surfaces by name; absent tags null
     val bytes = SyntheticImages.withExif(SyntheticImages.solid(16, 16, 1, 2, 3),
       Seq(0x010F -> "graftcam", 0xA500 -> "2.2"))

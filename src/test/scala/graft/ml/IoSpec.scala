@@ -77,6 +77,27 @@ class IoSpec extends SparkSpec {
       p(0).getAs[Long]("valid_to_us") == p(1).getAs[Long]("valid_from_us")))
   }
 
+  test("M7 registry: concurrent registers serialize through the lock (distinct versions + seqs)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val dir = Files.createTempDirectory("registry_c").toString + "/log"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // 6 writers race the read-modify-write; without the lock two could
+      // mint the same version/seq (the former single-writer assumption)
+      val versions = Await.result(
+        Future.sequence((1 to 6).map(_ =>
+          Future(Registry.register(spark, dir, "race_model")))),
+        Duration.Inf)
+      assert(versions.sorted == (1L to 6L), versions.sorted.toString)
+      val rows = Registry.log(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq == (1L to 6L))
+      // the lock file is released after the last mutation
+      assert(!new java.io.File(dir.stripSuffix("/") + ".lock").exists())
+    } finally pool.shutdown()
+  }
+
   test("M5 adaptive tuning: halving spends fewer iterations than the grid at matching best metric") {
     val feats = Scoring.featurize(Tables.embeddings(spark, sf("sf0.001"))).persist()
     try {

@@ -114,15 +114,28 @@ def main():
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"ORACLE-ERR {name}: {str(e).splitlines()[0]}"); n_fail += 1; fails.append(name)
+            msg = str(e).splitlines()[0]
+            print(f"ORACLE-ERR {name}: {msg}"); n_fail += 1; fails.append(name)
             # one OOM'd query poisons the connection (buffers from the
             # failed plan stay accounted against the memory limit, so
-            # every later query dies on kilobyte allocations) — rebuild it
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = fresh_con()
+            # every later query dies on kilobyte allocations) — but ONLY
+            # memory-class failures need the expensive rebuild (fresh_con
+            # re-runs load_tables; paying a full sf1 reload per cheap
+            # binder error turns a fast-fail sweep into hours). For other
+            # errors, a liveness probe decides.
+            needs_rebuild = any(t in msg.lower() for t in (
+                "memory", "allocat", "out of", "database has been invalidated"))
+            if not needs_rebuild:
+                try:
+                    con.execute("SELECT 1").fetchone()
+                except Exception:
+                    needs_rebuild = True
+            if needs_rebuild:
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
             continue
         err = compare(name, spark_df, duck_df)
         if err:
