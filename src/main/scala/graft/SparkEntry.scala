@@ -52,6 +52,7 @@ object SparkEntry {
     text.Dedup,
     text.Similarity,
     imaging.ImageQueries,
+    ingest.IngestQueries,
     ml.MlQueries,
     streaming.StreamingOps,
     multimodal.Multimodal,

@@ -95,4 +95,38 @@ class IngestSpec extends SparkSpec {
       s"byte cap must split the backlog into multiple micro-batches, got ${batches.length}")
     assert(batches.forall(_.numInputRows < 24), "no single batch may admit the whole corpus")
   }
+
+  test("manifest-swap commit: readers never see a torn commit; versions time-travel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = Files.createTempDirectory("atomic_sink").toString + "/t"
+    // v1: two rows
+    val v1 = AtomicSink.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    assert(v1 == 1L)
+    assert(AtomicSink.read(spark, table).count() == 2)
+    // CRASH WINDOW: data staged but never committed — readers must stay
+    // on v1 (the Delta-style guarantee the plain parquet sink lacked)
+    AtomicSink.stage(Seq((99L, "torn")).toDF("id", "s"), table)
+    assert(AtomicSink.read(spark, table).count() == 2,
+      "staged-but-uncommitted files leaked into the snapshot")
+    assert(AtomicSink.versions(spark, table) == Seq(1L))
+    // v2: append commit — snapshot = v1 files + new files
+    val v2 = AtomicSink.commit(Seq((3L, "c")).toDF("id", "s"), table)
+    assert(v2 == 2L)
+    assert(AtomicSink.read(spark, table).count() == 3)
+    // historical snapshot stays readable (commits never rewrite data)
+    assert(AtomicSink.read(spark, table, version = 1L).count() == 2)
+    // concurrent committers serialize to distinct consecutive versions
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val vs = Await.result(Future.sequence((10 to 13).map(i =>
+        Future(AtomicSink.commit(Seq((i.toLong, s"r$i")).toDF("id", "s"), table)))),
+        Duration.Inf)
+      assert(vs.sorted == (3L to 6L), vs.sorted.toString)
+      assert(AtomicSink.read(spark, table).count() == 7)
+    } finally pool.shutdown()
+  }
 }
