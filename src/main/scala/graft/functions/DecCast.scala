@@ -38,19 +38,37 @@ case class DecCast(child: Expression, scale: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = fallback.checkInputDataTypes()
 
+  // error semantics mirror the fallback Cast's eval mode: LEGACY/TRY
+  // yield NULL on NaN/Infinity/overflow, ANSI throws — decided once per
+  // plan exactly like Cast itself decides at construction
+  private lazy val nullOnError: Boolean =
+    fallback.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI
+
   override def eval(input: InternalRow): Any =
     if (isDouble) {
       val v = child.eval(input)
       if (v == null) null
-      else Decimal(DecCast.quantize(v.asInstanceOf[Double], scale), 18, scale)
+      else {
+        val u = DecCast.quantize(v.asInstanceOf[Double], scale, nullOnError)
+        if (u == null) null else Decimal(u.longValue(), 18, scale)
+      }
     } else fallback.eval(input)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (isDouble) {
       val cls = DecCast.getClass.getName.stripSuffix("$")
-      nullSafeCodeGen(ctx, ev, d =>
-        s"${ev.value} = org.apache.spark.sql.types.Decimal.apply(" +
-          s"$cls.quantize($d, $scale), 18, $scale);")
+      nullSafeCodeGen(ctx, ev, d => {
+        val u = ctx.freshName("unscaled")
+        s"""
+          java.lang.Long $u = $cls.quantize($d, $scale, $nullOnError);
+          if ($u == null) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = org.apache.spark.sql.types.Decimal.apply(
+              $u.longValue(), 18, $scale);
+          }
+        """
+      })
     } else fallback.genCode(ctx)
 
   override protected def withNewChildInternal(newChild: Expression): DecCast =
@@ -61,30 +79,39 @@ object DecCast {
 
   private val pow10: Array[Double] = Array.tabulate(19)(i => math.pow(10, i))
 
-  /** Cast(double → DECIMAL(18, scale)) as an unscaled long. Fast path =
-    * nearest-rounding of d·10^scale with the boundary guard band proved
-    * in the class doc; anything uncertain (NaN/Inf, coarse-ulp regime,
-    * near-boundary, overflow-adjacent) takes the exact Decimal path.
-    * Overflow past 18 digits throws (the engine's corpora never feed
-    * one; a loud error beats a silently wrong unscaled value).
+  /** Cast(double → DECIMAL(18, scale)) as a boxed unscaled long. Fast
+    * path = nearest-rounding of d·10^scale with the boundary guard band
+    * proved in the class doc; anything uncertain (NaN/Inf, coarse-ulp
+    * regime, near-boundary, overflow-adjacent) takes the exact Decimal
+    * path. NaN/Infinity/overflow follow the caller's Cast eval mode:
+    * `nullOnError` (LEGACY/TRY) returns null, ANSI throws — exactly the
+    * branch Cast itself takes.
     */
-  def quantize(dd: Double, scale: Int): Long = {
+  def quantize(dd: Double, scale: Int, nullOnError: Boolean): java.lang.Long = {
     val v = dd * pow10(scale)
     if (java.lang.Double.isNaN(v) || Math.abs(v) >= 9.0e17)
-      return quantizeSlow(dd, scale)
+      return quantizeSlow(dd, scale, nullOnError)
     val f = Math.floor(v)
     val frac = v - f
     val eps = pow10(scale) * Math.ulp(dd) + Math.ulp(v)
     if (Math.abs(frac - 0.5) > eps + 1e-12) {
       if (frac > 0.5) f.toLong + 1L else f.toLong
-    } else quantizeSlow(dd, scale)
+    } else quantizeSlow(dd, scale, nullOnError)
   }
 
-  private def quantizeSlow(dd: Double, scale: Int): Long = {
+  private def quantizeSlow(dd: Double, scale: Int,
+      nullOnError: Boolean): java.lang.Long = {
+    // NaN/Infinity → NULL in BOTH eval modes (measured: Spark 4's ANSI
+    // Cast double→decimal nulls non-finite input and only throws on
+    // numeric overflow)
+    if (java.lang.Double.isNaN(dd) || java.lang.Double.isInfinite(dd))
+      return null
     val dec = Decimal(dd)
-    if (!dec.changePrecision(18, scale))
+    if (!dec.changePrecision(18, scale)) {
+      if (nullOnError) return null
       throw new ArithmeticException(
-        s"dec_cast overflow: $dd does not fit DECIMAL(18,$scale)")
+        s"dec_cast overflow: $dd does not fit DECIMAL(18,$scale) (ANSI)")
+    }
     dec.toUnscaledLong
   }
 

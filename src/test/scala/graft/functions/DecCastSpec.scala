@@ -43,9 +43,29 @@ class DecCastSpec extends SparkSpec {
         val d = org.apache.spark.sql.types.Decimal(v)
         assert(d.changePrecision(18, s)); d.toUnscaledLong
       }
-      assert(DecCast.quantize(v, s) == anchor,
+      assert(DecCast.quantize(v, s, nullOnError = true) == anchor,
         s"quantize($v, $s) diverged from the Cast anchor")
     }
+  }
+
+  test("NaN / Infinity / overflow follow the session Cast semantics") {
+    // measured Spark 4 ANSI Cast double→decimal: NaN/Infinity → NULL
+    // (both eval modes); numeric overflow → throw under ANSI. The
+    // AgglomerateSpec burrows fixture feeds NaN through dec() and
+    // expects NULL — the native path must take the same branches.
+    val df = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x")
+    val rows = df.select(
+      dec_cast(col("x"), 6).as("native"),
+      col("x").cast(DecimalType(18, 6)).as("cast")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"non-finite must null on both paths: native=${r.get(0)} cast=${r.get(1)}")
+    }
+    // overflow: both paths error under this session's ANSI mode
+    val big = Seq(1e15).toDF("x")
+    intercept[Exception](big.select(col("x").cast(DecimalType(18, 6))).collect())
+    intercept[Exception](big.select(dec_cast(col("x"), 6)).collect())
   }
 
   test("non-double inputs delegate to the real Cast") {

@@ -172,10 +172,15 @@ class PlanSpec extends SparkSpec {
       s"calendar × user-days band join must broadcast the calendar:\n${p.take(1200)}")
   }
 
-  test("q151: skyline dominance anti-join broadcasts the manifest") {
+  test("q151: skyline is the sort-based prefix-min sweep — no pairwise dominance join") {
     val p = plan("q151_skyline_parts")
-    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
-      s"dominance check must be a broadcast anti join:\n${p.take(1200)}")
+    // the r11 shape broadcast a corpus-proportional manifest into an
+    // O(|parts|^2) BNLJ anti-join; the sweep form must keep every join
+    // hash-based (the prefix table + the manifest equi-join back)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic dominance join resurfaced:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix-min stitch + manifest join must stay hash joins:\n${p.take(1200)}")
   }
 
   test("q158: each stats leg prunes its scan to the single profiled column") {
