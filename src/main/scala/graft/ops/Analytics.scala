@@ -467,12 +467,18 @@ object Analytics extends QueryModule {
     * is a plain equi-shuffle. One pass, no pairwise phase.
     */
   def skylineParts(li: DataFrame): DataFrame = {
+    // manifest + price-group table are each consumed twice downstream
+    // (m: the sweep input and the join-back side; the group table: the
+    // bucket frame and its per-bucket prefix inside withRunningMinExcl)
+    // — checkpoint both so the corpus aggregation runs ONCE, not 3×
+    // (the un-checkpointed plan re-aggregated lineitem per consumer)
     val m = li.groupBy("l_partkey")
       .agg(
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .localCheckpoint()
     val g = Dist.withRunningMinExcl(
-      m.groupBy("avg_price").agg(min("total_qty").as("qmin")),
+      m.groupBy("avg_price").agg(min("total_qty").as("qmin")).localCheckpoint(),
       expr("CAST(avg_price AS BIGINT) DIV 64"), // avg_price > 0: DIV truncation monotone
       Seq(col("avg_price")),
       col("qmin"), "prev_min")
