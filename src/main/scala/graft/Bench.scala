@@ -2,6 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // 1-min loadavg at run START, stamped into the output line ("load"):
+    // every load-contamination dispute so far (r8/r9/r12) was re-litigated
+    // forensically because the harness recorded nothing about machine
+    // state. Additions-only; absent on platforms without /proc/loadavg.
+    val loadAtStart: Option[String] =
+      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg"))
+        .map { s => try s.mkString.split("\\s+")(0) finally s.close() }
+        .toOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -61,6 +69,12 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    // Clear every driver-side memo cache between the warm and the timed
+    // pass: no query's timed region may inherit warm-pass work through a
+    // JVM-level memo, however the cache is keyed (the r12 q51 finding —
+    // its model fit was keyed on the fixture corpus dir both passes
+    // share). Runs OUTSIDE any timer.
+    Memos.reset()
     // A failed query is recorded as -1.0 (never silently timed as a pass);
     // values are rounded to ms so the ONE output line stays short enough for
     // log-tail capture.
@@ -135,17 +149,29 @@ object Bench {
     val sfId = new java.io.File(sfDir).getName
     // loud marker when a filter shrank the timed surface (never in graded runs)
     val onlyJson = if (only.isEmpty) "" else s""","only":${results.size}"""
+    val loadJson = loadAtStart.map(l => s""","load":$l""").getOrElse("")
     def line(cutSec: Double): String = {
       val slow = results.filter { case (_, v) => v < 0 || v >= cutSec }
       val fast = results.filter { case (_, v) => v >= 0 && v < cutSec }
       val qs = slow.map { case (k, v) => "\"" + qid(k) + "\":" + ds(v) }
         .mkString("{", ",", "}")
       val fastJson = s""","fast":{"n":${fast.size},"ds":${fast.map(v => math.round(v._2 * 10)).sum}}"""
-      val cutJson = if (cutSec == 0.45) "" else s""","qcut":${math.round(cutSec * 10)}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ds","queries":$qs$fastJson$failedJson$onlyJson$cutJson,"sf":"$sfId"}"""
+      // qcut marks an elevated listing cutoff; -1 is the terminal
+      // degraded form (failures + fast aggregate only — see below)
+      val cutJson =
+        if (cutSec == 0.45) ""
+        else if (cutSec.isInfinity) s""","qcut":-1"""
+        else s""","qcut":${math.round(cutSec * 10)}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ds","queries":$qs$fastJson$failedJson$onlyJson$cutJson$loadJson,"sf":"$sfId"}"""
     }
-    val out = Seq(0.45, 0.6, 0.8, 1.0, 1.5, 2.0).view.map(line)
-      .find(_.length <= 1900).getOrElse(line(2.0))
+    // Terminal degraded form (cut=∞): if even the 2.0 s cutoff overflows
+    // the 1900-char budget (conceivable only with very many failures,
+    // which are always listed), list failures alone and fold every pass
+    // into the fast aggregate, marked loudly with "qcut":-1 — the graded
+    // "value" total survives instead of the whole line failing to parse.
+    val out = (Seq(0.45, 0.6, 0.8, 1.0, 1.5, 2.0).view.map(line) ++
+        Seq(line(Double.PositiveInfinity)).view)
+      .find(_.length <= 1900).getOrElse(line(Double.PositiveInfinity))
     println(out)
     spark.stop()
   }

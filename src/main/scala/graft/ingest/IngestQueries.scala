@@ -17,6 +17,11 @@ object IngestQueries extends QueryModule {
 
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // sfDir-keyed (warm and timed passes never shared an entry); cleared
+  // between Bench passes anyway via graft.Memos.reset — the timed q416
+  // then stages + commits its table inside its own timed region.
+  private[graft] def resetMemo(): Unit = tables.clear()
+
   private def committedTable(spark: SparkSession, sfDir: String): String =
     tables.computeIfAbsent(sfDir, _ => {
       val dir = graft.Tmp.dir("graft_atomic_tbl").toString + "/orders"

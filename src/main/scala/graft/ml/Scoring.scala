@@ -169,6 +169,11 @@ object Scoring {
   private val searchCache = scala.collection.concurrent.TrieMap
     .empty[String, (LogisticRegressionModel, Seq[(Long, Double, Double, Long, Double, Long)])]
 
+  // sfDir-keyed, so Bench's warm (sf0.001) and timed (sf0.1) passes never
+  // shared an entry; cleared between passes anyway (graft.Memos.reset) so
+  // the no-warm-to-timed-transfer guarantee is structural, not per-cache.
+  private[graft] def resetMemo(): Unit = searchCache.clear()
+
   private def sharedSearch(featurized: DataFrame, sfDir: String)
       : (LogisticRegressionModel, Seq[(Long, Double, Double, Long, Double, Long)]) =
     searchCache.getOrElseUpdate(sfDir, adaptiveRows(split(featurized)._1))

@@ -55,7 +55,9 @@ object Advanced extends QueryModule {
     // harness must stay a bounded-queries × corpus scan at 100 TB, not
     // corpus/97 × corpus. Identical results at every tested SF (sf1 has
     // ~206 sampled ids); beyond ~99k vectors the metric is by design
-    // computed over the first 1024 sampled queries.
+    // computed over the first 1024 sampled queries. The cap changes the
+    // DECLARED computation past that size and is mirrored in the oracle
+    // SQL below — a spec delta, declared for sign-off in SURVEY.md §8.3.
     val q = emb.filter(col("vec_id") % 97 === 0)
       .orderBy("vec_id").limit(1024)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),

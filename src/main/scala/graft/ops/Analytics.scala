@@ -471,7 +471,13 @@ object Analytics extends QueryModule {
     // (m: the sweep input and the join-back side; the group table: the
     // bucket frame and its per-bucket prefix inside withRunningMinExcl)
     // — checkpoint both so the corpus aggregation runs ONCE, not 3×
-    // (the un-checkpointed plan re-aggregated lineitem per consumer)
+    // (the un-checkpointed plan re-aggregated lineitem per consumer).
+    // localCheckpoint() is EAGER: merely constructing this frame runs
+    // two Spark jobs (plan-only consumers — Plan/PlanAudit/PlanSpec —
+    // pay them too; eager is kept deliberately so the two downstream
+    // consumers can never race to compute an unmaterialized checkpoint
+    // twice), and the blocks are non-reliable (executor loss cannot
+    // recompute them — harmless in local mode).
     val m = li.groupBy("l_partkey")
       .agg(
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),

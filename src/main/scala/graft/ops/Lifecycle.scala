@@ -183,15 +183,12 @@ object Lifecycle extends QueryModule {
     // LogicalRDD preserves origin constraints exactly so such inference
     // still applies. The conf window must cover EXECUTION (the optimizer
     // runs at action time), so the 4-row audit is materialized inside it.
-    val spark = customer.sparkSession
-    val key = "spark.sql.constraintPropagation.enabled"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
+    // shared-session caveat: see graft.ConfWindow scaladoc (a concurrent
+    // query planned inside the window also loses constraint propagation
+    // — plan-shape only, never results; the bench is sequential)
+    graft.ConfWindow.withConf(customer.sparkSession,
+      "spark.sql.constraintPropagation.enabled", "false") {
       forgetCascadePlan(customer, orders, lineitem, events).localCheckpoint()
-    } finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 

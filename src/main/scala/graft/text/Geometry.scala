@@ -51,41 +51,43 @@ object Geometry extends QueryModule {
     */
   def kcenterSeeds(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    // Whole-array exact-decimal folds: the per-dim explode (|vecs|·dims
-    // rows, localCheckpointed and re-shuffled through a dim-join every
-    // round) is gone — each round is one NARROW pass over the vectors
-    // with the ≤k selected seeds broadcast as a collected list. The
-    // DECIMAL(18,10) per-dim terms and DECIMAL(28,10) running sum are
-    // the exact types sum() used, so d2 is bit-identical (decimal
-    // addition is order-free).
-    val sumD2 =
-      """aggregate(zip_with(embedding, s.sv, (x, y) ->
-        |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-        |       * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(18,10))),
-        |  CAST(0 AS DECIMAL(28,10)),
-        |  (acc, v) -> CAST(acc + v AS DECIMAL(28,10)))""".stripMargin
-    val norms = emb.select(col("vec_id"), expr(
-      """aggregate(embedding, CAST(0 AS DECIMAL(28,10)),
-        |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |                             AS DECIMAL(18,10)) AS DECIMAL(28,10)))"""
-        .stripMargin).as("n2"))
-    val seed = norms.orderBy(col("n2").desc, col("vec_id")).limit(1)
+    import graft.functions.QuantizedSqDist.quantized_sq_dist
+    // Each round is ONE narrow codegen pass over the vectors: the ≤3
+    // selected seed embeddings are collected to the driver (each pick's
+    // top-1 row carries its embedding — bounded, one row per round) and
+    // inlined as float-array literals, so min-over-selected is
+    // least(quantized_sq_dist(e, seed_1), ..) — a generated
+    // long-accumulating loop per seed. quantized_sq_dist is pinned
+    // bit-identical to the former interpreted
+    // aggregate(zip_with(.. CAST((x-y)² AS DECIMAL(18,10)))) decimal
+    // fold (QuantizedSqDistSpec): same per-term Cast quantization, same
+    // exact DECIMAL(28,10) sum — that fold's per-term
+    // Double.toString+BigDecimal parse, ×(1+2+3) seed evaluations ×
+    // dims × |vecs|, was ~80-90% of q279's sf1 runtime. least() over
+    // never-null decimals ≡ array_min over the per-seed fold values.
+    // Seed-list rebuild scans (one corpus agg per round) are gone too.
+    //
+    // Norm seed: d²-to-the-zero-vector IS the squared-norm fold —
+    // x−0.0 == x bit-exactly for every finite float (and (−0.0)² ==
+    // 0.0 == (±0.0)·(±0.0)), so each per-term quantize sees the
+    // identical double. Pinned in NativeExprSpec.
+    val zeros = array_repeat(lit(0.0d), size(col("embedding")))
+    val seed = emb
+      .select(col("vec_id"), col("embedding"),
+        quantized_sq_dist(col("embedding"), zeros).as("n2"))
+      .orderBy(col("n2").desc, col("vec_id")).limit(1)
       .collect()(0)
     var selected = Seq(seed.getLong(0))
+    var seedVecs = Seq(seed.getSeq[Float](1))
     val picks = Seq.newBuilder[(Int, Long, java.math.BigDecimal)]
-    picks += ((1, seed.getLong(0), seed.getDecimal(1)))
+    picks += ((1, seed.getLong(0), seed.getDecimal(2)))
     for (round <- 2 to 4) {
-      val sel = emb.filter(col("vec_id").isInCollection(selected))
-        .agg(collect_list(struct(col("vec_id").as("sid"),
-          col("embedding").as("sv"))).as("seeds"))
-      val best = emb.filter(!col("vec_id").isInCollection(selected))
-        .crossJoin(broadcast(sel))
-        .select(col("vec_id"),
-          expr(s"array_min(transform(seeds, s -> $sumD2))").as("min_d2"))
+      val best = kcenterRoundFrame(emb, selected, seedVecs)
         .orderBy(col("min_d2").desc, col("vec_id")).limit(1)
         .collect()(0)
       selected = selected :+ best.getLong(0)
-      picks += ((round, best.getLong(0), best.getDecimal(1)))
+      seedVecs = seedVecs :+ best.getSeq[Float](1)
+      picks += ((round, best.getLong(0), best.getDecimal(2)))
     }
     picks.result()
       .map { case (r, v, d) => (r.toLong, v, d.doubleValue()) }
@@ -93,6 +95,22 @@ object Geometry extends QueryModule {
       .select(col("round"), col("vec_id"),
         round(col("gap"), 6).as("sq_gap"))
       .orderBy("round")
+  }
+
+  /** One greedy round's distance pass (min over the selected seeds,
+    * inlined as float-array literals) — shared by the [[kcenterSeeds]]
+    * loop and the Plan evidence tool, which prints this frame's plan
+    * (the query's own final frame is the driver-local pick list, so its
+    * plan carries no evidence of the per-round corpus pass).
+    */
+  private[graft] def kcenterRoundFrame(emb: DataFrame, selected: Seq[Long],
+      seedVecs: Seq[Seq[Float]]): DataFrame = {
+    import graft.functions.QuantizedSqDist.quantized_sq_dist
+    val minD2 = seedVecs
+      .map(sv => quantized_sq_dist(col("embedding"), lit(sv.toArray)))
+      .reduce(least(_, _))
+    emb.filter(!col("vec_id").isInCollection(selected))
+      .select(col("vec_id"), col("embedding"), minD2.as("min_d2"))
   }
 
   private val kcenterOracle = """

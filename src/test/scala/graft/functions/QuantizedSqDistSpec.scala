@@ -37,6 +37,31 @@ class QuantizedSqDistSpec extends SparkSpec {
     }
   }
 
+  test("distance to the zero vector equals the squared-norm decimal fold (q279 seed)") {
+    // q279's round-1 seed ranks by the exact decimal squared norm; the
+    // rewrite computes it as quantized_sq_dist(e, zeros). x−0.0 == x
+    // bit-exactly for every finite float (and (−0.0)² == 0.0), so every
+    // per-term quantize sees the identical double as the norm fold's
+    // CAST(x·x AS DECIMAL(18,10)).
+    val normFold =
+      """aggregate(a, CAST(0 AS DECIMAL(28,10)),
+        |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |                             AS DECIMAL(18,10)) AS DECIMAL(28,10)))"""
+        .stripMargin
+    val rows = ((0 until 200).map { i =>
+      (i.toLong,
+        Seq.tabulate(64)(d => ((i * 31 + d * 7) % 97).toFloat / 97f - 0.5f))
+    } :+ ((200L, Seq(-0.0f, 0.0f, Float.MinPositiveValue, -1.5f)))).toDF("id", "a")
+    val both = rows.select(
+      quantized_sq_dist(col("a"),
+        array_repeat(lit(0.0d), size(col("a")))).as("native"),
+      expr(normFold).as("fold")).collect()
+    both.foreach { r =>
+      assert(r.getDecimal(0).compareTo(r.getDecimal(1)) == 0,
+        s"mismatch: ${r.getDecimal(0)} vs ${r.getDecimal(1)}")
+    }
+  }
+
   test("the long fast path agrees with the Cast anchor on boundary-adjacent terms") {
     // k + 0.5 half-way points at scale 10, the exact .5, and values one
     // double-ulp to each side — the band where the fast path must defer
