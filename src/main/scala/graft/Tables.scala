@@ -40,6 +40,70 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Spread a degenerate scan across the session's parallelism before a
+    * CPU-HEAVY per-row stage (md5-per-shingle signatures, per-doc n-gram
+    * counting, shingle hashing). The driver corpus is ONE parquet row
+    * group per table at every local SF, so a parquet scan — and with it
+    * the entire map side of every stage up to the first exchange — runs
+    * as a SINGLE task regardless of core count (row groups are the
+    * parquet split atom; byte-range splits of a one-group file read
+    * nothing). This is guide §2.5's "one huge unsplittable file" input
+    * skew: repartition right after the read, BEFORE the expensive
+    * projection. Scale-adaptive, not a local[32] constant: it
+    * repartitions ONLY when the scan yields fewer partitions than
+    * `defaultParallelism` (cores locally, executors×cores on a
+    * cluster); at production scale the scan has many splits and this is
+    * the identity. Project to the needed columns BEFORE calling (the
+    * shuffle carries every column it is given, §2.3).
+    */
+  def fanout(df: DataFrame): DataFrame =
+    if (shouldFan(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  /** Keyed [[fanout]]: when the downstream stage aggregates/joins on
+    * `keys`, hash-repartitioning by those keys lets EnsureRequirements
+    * reuse the exchange — the degenerate scan is spread AND the
+    * aggregation's own shuffle disappears into it (one exchange total,
+    * same as the un-fanned plan, but with a parallel map side). Same
+    * scale-adaptive guards as [[fanout]].
+    */
+  def fanout(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    if (shouldFan(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    else df
+
+  /** Fan out only when BOTH hold: the scan is degenerate (fewer
+    * partitions than defaultParallelism — at production split counts
+    * this alone makes fanout the identity) AND the input is big enough
+    * that single-task map work dominates the repartition's fixed costs
+    * (one extra exchange + a 32-task wave that AQE will not coalesce
+    * for a user repartition — measured ~+0.5-1 s per stage at sf0.1,
+    * where the whole text corpus is <1 MB and the map work ~0.1 s; at
+    * sf1, 7+ MB inputs, the same fanouts win 1.4-1.8×). The threshold
+    * compares the optimizer's sizeInBytes estimate — file bytes for a
+    * scan, scaled DOWN by schema-default column widths under a
+    * projection (measured: the 7 MB sf1 documents scan reads 3.0 MB at
+    * the (doc_id, text) shingle site, 0.25 MB at sf0.1) — against
+    * `spark.graft.fanout.minBytes`, default 2 MB: all measured
+    * regressing sites at sf0.1 sit below 0.6 MB and all winning sites
+    * at either SF above 2.2 MB. Orders of magnitude below any
+    * production scan, so it only distinguishes "trivially small local
+    * corpus" from "real input"; nothing here is tuned to a core count.
+    */
+  private def shouldFan(df: DataFrame): Boolean = {
+    val sc = df.sparkSession.sparkContext
+    val minBytes = df.sparkSession.conf
+      .getOption("spark.graft.fanout.minBytes").map(_.toLong)
+      .getOrElse(2L * 1024 * 1024)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sizes at/near defaultSizeInBytes (Long.MaxValue) mean UNKNOWN —
+    // checkpointed/LogicalRDD inputs (e.g. q151's ~1.6k-row bucket
+    // tables) report that sentinel; they already carry their creation
+    // parallelism, so never fan them on a meaningless estimate
+    df.rdd.getNumPartitions < sc.defaultParallelism &&
+      size >= minBytes && size < BigInt(Long.MaxValue) / 4
+  }
 }
 
 /** Shared numeric helpers for DuckDB-oracle bit-exactness.

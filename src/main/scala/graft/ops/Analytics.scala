@@ -1127,7 +1127,11 @@ object Analytics extends QueryModule {
     // standard market-basket bound) — no corpus self-join, no second
     // distinct. The basket list is |orders| rows and feeds total/freq/
     // pairs from one materialization.
-    val sets = li
+    // keyed fanout: the broadcast probe + per-order set building
+    // otherwise run as ONE task on the one-row-group driver corpus
+    // (§2.5); hashing by l_orderkey lets the groupBy reuse the exchange
+    val sets = graft.Tables
+      .fanout(li.select("l_orderkey", "l_partkey"), col("l_orderkey"))
       .join(broadcast(part.select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))

@@ -67,7 +67,14 @@ object Dist {
       total: Option[String] = None,
       partition: Seq[String] = Nil,
       broadcastPrefix: Boolean = true): DataFrame = {
-    val b = df.withColumn("__bkt", bucket)
+    // keyed fanout (graft.Tables.fanout scaladoc): on the one-row-group
+    // driver corpus the scan + bucket compute + partial aggregation all
+    // run as ONE task; hashing by the window keys spreads them AND lets
+    // the bucket aggregation and the within-bucket window both reuse the
+    // same exchange (ReusedExchange — one shuffle total, as before, but
+    // with a parallel map side). Identity at production split counts.
+    val b = graft.Tables.fanout(df.withColumn("__bkt", bucket),
+      (partition :+ "__bkt").map(col): _*)
     val keys = partition :+ "__bkt"
     val wIn = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     val wBkt = Window.partitionBy(partition.map(col): _*).orderBy("__bkt")
@@ -120,9 +127,11 @@ object Dist {
       values: Seq[(Column, String)],
       broadcastPrefix: Boolean = true): DataFrame = {
     val vcols = values.indices.map(i => s"__v$i")
-    val b = values.zip(vcols).foldLeft(df.withColumn("__bkt", bucket)) {
-      case (d, ((v, _), vc)) => d.withColumn(vc, v)
-    }
+    // keyed fanout: see withRowNumber (same degenerate-scan rationale)
+    val b = graft.Tables.fanout(
+      values.zip(vcols).foldLeft(df.withColumn("__bkt", bucket)) {
+        case (d, ((v, _), vc)) => d.withColumn(vc, v)
+      }, col("__bkt"))
     val wIn = Window.partitionBy("__bkt").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBkt = Window.orderBy("__bkt")
@@ -158,7 +167,9 @@ object Dist {
       value: Column,
       out: String,
       broadcastPrefix: Boolean = true): DataFrame = {
-    val b = df.withColumn("__bkt", bucket).withColumn("__v", value)
+    // keyed fanout: see withRowNumber (same degenerate-scan rationale)
+    val b = graft.Tables.fanout(
+      df.withColumn("__bkt", bucket).withColumn("__v", value), col("__bkt"))
     val wIn = Window.partitionBy("__bkt").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBkt = Window.orderBy("__bkt")

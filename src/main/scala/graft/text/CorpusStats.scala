@@ -243,9 +243,20 @@ object CorpusStats extends QueryModule {
     // scoring pass share a single text scan. Empty-feature docs are
     // dropped up front (they had no cnt rows in the exploded form, so
     // they never scored).
-    val perDoc = docs.select(col("doc_id"), col("lang"),
+    // The empty-map guard runs on the RAW text (length(text) >= 2 ⇔ a
+    // nonempty bigram count map — both sides are UTF8String.numChars):
+    // the former filter(size(fcs) > 0) was pushed below the projection
+    // with the counting expression SUBSTITUTED into it, so every doc
+    // paid char_ngram_counts twice (Filter + Project — the guide's
+    // §4.4 duplicated-evaluation trap; it was ~40% of this query's
+    // dominant stage at sf1).
+    // fanout: the per-doc counting pass otherwise runs as ONE task on
+    // the one-row-group driver corpus (§2.5)
+    val perDoc = graft.Tables.fanout(
+        docs.select(col("doc_id"), col("lang"), col("text"))
+          .filter(length(col("text")) >= 2))
+      .select(col("doc_id"), col("lang"),
         graft.functions.CharNGramCounts.char_ngram_counts(col("text"), 2).as("fcs"))
-      .filter(size(col("fcs")) > 0)
       .localCheckpoint()
     val fstats = perDoc
       .select(col("lang"), explode(col("fcs")).as("fc"))

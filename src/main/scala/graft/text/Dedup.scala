@@ -102,11 +102,27 @@ object Dedup extends QueryModule {
     */
   private def shinglePostings(docs: DataFrame): DataFrame = {
     import graft.functions.WordShingles.word_shingles
-    docs
+    // No-shingle guard on the RAW text (size(split) >= 4 is exactly
+    // WordShingles' tokens-length gate — same limit -1 split semantics):
+    // the former filter(n_sh > 0) was pushed below the projection with
+    // word_shingles SUBSTITUTED into it (guide §4.4 duplicated
+    // evaluation; the explode already dropped empty-shingle docs, so
+    // the row set is unchanged three ways). fanout: the shingle hashing
+    // + explode + checkpoint otherwise run as ONE task on the
+    // one-row-group driver corpus (§2.5).
+    // explode_OUTER: a plain explode triggers InferFiltersFromGenerate,
+    // which re-derives `size(shs) > 0` and pushes it below the fanout
+    // exchange with word_shingles substituted in — re-creating the §4.4
+    // duplicate in the single-task pre-exchange stage. The prefilter
+    // guarantees ≥1 shingle per row, so outer ≡ inner row-for-row here
+    // (no null-shid rows can appear) and the inference rule does not
+    // apply to outer generates.
+    graft.Tables.fanout(
+        docs.select(col("doc_id"), col("text"))
+          .filter(size(split(col("text"), " ")) >= 4))
       .select(col("doc_id"), word_shingles(col("text"), 4).as("shs"))
       .withColumn("n_sh", size(col("shs")).cast("long"))
-      .filter(col("n_sh") > 0)
-      .select(col("doc_id"), col("n_sh"), explode(col("shs")).as("shid"))
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("shid"))
       .localCheckpoint()
   }
 
@@ -179,9 +195,23 @@ object Dedup extends QueryModule {
     // per document, md5 hex halves read straight from digest bytes —
     // bit-identical to the SQL/DuckDB formulation of the same family.
     import graft.functions.MinHashSig.minhash_sig
-    val sigs = docs
+    // The no-shingle guard runs on the RAW text: size(split(text,' '))
+    // >= 4 is exactly MinHashSig's own tokens-length gate (same
+    // limit -1 split semantics), so dropped docs are identical — while
+    // the former filter(size(sig) > 0) was pushed below the projection
+    // with minhash_sig SUBSTITUTED into it, i.e. every doc paid the
+    // md5-per-shingle signature TWICE (guide §4.4 duplicated
+    // evaluation). The signature table is then localCheckpoint()ed:
+    // both sides of the band self-join consume it, so signatures are
+    // computed ONCE per invocation, not once per join side (sig rows
+    // are |docs| × (12 longs + id) — ~5 MB at sf1).
+    // fanout: the md5-per-shingle signature pass otherwise runs as ONE
+    // task on the one-row-group driver corpus (§2.5)
+    val sigs = graft.Tables.fanout(
+        docs.select(col("doc_id"), col("text"))
+          .filter(size(split(col("text"), " ")) >= 4))
       .select(col("doc_id"), minhash_sig(col("text"), 12).as("sig"))
-      .filter(size(col("sig")) > 0) // docs with < 4 tokens have no shingles
+      .localCheckpoint()
     val bands = sigs.select(col("doc_id"), col("sig"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b as band_idx, " +
